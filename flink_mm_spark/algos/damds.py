@@ -1,0 +1,384 @@
+"""DA-MDS: deterministic-annealing multidimensional scaling (SMACOF).
+
+Reference: the damds package — quantized int16 distance/weight matrices
+partitioned into row blocks, per-temperature SMACOF stress majorization
+with a conjugate-gradient inner solve (SURVEY §2.6 F2,F6–F10, §3.1).
+
+Spark shape:
+- The N×N distance (+ optional weight) matrix lives as a DataFrame of row
+  blocks (block_id, start, block_rows, n_points, dist ARRAY<SHORT>,
+  weight ARRAY<SHORT>), persisted once for the whole anneal — the
+  loop-invariant caching the reference lacks (it re-reads files every
+  Flink job, SURVEY §4.1).
+- The embedding X is (N, 3)-tiny and lives on the driver; each distributed
+  kernel broadcasts X and emits per-block partials (stress scalars or
+  block slices of B(Z)X / VX), gathered ordered by block_id (SURVEY A6).
+- The CG loop (damds/CG.java:78-142) runs on the driver: the only
+  distributed step per CG iteration is the V×p multiply.
+
+Quantization semantics (damds/DAMDSUtils.java:8-9): value = short/32767;
+negative shorts are missing pairs and are skipped everywhere
+(damds/Statistics.java:39-42, Stress.java:75-77, BC.java:121-123).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from flink_mm_spark.linalg.block_matrix import split_rows
+
+INV_SHORT_MAX = 1.0 / 32767.0
+
+DAMDS_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("block_rows", T.IntegerType(), False),
+        T.StructField("n_points", T.IntegerType(), False),
+        T.StructField("dist", T.ArrayType(T.ShortType(), False), False),
+        T.StructField("weight", T.ArrayType(T.ShortType(), False), True),
+    ]
+)
+
+
+def damds_blocks(
+    spark: SparkSession,
+    dist: np.ndarray,
+    weights: np.ndarray | None = None,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Partition quantized int16 distance (+weight) matrices into row blocks."""
+    dist = np.asarray(dist, dtype=np.int16)
+    n = dist.shape[0]
+    rows = []
+    for b, start, nrows in split_rows(n, n_blocks):
+        w = None if weights is None else weights[start : start + nrows].ravel().tolist()
+        rows.append((b, start, nrows, n, dist[start : start + nrows].ravel().tolist(), w))
+    df = spark.createDataFrame(rows, DAMDS_BLOCK_SCHEMA)
+    return df.repartition(min(n_blocks, 64), "block_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _block_arrays(pdf: pd.DataFrame) -> Iterator[tuple[int, int, np.ndarray, np.ndarray | None]]:
+    for _, row in pdf.iterrows():
+        nrows, npts = int(row["block_rows"]), int(row["n_points"])
+        d = np.asarray(row["dist"], dtype=np.int16).reshape(nrows, npts)
+        w = row["weight"]
+        wm = None if w is None else np.asarray(w, dtype=np.int16).reshape(nrows, npts)
+        yield int(row["block_id"]), int(row["start"]), d, wm
+
+
+def _weights_of(dq: np.ndarray, wblock: np.ndarray | None) -> np.ndarray:
+    """Dequantized weights; default weight 1 where the distance exists."""
+    if wblock is None:
+        return (dq >= 0).astype(np.float64)
+    return np.where(dq >= 0, wblock.astype(np.float64) * INV_SHORT_MAX, 0.0)
+
+
+@dataclass
+class MatrixStats:
+    """DoubleStatistics (damds/Statistics.java) over non-missing cells."""
+
+    count: int
+    min: float
+    max: float
+    positive_min: float
+    sum: float
+    sum_sq: float
+
+
+def matrix_stats(blocks: DataFrame) -> MatrixStats:
+    """Distributed count/min/max/positiveMin/sum/sumSq of dequantized cells."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for _bid, _start, d, _w in _block_arrays(pdf):
+                dq = d.astype(np.float64) * INV_SHORT_MAX
+                v = dq[d >= 0]
+                if v.size == 0:
+                    continue
+                pos = v[v > 0]
+                out.append(
+                    (
+                        int(v.size),
+                        float(v.min()),
+                        float(v.max()),
+                        float(pos.min()) if pos.size else np.inf,
+                        float(v.sum()),
+                        float((v * v).sum()),
+                    )
+                )
+        yield pd.DataFrame(out, columns=["cnt", "mn", "mx", "pmin", "sm", "ssq"])
+
+    rows = (
+        blocks.mapInPandas(
+            partials, "cnt bigint, mn double, mx double, pmin double, sm double, ssq double"
+        )
+        .groupBy()
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.min("pmin").alias("pmin"),
+            F.sum("sm").alias("sm"),
+            F.sum("ssq").alias("ssq"),
+        )
+        .collect()[0]
+    )
+    return MatrixStats(rows["cnt"], rows["mn"], rows["mx"], rows["pmin"], rows["sm"], rows["ssq"])
+
+
+def _gather_block_matrix(df: DataFrame, dim: int) -> np.ndarray:
+    """Ordered gather of per-block (block_rows, dim) partials → (N, dim)."""
+    rows = df.orderBy("block_id").collect()
+    return np.vstack(
+        [np.asarray(r["data"], dtype=np.float64).reshape(-1, dim) for r in rows]
+    )
+
+
+_PART_SCHEMA = "block_id int, data array<double>"
+
+
+def stress(blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float) -> float:
+    """Stress σ(X) (damds/Stress.java:45-93, SURVEY F7).
+
+    tmpD = (δ ≥ diff ? δ − diff : 0) − d_ij(X); σ = Σ w·tmpD² × invΣδ²;
+    diff = √(2·dim)·tCur when tCur > 1e-10.
+    """
+    spark = blocks.sparkSession
+    dim = x.shape[1]
+    diff = float(np.sqrt(2.0 * dim) * t_cur) if t_cur > 1e-10 else 0.0
+    x_bc = spark.sparkContext.broadcast(np.asarray(x, dtype=np.float64))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xv = x_bc.value
+        out = []
+        for pdf in batches:
+            for bid, start, d, wblk in _block_arrays(pdf):
+                dq = d.astype(np.float64) * INV_SHORT_MAX
+                w = _weights_of(d, wblk)
+                xb = xv[start : start + d.shape[0]]
+                dist_x = np.sqrt(
+                    np.maximum(
+                        (xb * xb).sum(1)[:, None]
+                        - 2.0 * (xb @ xv.T)
+                        + (xv * xv).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+                heated = np.where(dq >= diff, dq - diff, 0.0)
+                tmp = heated - dist_x
+                out.append((bid, [float((w * tmp * tmp * (d >= 0)).sum())]))
+        yield pd.DataFrame(out, columns=["block_id", "data"])
+
+    total = (
+        blocks.mapInPandas(partials, _PART_SCHEMA)
+        .select(F.explode("data").alias("v"))
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    return float(total) * inv_sum_dsq
+
+
+def v_array(blocks: DataFrame) -> np.ndarray:
+    """v_i = 1 + Σ_{j≠i, δ_ij≥0, w_ij≠0} w_ij (damds/VArray.java:49-67, F8)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for bid, start, d, wblk in _block_arrays(pdf):
+                w = _weights_of(d, wblk)
+                nrows = d.shape[0]
+                cols = np.arange(d.shape[1])
+                diag = cols[None, :] == (start + np.arange(nrows))[:, None]
+                v = 1.0 + np.where(diag, 0.0, w).sum(axis=1)
+                out.append((bid, v.tolist()))
+        yield pd.DataFrame(out, columns=["block_id", "data"])
+
+    return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), 1).ravel()
+
+
+def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float) -> np.ndarray:
+    """BC = B(Z)·Z for the SMACOF update (damds/BC.java:86-134, F6).
+
+    Off-diag B_ij = −w_ij·(δ_ij − diff)/d_ij(Z) when d_ij ≥ 1e-10 and
+    diff < δ_ij, else 0; diagonal B_ii = −Σ_{j≠i} B_ij. Each block emits
+    its (block_rows, dim) slice of B·Z; gathered ordered by block.
+    """
+    spark = blocks.sparkSession
+    dim = x.shape[1]
+    diff = float(np.sqrt(2.0 * dim) * t_cur) if t_cur > 1e-10 else 0.0
+    x_bc = spark.sparkContext.broadcast(np.asarray(x, dtype=np.float64))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xv = x_bc.value
+        out = []
+        for pdf in batches:
+            for bid, start, d, wblk in _block_arrays(pdf):
+                dq = d.astype(np.float64) * INV_SHORT_MAX
+                w = _weights_of(d, wblk)
+                nrows = d.shape[0]
+                xb = xv[start : start + nrows]
+                dist_z = np.sqrt(
+                    np.maximum(
+                        (xb * xb).sum(1)[:, None]
+                        - 2.0 * (xb @ xv.T)
+                        + (xv * xv).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+                ok = (dist_z >= 1e-10) & (dq > diff) & (d >= 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    b = np.where(ok, -w * (dq - diff) / np.where(ok, dist_z, 1.0), 0.0)
+                cols = np.arange(d.shape[1])
+                diag_mask = cols[None, :] == (start + np.arange(nrows))[:, None]
+                b = np.where(diag_mask, 0.0, b)
+                diag = -b.sum(axis=1)
+                bz = b @ xv + diag[:, None] * xb
+                out.append((bid, bz.ravel().tolist()))
+        yield pd.DataFrame(out, columns=["block_id", "data"])
+
+    return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+
+
+def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """V·p where V = diag(v) with off-diag −w_ij (SURVEY F2).
+
+    The reference computes this via MatrixUtils.matrixMultiplyWithThreadOffset
+    (damds/CG.java:411-421); here each block does
+    out = v_block·p_block − W_nodiag_block @ p in numpy and the slices are
+    gathered ordered.
+    """
+    spark = blocks.sparkSession
+    dim = p.shape[1]
+    p_bc = spark.sparkContext.broadcast(np.asarray(p, dtype=np.float64))
+    v_bc = spark.sparkContext.broadcast(np.asarray(v, dtype=np.float64))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pv = p_bc.value
+        vv = v_bc.value
+        out = []
+        for pdf in batches:
+            for bid, start, d, wblk in _block_arrays(pdf):
+                w = _weights_of(d, wblk)
+                nrows = d.shape[0]
+                cols = np.arange(d.shape[1])
+                diag_mask = cols[None, :] == (start + np.arange(nrows))[:, None]
+                w = np.where(diag_mask, 0.0, w)
+                pb = pv[start : start + nrows]
+                res = vv[start : start + nrows, None] * pb - w @ pv
+                out.append((bid, res.ravel().tolist()))
+        yield pd.DataFrame(out, columns=["block_id", "data"])
+
+    return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+
+
+def cg_solve(
+    blocks: DataFrame,
+    v: np.ndarray,
+    bc_target: np.ndarray,
+    x0: np.ndarray,
+    cg_iters: int = 20,
+    cg_threshold: float = 1e-5,
+) -> tuple[np.ndarray, int]:
+    """Conjugate gradient for V·X = BC (damds/CG.java:78-142, F9/I2).
+
+    X, r, p are (N, dim)-tiny driver arrays; the distributed step per
+    iteration is the single V×p multiply. Returns (X, iterations used).
+    """
+    x = np.asarray(x0, dtype=np.float64).copy()
+    r = bc_target - v_multiply(blocks, v, x)
+    p = r.copy()
+    r_tr = float((r * r).sum())
+    test_end = r_tr * cg_threshold
+    it = 0
+    while it < cg_iters and r_tr > test_end:
+        ap = v_multiply(blocks, v, p)
+        alpha = r_tr / float((p * ap).sum())
+        x += alpha * p
+        r -= alpha * ap
+        r_tr_new = float((r * r).sum())
+        beta = r_tr_new / r_tr
+        r_tr = r_tr_new
+        p = r + beta * p
+        it += 1
+    return x, it
+
+
+@dataclass
+class DamdsResult:
+    points: np.ndarray
+    stress: float
+    temp_loops: int
+    stress_iters: int
+
+
+def damds(
+    blocks: DataFrame,
+    n_points: int,
+    dim: int = 3,
+    alpha: float = 0.95,
+    t_min_factor: float = 0.5,
+    max_temp_loops: int = 4,
+    max_stress_loops: int = 20,
+    stress_threshold: float = 1e-4,
+    cg_iters: int = 8,
+    cg_threshold: float = 1e-5,
+    seed: int = 42,
+) -> DamdsResult:
+    """Full deterministic-annealing SMACOF driver loop (SURVEY I3/F10).
+
+    Temperature schedule: tMax = max/√(2·dim), tCur = α·tMax, cooled by α
+    per temp loop, floored to 0 below tMin = tMinFactor·positiveMin/√(2·dim)
+    (damds/DAMDS.java:121-152, 234-238). Inner loop iterates SMACOF updates
+    (BC then CG) until relative stress change < threshold.
+    """
+    stats = matrix_stats(blocks)
+    inv_sum_dsq = 1.0 / stats.sum_sq
+    sqrt2d = float(np.sqrt(2.0 * dim))
+    t_max = stats.max / sqrt2d
+    t_min = t_min_factor * stats.positive_min / sqrt2d
+    t_cur = alpha * t_max
+
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-0.5, 0.5, size=(n_points, dim))
+    v = v_array(blocks)
+
+    total_stress_iters = 0
+    temp_loops = 0
+    sig = stress(blocks, x, t_cur, inv_sum_dsq)
+    while True:
+        for _ in range(max_stress_loops):
+            bc = bofz_bc(blocks, x, t_cur)
+            x, _ = cg_solve(blocks, v, bc, x, cg_iters, cg_threshold)
+            new_sig = stress(blocks, x, t_cur, inv_sum_dsq)
+            total_stress_iters += 1
+            if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
+                sig = new_sig
+                break
+            sig = new_sig
+        temp_loops += 1
+        if t_cur == 0.0 or temp_loops >= max_temp_loops:
+            break
+        t_cur *= alpha
+        if t_cur < t_min:
+            t_cur = 0.0
+    return DamdsResult(points=x, stress=sig, temp_loops=temp_loops, stress_iters=total_stress_iters)
+
+
+def quantize_distances(dist: np.ndarray) -> tuple[np.ndarray, float]:
+    """Normalize to [0,1] by max and quantize to int16 (F12 encode).
+
+    Returns (int16 matrix, scale) with scale = original max.
+    """
+    mx = float(dist.max())
+    q = np.round(dist / mx * 32767.0).astype(np.int16) if mx > 0 else dist.astype(np.int16)
+    return q, mx

@@ -1,0 +1,229 @@
+"""Registry queries exercising the iterative algorithms against testdata.
+
+SQL-checkable pieces (one Lloyd assignment step, the centroid-update
+aggregation, MDS stress for a fixed layout) get DuckDB oracles; the full
+iterative loops (k-means, DA-MDS) are registered rows-only and verified
+against numpy oracles in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mm_spark.algos import damds as damds_mod
+from flink_mm_spark.algos.kmeans import kmeans
+from flink_mm_spark.registry import register
+from flink_mm_spark.sources.tables import table
+
+K = 8
+
+# Shared CTE: embeddings as float64 points, first K vectors as centroids,
+# squared euclidean distance rounded to 6 decimals for a cross-engine-stable
+# argmin (both engines compute the same double up to last-ulp; rounding
+# removes the wobble before comparison).
+_ASSIGN_CTE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_sum(list_transform(range(1, len(e.emb) + 1),
+                    i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))), 6) AS d2
+      FROM e, c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM scored
+    )
+"""
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of the _ASSIGN_CTE: nearest of the first K embeddings."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    c = (
+        e.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    scored = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+@register(
+    "kmeans_assign",
+    oracle=_ASSIGN_CTE
+    + """
+    SELECT cid AS cluster_id, COUNT(*) AS n_points
+    FROM assigned WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step (SURVEY F3 argmin-Euclidean) as SQL-checkable
+    cluster counts; centroids = first K embedding vectors."""
+    return (
+        _assigned(spark, sf_dir)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "kmeans_centroid_update",
+    oracle=_ASSIGN_CTE
+    + """
+    , upd AS (
+      SELECT a.cid, i - 1 AS dim, e.emb[i] AS v
+      FROM assigned a JOIN e ON a.vec_id = e.vec_id,
+           (SELECT unnest(range(1, 5)) AS i) idx
+      WHERE a.rn = 1
+    )
+    SELECT cid AS cluster_id, dim,
+           CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_v,
+           COUNT(*) AS n
+    FROM upd GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid-update aggregation (SURVEY A1/A2: per-cluster mean) as a
+    relational query over the first 4 dims — decimal-exact means."""
+    assigned = _assigned(spark, sf_dir).select("vec_id", "cid")
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).filter(F.col("dim") < 4)
+    return (
+        assigned.join(e, "vec_id")
+        .groupBy(F.col("cid").alias("cluster_id"), "dim")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+@register("kmeans_full", oracle=None)  # iterative → rows-only check
+def kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means, 5 Lloyd passes, k=8, init = first 8 vectors
+    (SURVEY I1/I4/A2/F3). Returns final centroids as (cluster_id, dim, value)
+    rows; verified against a numpy oracle in tests/test_kmeans.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features"), "vec_id"
+    )
+    init = np.array(
+        [r["features"] for r in e.filter(F.col("vec_id") < K).orderBy("vec_id").collect()]
+    )
+    final = kmeans(e, init, n_iters=5)
+    rows = [
+        (int(c), int(d), float(np.round(final[c, d], 6)))
+        for c in range(final.shape[0])
+        for d in range(final.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, dim int, value double")
+
+
+@register(
+    "mds_stress",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 100
+    ),
+    terms AS (
+      SELECT a.vec_id AS i, b.vec_id AS j, idx.k,
+             CAST((a.emb[idx.k] - b.emb[idx.k]) * (a.emb[idx.k] - b.emb[idx.k])
+                  AS DECIMAL(28,12)) AS t
+      FROM e a JOIN e b ON a.vec_id < b.vec_id,
+           (SELECT unnest(range(1, 65)) AS k) idx
+    ),
+    pairs AS (
+      SELECT i, j,
+             CAST(SUM(t) AS DOUBLE) AS dsq_hi,
+             CAST(SUM(CASE WHEN k <= 3 THEN t END) AS DOUBLE) AS dsq_lo
+      FROM terms GROUP BY i, j
+    )
+    SELECT CAST(SUM(CAST((dsq_hi - dsq_lo) * (dsq_hi - dsq_lo) AS DECIMAL(30,8))) AS DOUBLE)
+             / CAST(SUM(CAST(dsq_hi * dsq_hi AS DECIMAL(30,8))) AS DOUBLE) AS stress
+    FROM pairs
+    """,
+)
+def mds_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-distance MDS stress (SSTRESS) for a fixed layout, relationally.
+
+    Target dissimilarities δ² = squared 64-d euclidean distance; candidate
+    layout = first 3 coordinates. σ = Σ(δ²−d²)²/Σ(δ²)² with unit weights —
+    the blockwise stress pass of damds/Stress.java:45-93 expressed as a
+    pair self-join. Every sum (the per-dimension distance contraction AND
+    the pair aggregation) runs through exact decimals, so the result is
+    bit-identical to the oracle at any parallelism — sqrt-based stress is
+    not exactly aggregatable, which is why the SQL-checked variant uses the
+    squared form (the √ kernel is verified against numpy in tests).
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("k0", "v")
+    )
+    a = e.select(F.col("vec_id").alias("i"), F.col("k0").alias("ka"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("k0").alias("kb"), F.col("v").alias("vb"))
+    term = ((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).cast("decimal(28,12)")
+    pairs = (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("i") < F.col("j")))
+        .select("i", "j", F.col("ka").alias("k"), term.alias("t"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum("t").cast("double").alias("dsq_hi"),
+            F.sum(F.when(F.col("k") <= 2, F.col("t"))).cast("double").alias("dsq_lo"),
+        )
+    )
+    num = F.sum(((F.col("dsq_hi") - F.col("dsq_lo")) * (F.col("dsq_hi") - F.col("dsq_lo"))).cast("decimal(30,8)")).cast("double")
+    den = F.sum((F.col("dsq_hi") * F.col("dsq_hi")).cast("decimal(30,8)")).cast("double")
+    return pairs.agg((num / den).alias("stress"))
+
+
+@register("damds_embed", oracle=None)  # iterative linear algebra → rows-only
+def damds_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DA-MDS anneal embedding the first 120 embedding vectors into 3-D
+    (SURVEY §3.1 lifecycle: stats → temperature schedule → per-temp SMACOF
+    with CG inner solves). Deterministic (seeded init, fixed iteration caps);
+    verified against a numpy oracle in tests/test_damds.py."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    pts = np.array([r["emb"] for r in rows])
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    dist = np.sqrt(np.maximum(d2, 0.0))
+    q, _scale = damds_mod.quantize_distances(dist)
+    blocks = damds_mod.damds_blocks(spark, q, n_blocks=8)
+    try:
+        res = damds_mod.damds(
+            blocks, n_points=len(pts), max_temp_loops=2, max_stress_loops=4, cg_iters=8
+        )
+    finally:
+        blocks.unpersist()
+    out = [
+        (int(i), float(np.round(res.points[i, 0], 5)), float(np.round(res.points[i, 1], 5)),
+         float(np.round(res.points[i, 2], 5)))
+        for i in range(len(pts))
+    ]
+    return spark.createDataFrame(out, "point_id int, x double, y double, z double")

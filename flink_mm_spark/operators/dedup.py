@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four families, each designed so the join that discovers duplicates shuffles
+on a *short key* (hash / shingle / band signature) instead of cross-joining
+documents — the only shape that survives 100 TB:
+
+- exact:      md5 fingerprint of normalized text, groupBy fingerprint.
+- n-gram Jaccard: inverted index on shingles, self-equi-join on shingle,
+  count-based Jaccard — O(postings²/shingle) not O(docs²).
+- MinHash+LSH: 64-perm MinHash signatures (deterministic universal hashing
+  over an md5 base hash), banded into 16 buckets, candidates joined on
+  (band, band-signature).
+- SimHash:    64-bit weighted-sign fingerprint, near-dup via band join.
+
+All randomness is seed-fixed so results are deterministic run-to-run (the
+driver's rows-only checks stay stable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_mm_spark.registry import register
+from flink_mm_spark.sources.tables import table
+
+# --- shared text → tokens/shingles expressions (Column-level, JVM-side) ----
+
+
+def norm_text(col: str = "text") -> Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def tokens_expr(col: str = "text") -> Column:
+    return F.split(norm_text(col), r"\s+")
+
+
+def shingles_expr(k: int, col: str = "text") -> Column:
+    """Distinct k-word shingles as an array<string> (JVM higher-order fns)."""
+    toks = tokens_expr(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _duckdb_shingles(k: int) -> str:
+    """DuckDB expression mirroring shingles_expr (1-indexed lists)."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {k - 2}, 1)), i -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groups; keep the lowest doc_id.
+
+    At scale this is one hash-shuffle on a 32-byte key with partial
+    aggregation; no document text crosses the wire after the map side.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(norm_text().cast("binary")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(toks) AS sh FROM toks
+    ),
+    posting AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("jaccard_token_pairs", oracle=_JACCARD_ORACLE)
+def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity pairs ≥ 0.7 via inverted index.
+
+    Explode distinct tokens → self-join on token → count common → Jaccard
+    from set sizes. The join key is a single token, so the shuffle is
+    |postings|, not |docs|²; hot tokens (stopwords) are the skew risk at
+    scale — mitigated by AQE skew-join or a document-frequency cutoff.
+    """
+    d = table(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(tokens_expr()).alias("sh"))
+    posting = sets.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate, scale path)
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_MH_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _base_hash64(s: str) -> int:
+    """Stable 61-bit base hash of a shingle (md5-derived, seed-free)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % _MERSENNE
+
+
+def _minhash_signature(shingles: list[str]) -> np.ndarray:
+    if not shingles:
+        return np.full(N_PERM, _MERSENNE, dtype=np.int64)
+    base = np.array([_base_hash64(s) for s in shingles], dtype=np.object_)
+    # (a*x + b) mod p per permutation, min over shingles; object dtype avoids
+    # int64 overflow in the product (exact Python ints, still vectorized-ish)
+    sig = np.empty(N_PERM, dtype=np.int64)
+    for i in range(N_PERM):
+        sig[i] = int(((int(_MH_A[i]) * base + int(_MH_B[i])) % _MERSENNE).min())
+    return sig
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """doc_id → MinHash signature (array<long>, N_PERM entries)."""
+    d = table(spark, sf_dir, "documents")
+    sets = d.select("doc_id", shingles_expr(k).alias("sh"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        return sh.apply(lambda s: _minhash_signature(list(s)).tolist())
+
+    return sets.select("doc_id", sig_udf("sh").alias("sig"))
+
+
+@register("minhash_lsh_pairs", oracle=None)  # approximate → rows-only check
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.35.
+
+    Signatures band into N_BANDS buckets; candidates are discovered by an
+    equi-join on (band_id, band_signature) — the only join, keyed on a short
+    hash, so at 100 TB the shuffle is proportional to collisions, never to
+    |docs|². Estimated Jaccard = fraction of matching signature slots.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.concat_ws(
+                    "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double")
+        / F.lit(float(N_PERM))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.35)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (near-dup fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(tokens: list[str]) -> int:
+    """63-bit SimHash: sum of md5-derived ±1 bit vectors over tokens."""
+    if not tokens:
+        return 0
+    acc = np.zeros(63, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") >> 1
+        bits = (h >> np.arange(63)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(63):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+@register("simhash_fingerprints", oracle=None)  # python-hash based → rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 63-bit SimHash fingerprint (deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(tokens_expr()).alias("toks"))
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(t: pd.Series) -> pd.Series:
+        return t.apply(lambda x: _simhash64(list(x)))
+
+    return toks.select("doc_id", sim_udf("toks").alias("simhash")).orderBy("doc_id")

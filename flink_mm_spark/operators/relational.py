@@ -1,0 +1,565 @@
+"""Relational operator surface (SURVEY.md §2.1–§2.5).
+
+The reference's relational repertoire (scans S1–S12, transforms P1–P4, joins
+J1–J3, aggregations A1–A7) plus the standard relational operators it lacks
+(windows, sorts/top-k, set ops, rollup, semi/anti joins) expressed directly
+on DataFrames so Catalyst plans them: predicate pushdown and column pruning
+reach the parquet scan, small dims broadcast, aggregation is partial+final
+automatically (the reference hand-writes this as combineGroup at
+kmeans/KMeansBlock.java:46-70).
+
+Float determinism: every SUM over doubles first casts the addend to
+DECIMAL(18,6). Decimal aggregation is exact and order-independent, so Spark
+and the DuckDB oracle produce bit-identical results regardless of partition
+or shuffle order; the final cast back to DOUBLE is deterministic. Scale 6
+matters: the money columns are 2-decimal values, so 3-factor products carry
+up to 6 decimals — rounding those to 4 decimals lands exactly on .5 ties
+where Spark (HALF_UP) and DuckDB (half-even) disagree; at scale 6 the cast
+is exact and there is no tie to round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mm_spark.registry import register
+from flink_mm_spark.sources.tables import table
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1/A2 keyed agg with automatic partial+final; A4 global sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped multi-aggregate over lineitem.
+
+    Exercises scan → pushed filter → hash agg (partial+final, the Catalyst
+    built-in for the reference's explicit combineGroup pattern, SURVEY A2).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "global_stats",
+    oracle="""
+    SELECT
+      COUNT(value) AS cnt,
+      CAST(MIN(value) AS DOUBLE) AS min_v,
+      CAST(MAX(value) AS DOUBLE) AS max_v,
+      CAST(MIN(CASE WHEN value > 0 THEN value END) AS DOUBLE) AS positive_min,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+      CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sum_sq
+    FROM events
+    """,
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoubleStatistics global aggregate (SURVEY A3/F-stats).
+
+    The reference computes count/min/max/positiveMin/sum/sumOfSquare with a
+    custom accumulator flatMapped over matrix blocks (damds/Statistics.java:
+    11-47); here it is one whole-stage-codegen aggregate over the scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.agg(
+        F.count(v).alias("cnt"),
+        F.min(v).cast("double").alias("min_v"),
+        F.max(v).cast("double").alias("max_v"),
+        F.min(F.when(v > 0, v)).cast("double").alias("positive_min"),
+        dsum(v).alias("sum_v"),
+        F.sum((v * v).cast("decimal(24,8)")).cast("double").alias("sum_sq"),
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with grouping id (beyond-reference agg surface)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "orders_by_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS order_count,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple grouped count+sum with a pushed-down timestamp filter."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1 equi-join, J2 broadcast join, plus semi/anti beyond reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + top-k (SURVEY J1 + A1 + top-k).
+
+    customer is far smaller than lineitem at every scale factor, so it is
+    broadcast; the orders⋈lineitem join shuffles on orderkey, which AQE can
+    skew-split at scale. Revenue summed as decimal for a deterministic
+    top-10 cutoff; l_orderkey tie-break makes ordering total.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING"))
+        .join(o.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join (SURVEY J1/J2).
+
+    region/nation/supplier/customer are all broadcast-joined against the
+    lineitem⋈orders fact spine — the Spark analogue of the reference's
+    withBroadcastSet replicated joins (mm/MatrixMultiply.java:113).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (beyond-reference join surface; SURVEY §2.3 'absent' row)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "suppliers_with_large_lineitems",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_with_large_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (beyond-reference join surface)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        s.join(
+            li.filter(F.col("l_quantity") > 45),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sorts/top-k, set ops, distinct (SURVEY §2.5 — absent in reference,
+# provided by Catalyst built-ins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal, rnk
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ) AS INTEGER) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    ORDER BY c_nationkey, rnk
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-group top-3 by account balance."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rnk")
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+@register(
+    "running_order_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window (cumulative frame) over each customer's orders."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 50)
+        .withColumn("running_total", F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "distinct_part_types",
+    oracle="""
+    SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type
+    """,
+)
+def distinct_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (shuffle dedup on the grouping key)."""
+    p = table(spark, sf_dir, "part")
+    return p.select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+    SELECT n_nationkey, 'both' AS src FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS src FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    ORDER BY src, n_nationkey
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL set operations."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("src", F.lit("customer_only"))
+    return both.unionAll(cust_only).orderBy("src", "n_nationkey")
+
+
+@register(
+    "top_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-record transforms (P1–P4) and quantization (F12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clamp_small_values",
+    oracle="""
+    WITH pmin AS (
+      SELECT CAST(MIN(CASE WHEN value > 0 THEN value END) * 4096 AS DOUBLE) AS p
+      FROM events
+    )
+    SELECT event_id,
+           CAST(CASE WHEN value >= 0 AND value < p THEN p ELSE value END AS DOUBLE)
+             AS clamped
+    FROM events, pmin
+    ORDER BY event_id
+    """,
+)
+def clamp_small_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 clamp: values in [0, positiveMin) → positiveMin.
+
+    Mirrors the reference's changeZeroDistancesToPostiveMin
+    (damds/Distances.java:162-171) as a scalar-subquery + CASE transform;
+    the threshold is scaled up so the clamp actually fires on this data.
+    """
+    ev = table(spark, sf_dir, "events")
+    pmin = ev.agg(
+        (F.min(F.when(F.col("value") > 0, F.col("value"))) * 4096).cast("double").alias("p")
+    )
+    return (
+        ev.crossJoin(F.broadcast(pmin))
+        .withColumn(
+            "clamped",
+            F.when(
+                (F.col("value") >= 0) & (F.col("value") < F.col("p")), F.col("p")
+            ).otherwise(F.col("value")).cast("double"),
+        )
+        .select("event_id", "clamped")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "quantize_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_discount * 32767) AS SMALLINT) AS q,
+           CAST(CAST(FLOOR(l_discount * 32767) AS SMALLINT) * (1.0 / 32767.0) AS DOUBLE)
+             AS dequantized
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 int16 quantization: encode v*32767 to SMALLINT, decode by 1/32767.
+
+    The reference stores distance/weight matrices quantized to int16
+    (damds/DAMDSUtils.java:8-9, damds/Distances.java:166-168); FLOOR rather
+    than banker's/half-up ROUND keeps both engines bit-identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_discount") * 32767).cast("smallint")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            q.alias("q"),
+            (q * (1.0 / 32767.0)).cast("double").alias("dequantized"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series / events (pre-streaming batch semantics; streaming variants in
+# flink_mm_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table.
+
+    Same F.window plan works under Structured Streaming with a watermark
+    (see streaming module); epoch-aligned hourly tumbling ≡ date_trunc.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (string/JSON functions)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum(k.cast("bigint")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

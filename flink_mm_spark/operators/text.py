@@ -1,0 +1,222 @@
+"""Text analysis operators for training-data pipelines.
+
+Quality scoring, token counting, language-ID heuristics and document
+fingerprinting — all as JVM-side column expressions (regex/array built-ins),
+no Python in the hot path, so they run at scan speed on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mm_spark.operators.dedup import norm_text, tokens_expr
+from flink_mm_spark.registry import register
+from flink_mm_spark.sources.tables import table
+
+# Tiny per-language stopword lists for the heuristic language ID. Chosen
+# deterministic + ASCII so Spark and DuckDB tokenize identically.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+}
+
+# "BPE-ish" token regex: letter runs, digit runs, single punctuation marks —
+# same semantics under Java regex (Spark) and RE2 (DuckDB).
+WORD_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{WORD_REGEX}')) AS INTEGER) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts and char length per document."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).cast("int").alias("n_re_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_columns() -> dict[str, Column]:
+    """Per-document quality metrics as reusable Column expressions."""
+    toks = tokens_expr()
+    n_toks = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return {
+        "n_tokens": n_toks.cast("int"),
+        "n_chars": F.length("text").cast("bigint"),
+        "avg_token_len": (
+            (F.length(norm_text()) - (n_toks - 1)).cast("double") / n_toks
+        ),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).cast("double")
+            / n_toks
+        ),
+        "digit_ratio": (
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+            / F.length("text")
+        ),
+    }
+
+
+@register(
+    "text_quality_by_lang",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             length(text) AS n_chars,
+             lower(trim(text)) AS nt,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang,
+             len(toks) AS n_tokens,
+             n_chars,
+             CAST(length(nt) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+             CAST(len(list_filter(toks, t -> list_contains({_sql_list(STOPWORDS["en"])}, t))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+             CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio
+      FROM m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(avg_token_len AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_token_len,
+           CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_stopword_ratio
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score metrics aggregated per language tag.
+
+    Per-doc metrics computed at scan (codegen), aggregated with the usual
+    decimal-exact sums so the result hash-matches at any parallelism.
+    """
+    d = table(spark, sf_dir, "documents")
+    q = quality_columns()
+    per_doc = d.select(
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            (F.sum(F.col("avg_token_len").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+             ).alias("mean_token_len"),
+            (F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+             ).alias("mean_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_case_sql() -> str:
+    scores = []
+    for lang, words in STOPWORDS.items():
+        scores.append(
+            f"len(list_filter(toks, t -> list_contains({_sql_list(words)}, t))) AS s_{lang}"
+        )
+    return ", ".join(scores)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, lang, {_lang_case_sql()} FROM t
+    )
+    SELECT doc_id, lang AS tagged_lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic argmax with fixed tie order)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens_expr()
+
+    def score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: F.filter inspects arity, a default-arg lambda
+        # would be passed (element, index) and break
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: score(words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]) & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]) & (scores["es"] > 0), "es")
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
+        .when(scores["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("tagged_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+           substr(md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), '\\s+'))), ' ')), 1, 16) AS bag_fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + order-insensitive bag-of-words fingerprints per document."""
+    d = table(spark, sf_dir, "documents")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr())))
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(norm_text().cast("binary")), 1, 16).alias("fingerprint"),
+        F.substring(F.md5(bag.cast("binary")), 1, 16).alias("bag_fingerprint"),
+    ).orderBy("doc_id")

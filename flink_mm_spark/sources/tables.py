@@ -1,0 +1,64 @@
+"""Parquet table sources for the driver-generated test schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition-split sizing for free; at 100 TB these would be
+directories of many files and nothing here changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast when joined against
+# a fact table. At 100 TB, region/nation stay tiny and customer/supplier/part
+# grow but remain << lineitem/orders; Spark's auto-broadcast threshold plus
+# AQE handles the cutover, and we add explicit hints where it always holds.
+DIM_TABLES = {"region", "nation"}
+
+# The driver's parquet stores TIMESTAMP(NANOS) which Spark does not read
+# natively; with spark.sql.legacy.parquet.nanosAsLong those columns arrive
+# as BIGINT nanoseconds and are converted here (integer div — a double
+# division would lose precision on epoch-nanos magnitudes).
+TS_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries run."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
