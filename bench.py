@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Mirrors SURVEY §7.1 M6 / BASELINE.md
+"operative baseline": the k-means loop (10 iters, d=2, k=100 on sf-derived
+points — the reference's benchmarked workload, kmeans/KMeansBlock.java),
+GEMM, and the relational/LLM-pipeline suite.
+
+DataFrame results are forced with the noop sink (full execution, no
+collect-to-driver cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flink_mm_spark import registry
+from flink_mm_spark.session import get_spark
+from flink_mm_spark.sources.tables import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Registry queries that represent each operator family at benchmark scale.
+HEADLINE = [
+    "pricing_summary",          # scan + hash agg
+    "shipping_priority",        # 3-way join + agg + top-k
+    "local_supplier_volume",    # 6-way star join
+    "top_customers_per_nation", # window
+    "events_hourly",            # time windows
+    "dedup_exact",              # hash dedup
+    "jaccard_token_pairs",      # inverted-index similarity join
+    "minhash_lsh_pairs",        # MinHash-LSH
+    "cosine_topk",              # embedding search
+    "matmul_cells",             # relational matmul
+    "gemm_broadcast_cells",     # pandas-UDF GEMM
+    "mds_stress",               # distributed stress kernel
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_kmeans(spark, sf_dir: str) -> None:
+    """The reference's benchmarked workload: k-means, d=2, k=100, 10 iters
+    (kmeans/KMeansBlock.java; BASELINE.md normalizes per point-centroid)."""
+    from flink_mm_spark.algos.kmeans import kmeans
+
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.array(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0).alias("features")
+    )
+    k = 100
+    init_rows = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(k)
+        .select("l_quantity", (F.col("l_extendedprice") / 1000.0).alias("p"))
+        .collect()
+    )
+    init = np.array([[r["l_quantity"], r["p"]] for r in init_rows])
+    kmeans(pts, init, n_iters=10)
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("flink-mm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session on a cheap query so the first timing isn't JIT
+    force(registry.QUERIES["top_orders_by_price"].fn(spark, SF_DIR))
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(registry.QUERIES[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_kmeans(spark, SF_DIR)
+    timings["kmeans_d2_k100_i10"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -97,20 +97,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents
     ),
     sets AS (
-      SELECT doc_id, list_distinct(toks) AS sh FROM toks
+      SELECT doc_id, source, list_distinct(toks) AS sh FROM toks
     ),
     posting AS (
-      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets
+      SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sets
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS n_common,
              any_value(a.n) AS n_a, any_value(b.n) AS n_b
-      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM posting a
+      JOIN posting b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common,
@@ -123,20 +124,31 @@ _JACCARD_ORACLE = """
 
 @register("jaccard_token_pairs", oracle=_JACCARD_ORACLE)
 def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity pairs ≥ 0.7 via inverted index.
+    """Exact token-set Jaccard pairs ≥ 0.7 within each source partition.
 
-    Explode distinct tokens → self-join on token → count common → Jaccard
-    from set sizes. The join key is a single token, so the shuffle is
-    |postings|, not |docs|²; hot tokens (stopwords) are the skew risk at
-    scale — mitigated by AQE skew-join or a document-frequency cutoff.
+    Explode distinct tokens → self-join on (source, token) → count common →
+    Jaccard from set sizes. The join key carries the blocking column
+    (source), which is what makes this bounded at 100 TB: near-dup output
+    over a self-similar corpus is inherently O(n²) *per block*, so the
+    block must be the unit that stays constant as the corpus grows (dedup
+    within crawl/snapshot/source — the standard pipeline shape). Hot tokens
+    within a block are the skew risk — AQE skew-join or a
+    document-frequency prefix filter handles them.
     """
     d = table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", F.array_distinct(tokens_expr()).alias("sh"))
-    posting = sets.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    sets = d.select("doc_id", "source", F.array_distinct(tokens_expr()).alias("sh"))
+    posting = sets.select(
+        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
     a = posting.alias("a")
     b = posting.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -164,37 +176,41 @@ N_PERM = 64
 N_BANDS = 16  # 16 bands x 4 rows -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
-_MH_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+# a < 2^30 and 32-bit base hashes keep a*x+b < 2^63: the whole signature
+# computation stays in vectorized int64 (no object-dtype bignum fallback)
+_MH_A = _rng.randint(1, 1 << 30, size=N_PERM).astype(np.int64)
 _MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 
+_base_cache: dict[str, int] = {}
 
-def _base_hash64(s: str) -> int:
-    """Stable 61-bit base hash of a shingle (md5-derived, seed-free)."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % _MERSENNE
+
+def _base_hash32(s: str) -> int:
+    """Stable 32-bit base hash of a shingle (md5-derived, seed-free)."""
+    h = _base_cache.get(s)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+        _base_cache[s] = h
+    return h
 
 
 def _minhash_signature(shingles: list[str]) -> np.ndarray:
     if not shingles:
         return np.full(N_PERM, _MERSENNE, dtype=np.int64)
-    base = np.array([_base_hash64(s) for s in shingles], dtype=np.object_)
-    # (a*x + b) mod p per permutation, min over shingles; object dtype avoids
-    # int64 overflow in the product (exact Python ints, still vectorized-ish)
-    sig = np.empty(N_PERM, dtype=np.int64)
-    for i in range(N_PERM):
-        sig[i] = int(((int(_MH_A[i]) * base + int(_MH_B[i])) % _MERSENNE).min())
-    return sig
+    base = np.fromiter((_base_hash32(s) for s in shingles), dtype=np.int64, count=len(shingles))
+    # (a*x + b) mod p per permutation, min over shingles — one (64, m) op
+    return ((_MH_A[:, None] * base[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """doc_id → MinHash signature (array<long>, N_PERM entries)."""
     d = table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", shingles_expr(k).alias("sh"))
+    sets = d.select("doc_id", "source", shingles_expr(k).alias("sh"))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(sh: pd.Series) -> pd.Series:
         return sh.apply(lambda s: _minhash_signature(list(s)).tolist())
 
-    return sets.select("doc_id", sig_udf("sh").alias("sig"))
+    return sets.select("doc_id", "source", sig_udf("sh").alias("sig"))
 
 
 @register("minhash_lsh_pairs", oracle=None)  # approximate → rows-only check
@@ -202,14 +218,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.35.
 
     Signatures band into N_BANDS buckets; candidates are discovered by an
-    equi-join on (band_id, band_signature) — the only join, keyed on a short
-    hash, so at 100 TB the shuffle is proportional to collisions, never to
-    |docs|². Estimated Jaccard = fraction of matching signature slots.
+    equi-join on (source, band_id, band_signature) — keyed on a short hash
+    plus the blocking column, so at 100 TB the shuffle is proportional to
+    within-block collisions, never to |docs|². Estimated Jaccard = fraction
+    of matching signature slots.
     """
     sigs = minhash_signatures(spark, sf_dir)
     rows_per_band = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",
+        "source",
         "sig",
         F.posexplode(
             F.transform(
@@ -227,6 +245,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
