@@ -1,0 +1,141 @@
+"""Structured Streaming surface over the events table (SURVEY §2.8).
+
+The reference declares flink-streaming but never uses it (pom.xml:81-84 —
+every job is batch); per the north star this engine exposes the events
+table through Structured Streaming with watermarks, tumbling/sliding/
+session windows, stateful dedup, and foreachBatch-driven iterative
+refinement (the streaming analogue of the reference's outer driver loop
+I3). Every aggregation here is also valid in batch mode — tests compare
+streaming availableNow output against the identical batch plan.
+
+At scale: the same code reads a file/Kafka source; state is bounded by the
+watermark (late events beyond it are dropped), and the shuffle per
+micro-batch is keyed on (window, event_type)/(user) exactly like the batch
+aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet TIMESTAMP(NANOS) arrives as BIGINT under nanosAsLong — the stream
+# schema must declare it that way, then convert (see sources/tables.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events parquet (a directory or one file's dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_aggregate(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based), count+duration per session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Exactly-once events by event_id within the watermark horizon.
+
+    State is bounded: an id older than the watermark can be evicted because
+    any duplicate arriving later would be dropped as late anyway.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+class IncrementalKMeans:
+    """foreachBatch-driven incremental k-means over a value stream.
+
+    The streaming analogue of the reference's outer driver loop (SURVEY I3):
+    state (centroids + counts) lives on the driver and every micro-batch
+    refines it — a mini-batch Lloyd update. Deterministic given batch order.
+    """
+
+    def __init__(self, init_centroids: np.ndarray):
+        self.centroids = np.asarray(init_centroids, dtype=np.float64).copy()
+        self.counts = np.zeros(len(self.centroids), dtype=np.int64)
+        self.batches = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("value").collect()
+        if not rows:
+            return
+        x = np.array([[r["value"]] for r in rows], dtype=np.float64)
+        c = self.centroids
+        d2 = (x - c.T[None, 0, :]) ** 2  # d=1: squared distance to each centroid
+        a = np.argmin(d2, axis=1)
+        for j in range(len(c)):
+            mask = a == j
+            m = int(mask.sum())
+            if m == 0:
+                continue
+            tot = self.counts[j] + m
+            self.centroids[j] = (c[j] * self.counts[j] + x[mask].sum(axis=0)) / tot
+            self.counts[j] = tot
+        self.batches += 1
+
+    def sink(self) -> Callable[[DataFrame, int], None]:
+        return self.update

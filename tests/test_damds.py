@@ -1,0 +1,153 @@
+"""DA-MDS kernels (stress/BofZ/V-array/CG) vs local numpy mirrors.
+
+The mirrors re-derive the SMACOF math independently (dense numpy over the
+dequantized matrices) — if a distributed kernel disagrees, the block
+partitioning or missing-value handling is wrong.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_mm_spark.algos import damds as D
+
+N = 60
+DIM = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(3)
+    pts = rng.standard_normal((N, 5))
+    dist = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    q, _ = D.quantize_distances(dist)
+    # knock out ~5% of off-diagonal pairs as missing (negative shorts),
+    # symmetric, mirroring the reference's negative-short convention
+    mask = rng.random((N, N)) < 0.05
+    mask = np.triu(mask, 1)
+    mask = mask | mask.T
+    q = q.copy()
+    q[mask] = -1
+    # weights: quantized 1.0 where present, 0 where missing
+    w = np.where(q >= 0, 32767, 0).astype(np.int16)
+    x = rng.uniform(-0.5, 0.5, (N, DIM))
+    return q, w, x
+
+
+@pytest.fixture(scope="module")
+def blocks(spark, problem):
+    q, w, _ = problem
+    df = D.damds_blocks(spark, q, w, n_blocks=5)
+    yield df
+    df.unpersist()
+
+
+def _dq(q):
+    return q.astype(np.float64) * D.INV_SHORT_MAX
+
+
+def _wm(q, w):
+    return np.where(q >= 0, w.astype(np.float64) * D.INV_SHORT_MAX, 0.0)
+
+
+def test_matrix_stats(blocks, problem):
+    q, _, _ = problem
+    v = _dq(q)[q >= 0]
+    s = D.matrix_stats(blocks)
+    assert s.count == v.size
+    assert s.min == v.min()
+    assert s.max == v.max()
+    assert s.positive_min == v[v > 0].min()
+    np.testing.assert_allclose(s.sum, v.sum(), rtol=1e-12)
+    np.testing.assert_allclose(s.sum_sq, (v * v).sum(), rtol=1e-12)
+
+
+def test_v_array(blocks, problem):
+    q, w, _ = problem
+    wm = _wm(q, w)
+    np.fill_diagonal(wm, 0.0)
+    expect = 1.0 + wm.sum(axis=1)
+    np.testing.assert_allclose(D.v_array(blocks), expect, rtol=1e-12)
+
+
+def _numpy_stress(q, w, x, t_cur):
+    dq, wm = _dq(q), _wm(q, w)
+    diff = np.sqrt(2.0 * DIM) * t_cur if t_cur > 1e-10 else 0.0
+    dx = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    heated = np.where(dq >= diff, dq - diff, 0.0)
+    tmp = heated - dx
+    return (wm * tmp * tmp * (q >= 0)).sum()
+
+
+@pytest.mark.parametrize("t_cur", [0.0, 0.05])
+def test_stress(blocks, problem, t_cur):
+    q, w, x = problem
+    sumsq = (_dq(q)[q >= 0] ** 2).sum()
+    got = D.stress(blocks, x, t_cur, 1.0 / sumsq)
+    want = _numpy_stress(q, w, x, t_cur) / sumsq
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def _numpy_bofz_bc(q, w, x, t_cur):
+    dq, wm = _dq(q), _wm(q, w)
+    diff = np.sqrt(2.0 * DIM) * t_cur if t_cur > 1e-10 else 0.0
+    dx = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    ok = (dx >= 1e-10) & (dq > diff) & (q >= 0)
+    b = np.where(ok, -wm * (dq - diff) / np.where(ok, dx, 1.0), 0.0)
+    np.fill_diagonal(b, 0.0)
+    np.fill_diagonal(b, -b.sum(axis=1))
+    return b @ x
+
+
+@pytest.mark.parametrize("t_cur", [0.0, 0.05])
+def test_bofz_bc(blocks, problem, t_cur):
+    q, w, x = problem
+    got = D.bofz_bc(blocks, x, t_cur)
+    want = _numpy_bofz_bc(q, w, x, t_cur)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def _numpy_v(q, w):
+    wm = _wm(q, w)
+    np.fill_diagonal(wm, 0.0)
+    v_mat = -wm
+    np.fill_diagonal(v_mat, 1.0 + wm.sum(axis=1))
+    return v_mat
+
+
+def test_v_multiply(blocks, problem):
+    q, w, x = problem
+    v = D.v_array(blocks)
+    got = D.v_multiply(blocks, v, x)
+    want = _numpy_v(q, w) @ x
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_cg_solves_system(blocks, problem):
+    q, w, x = problem
+    v = D.v_array(blocks)
+    target = _numpy_bofz_bc(q, w, x, 0.05)
+    # V = I + Laplacian of a near-complete graph -> condition ~ N, so CG
+    # needs O(sqrt(N) * digits) iterations; 100 is ample for N=60
+    sol, iters = D.cg_solve(blocks, v, target, x, cg_iters=100, cg_threshold=1e-16)
+    v_mat = _numpy_v(q, w)
+    np.testing.assert_allclose(v_mat @ sol, target, rtol=1e-4, atol=1e-6)
+    assert 0 < iters <= 100
+
+
+@pytest.mark.slow
+def test_damds_full_deterministic_and_converges(spark, problem):
+    q, w, _ = problem
+    blocks = D.damds_blocks(spark, q, w, n_blocks=5)
+    try:
+        r1 = D.damds(blocks, N, max_temp_loops=2, max_stress_loops=3, cg_iters=6)
+        r2 = D.damds(blocks, N, max_temp_loops=2, max_stress_loops=3, cg_iters=6)
+        np.testing.assert_array_equal(r1.points, r2.points)  # deterministic
+        # stress at the solution is far below the random-layout stress
+        stats = D.matrix_stats(blocks)
+        rng_stress = D.stress(blocks, np.random.RandomState(0).uniform(-0.5, 0.5, (N, DIM)),
+                              0.0, 1.0 / stats.sum_sq)
+        assert r1.stress < rng_stress * 0.8
+    finally:
+        blocks.unpersist()

@@ -1,0 +1,45 @@
+"""Distributed k-means vs the numpy oracle (identical semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_mm_spark.algos.kmeans import assign_clusters, kmeans, kmeans_numpy_oracle
+
+
+def _points_df(spark, data):
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)], "id long, features array<double>"
+    )
+
+
+def test_kmeans_matches_numpy_oracle(spark):
+    rng = np.random.RandomState(5)
+    data = np.vstack(
+        [rng.standard_normal((80, 4)) + c * 5.0 for c in range(3)]
+    )
+    init = data[:3].copy()
+    got = kmeans(_points_df(spark, data), init, n_iters=6)
+    want = kmeans_numpy_oracle(data, init, n_iters=6)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_assign_clusters(spark):
+    rng = np.random.RandomState(6)
+    data = rng.standard_normal((50, 3))
+    cents = data[:4].copy()
+    rows = assign_clusters(_points_df(spark, data), cents).orderBy("id").collect()
+    d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = np.argmin(d2, axis=1)
+    got = np.array([r["cluster"] for r in rows])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_empty_cluster_stays_zero(spark):
+    """Reference I4: a cluster that captures no points re-emits as zeros
+    (kmeans/KMeansOriginal.java:119-142)."""
+    data = np.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]])
+    init = np.array([[0.5, 0.5], [100.0, 100.0]])  # second centroid captures nothing
+    got = kmeans(_points_df(spark, data), init, n_iters=1)
+    np.testing.assert_allclose(got[0], data.mean(axis=0))
+    np.testing.assert_array_equal(got[1], [0.0, 0.0])

@@ -1,0 +1,152 @@
+"""Structured Streaming surface: streaming results == identical batch plans.
+
+Each test runs a streaming query with availableNow over the events parquet
+and compares against the same aggregation computed in batch mode — the
+Structured Streaming correctness invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_mm_spark.sources.tables import table
+from flink_mm_spark.streaming.events import (
+    IncrementalKMeans,
+    events_stream,
+    session_aggregate,
+    sliding_aggregate,
+    streaming_dedup,
+    tumbling_aggregate,
+)
+from tests.conftest import SF_DIR
+
+
+def _run_to_memory(stream_df, name: str, tmpdir, output_mode="append") -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmpdir / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+@pytest.fixture()
+def batch_events(spark):
+    return table(spark, SF_DIR, "events")
+
+
+def _watermark_cutoff(batch_events, horizon_hours=2):
+    """Append mode only emits windows the final watermark passed: windows
+    ending after max(ts) - horizon stay buffered when the stream ends."""
+    import datetime
+
+    mx = batch_events.agg({"ts": "max"}).collect()[0][0]
+    return mx - datetime.timedelta(hours=horizon_hours)
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events, tmp_path):
+    import datetime
+
+    stream = events_stream(spark, SF_DIR)
+    _run_to_memory(tumbling_aggregate(stream), "tumbling_t", tmp_path)
+    got = _rows(spark, "tumbling_t")
+    cutoff = _watermark_cutoff(batch_events)
+    want = {
+        tuple(r)
+        for r in tumbling_aggregate(batch_events).collect()
+        if r["window_start"] + datetime.timedelta(hours=1) <= cutoff
+    }
+    assert want <= got  # every emittable window emitted, with equal values
+    extra = got - want  # only tail-horizon windows may additionally appear
+    assert all(r[0] + datetime.timedelta(hours=1) > cutoff for r in extra)
+    assert len(want) > 100
+
+
+def test_sliding_stream_equals_batch(spark, batch_events, tmp_path):
+    import datetime
+
+    stream = events_stream(spark, SF_DIR)
+    _run_to_memory(sliding_aggregate(stream), "sliding_t", tmp_path)
+    got = _rows(spark, "sliding_t")
+    cutoff = _watermark_cutoff(batch_events)
+    want = {
+        tuple(r)
+        for r in sliding_aggregate(batch_events).collect()
+        if r["window_start"] + datetime.timedelta(hours=1) <= cutoff
+    }
+    assert want <= got
+    assert len(want) > 100
+
+
+def test_session_stream_equals_batch(spark, batch_events, tmp_path):
+    stream = events_stream(spark, SF_DIR)
+    _run_to_memory(session_aggregate(stream), "session_t", tmp_path)
+    got = _rows(spark, "session_t")
+    cutoff = _watermark_cutoff(batch_events)
+    want = {
+        tuple(r)
+        for r in session_aggregate(batch_events).collect()
+        if r["session_end"] <= cutoff
+    }
+    assert want <= got
+    extra = got - want
+    assert all(r[1] > cutoff for r in extra)
+    assert len(want) > 50
+
+
+def test_streaming_dedup(spark, batch_events, tmp_path):
+    """Duplicate the source (two copies of the file) → dedup returns one of
+    each event_id."""
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/events.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", dup_dir / "b.parquet")
+    stream = events_stream(spark, str(dup_dir))
+    _run_to_memory(streaming_dedup(stream), "dedup_t", tmp_path)
+    got = spark.sql("SELECT event_id FROM dedup_t").collect()
+    assert len(got) == batch_events.count()
+    assert len({r["event_id"] for r in got}) == len(got)
+
+
+def test_incremental_kmeans_foreachbatch(spark, batch_events, tmp_path):
+    """Multi-micro-batch foreachBatch refinement: split events into 4 files,
+    stream with maxFilesPerTrigger=1, and check the incremental centroids
+    converge near the batch per-cluster means."""
+    split_dir = tmp_path / "split"
+    (
+        batch_events.repartition(4)
+        .withColumn("ts", F_unix_nanos())
+        .write.mode("overwrite")
+        .parquet(str(split_dir))
+    )
+    model = IncrementalKMeans(np.array([[10.0], [50.0], [90.0]]))
+    stream = events_stream(spark, str(split_dir), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(model.sink())
+        .option("checkpointLocation", str(tmp_path / "ikm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert model.batches >= 2  # actually processed multiple micro-batches
+    assert model.counts.sum() == batch_events.count()
+    # centroids ordered and within the value range
+    vals = [r["value"] for r in batch_events.select("value").collect()]
+    assert min(vals) <= model.centroids.min() <= model.centroids.max() <= max(vals)
+
+
+def F_unix_nanos():
+    """events_stream expects BIGINT nanos (parquet NANOS convention)."""
+    from pyspark.sql import functions as F
+
+    return (F.unix_micros("ts") * 1000).cast("long")
