@@ -31,7 +31,9 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("block_rows", T.IntegerType(), False),
         T.StructField("matrix_rows", T.LongType(), False),
         T.StructField("matrix_cols", T.IntegerType(), False),
-        T.StructField("data", T.ArrayType(T.DoubleType(), False), False),
+        # containsNull: missing cells (negative quantized shorts) are NULL,
+        # the §1.3 mapping; Arrow also folds NaN→null on the pandas boundary.
+        T.StructField("data", T.ArrayType(T.DoubleType(), True), False),
     ]
 )
 

@@ -301,3 +301,58 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.apply(lambda x: _simhash64(list(x)))
 
     return toks.select("doc_id", sim_udf("toks").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id,
+             emb,
+             sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+            list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+            / (a.nrm * b.nrm), 6) >= 0.4
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), exact.
+
+    The pair generation is a range self-join on vec_id with the cosine as a
+    codegen'd array fold — exact and oracle-checkable. This is the
+    *verification* tier of near-dup detection; at 100 TB the candidate set
+    comes from the LSH buckets (``ann_lsh_topk``/``minhash_lsh_pairs``) and
+    this exact scorer runs only on bucket-mates, so the quadratic term is
+    bounded per bucket, never corpus-wide.
+    """
+    from flink_mm_spark.operators.similarity import cosine_expr, embeddings64
+
+    e = embeddings64(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+    )

@@ -48,5 +48,6 @@ def load_all() -> None:
     import flink_mm_spark.operators.similarity  # noqa: F401
     import flink_mm_spark.operators.text  # noqa: F401
     import flink_mm_spark.operators.multimodal  # noqa: F401
+    import flink_mm_spark.sources.binary_matrix  # noqa: F401
     import flink_mm_spark.linalg.queries  # noqa: F401
     import flink_mm_spark.algos.queries  # noqa: F401
