@@ -79,6 +79,16 @@ def main() -> None:
     # warm the JVM/session on a cheap query so the first timing isn't JIT
     force(registry.QUERIES["top_orders_by_price"].fn(spark, SF_DIR))
 
+    # warm the Python UDF workers (one per core): the first pandas-UDF stage
+    # otherwise pays ~32 interpreter+numpy spawns inside whichever query it
+    # lands in. Steady-state throughput is what BASELINE's numbers measure.
+    def _noop(it):
+        for b in it:
+            yield b
+
+    ncpu = spark.sparkContext.defaultParallelism
+    force(spark.range(0, ncpu, 1, ncpu).mapInPandas(_noop, "id long"))
+
     for name in HEADLINE:
         t0 = time.perf_counter()
         force(registry.QUERIES[name].fn(spark, SF_DIR))

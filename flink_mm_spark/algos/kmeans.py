@@ -86,17 +86,23 @@ def _lloyd_step_columnar(cols_df: DataFrame, centroids: np.ndarray) -> np.ndarra
             }
         )
 
-    agg = (
-        cols_df.mapInPandas(partials, PARTIAL_SCHEMA)
-        .groupBy("cluster", "dim")
-        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
-        .collect()
-    )
+    partials_df = cols_df.mapInPandas(partials, PARTIAL_SCHEMA)
+    n_parts = cols_df.rdd.getNumPartitions()
+    if k * d * n_parts > 2_000_000:
+        # Large fan-in: pre-combine with one shuffle before the gather, the
+        # treeAggregate shape (bounds driver inflow to k·d rows).
+        partials_df = partials_df.groupBy("cluster", "dim").agg(
+            F.sum("s").alias("s"), F.sum("cnt").alias("cnt")
+        )
+    # Final combine on the driver — one Spark stage per pass; the partial
+    # rows are tiny (≤ k·d per partition) so the collect is the reference's
+    # A6 ordered gather, Arrow-accelerated.
+    pdf = partials_df.toPandas()
+    g = pdf.groupby(["cluster", "dim"], sort=False).agg(s=("s", "sum"), cnt=("cnt", "sum")).reset_index()
     new = np.zeros((k, d))  # vanished clusters stay zero (reference I4)
     counts = np.zeros(k, dtype=np.int64)
-    for r in agg:
-        new[r["cluster"], r["dim"]] = r["s"]
-        counts[r["cluster"]] = r["cnt"]
+    new[g["cluster"], g["dim"]] = g["s"]
+    counts[g["cluster"]] = g["cnt"]
     nz = counts > 0
     new[nz] /= counts[nz, None]
     return new
@@ -117,7 +123,15 @@ def kmeans(
     """Full k-means loop; returns final centroids as a (k, d) ndarray."""
     centroids = np.asarray(init_centroids, dtype=np.float64).copy()
     d = centroids.shape[1]
-    cols_df = _columnar(points, features_col, d).persist(StorageLevel.MEMORY_AND_DISK)
+    cols_df = _columnar(points, features_col, d)
+    # Parallelism floor: a handful of fat parquet splits would serialize the
+    # per-pass kernel (3 partitions on a 32-core box = 10% utilization).
+    # Half the cores is the local sweet spot (Arrow + python worker overlap);
+    # on a real cluster input partitioning already exceeds this and is kept.
+    floor = max(1, points.sparkSession.sparkContext.defaultParallelism // 2)
+    if cols_df.rdd.getNumPartitions() < floor:
+        cols_df = cols_df.repartition(floor)
+    cols_df = cols_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cols_df.count()  # materialize the cache before timing-sensitive loop
         for _ in range(n_iters):

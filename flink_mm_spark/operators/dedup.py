@@ -8,8 +8,8 @@ documents — the only shape that survives 100 TB:
 - n-gram Jaccard: inverted index on shingles, self-equi-join on shingle,
   count-based Jaccard — O(postings²/shingle) not O(docs²).
 - MinHash+LSH: 64-perm MinHash signatures (deterministic universal hashing
-  over an md5 base hash), banded into 16 buckets, candidates joined on
-  (band, band-signature).
+  over a JVM-side xxhash64 base hash), banded into 16 buckets, candidates
+  joined on (band, band-signature).
 - SimHash:    64-bit weighted-sign fingerprint, near-dup via band join.
 
 All randomness is seed-fixed so results are deterministic run-to-run (the
@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_mm_spark.registry import register
-from flink_mm_spark.sources.tables import table
+from flink_mm_spark.sources.tables import parallelize_scan, table
 
 # --- shared text → tokens/shingles expressions (Column-level, JVM-side) ----
 
@@ -135,7 +135,7 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a block are the skew risk — AQE skew-join or a
     document-frequency prefix filter handles them.
     """
-    d = table(spark, sf_dir, "documents")
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
     sets = d.select("doc_id", "source", F.array_distinct(tokens_expr()).alias("sh"))
     posting = sets.select(
         "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
@@ -181,36 +181,34 @@ _rng = np.random.RandomState(42)
 _MH_A = _rng.randint(1, 1 << 30, size=N_PERM).astype(np.int64)
 _MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 
-_base_cache: dict[str, int] = {}
-
-
-def _base_hash32(s: str) -> int:
-    """Stable 32-bit base hash of a shingle (md5-derived, seed-free)."""
-    h = _base_cache.get(s)
-    if h is None:
-        h = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
-        _base_cache[s] = h
-    return h
-
-
-def _minhash_signature(shingles: list[str]) -> np.ndarray:
-    if not shingles:
-        return np.full(N_PERM, _MERSENNE, dtype=np.int64)
-    base = np.fromiter((_base_hash32(s) for s in shingles), dtype=np.int64, count=len(shingles))
-    # (a*x + b) mod p per permutation, min over shingles — one (64, m) op
-    return ((_MH_A[:, None] * base[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
+_EMPTY_SIG = [int(_MERSENNE)] * N_PERM  # signature of a shingle-less doc
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """doc_id → MinHash signature (array<long>, N_PERM entries)."""
-    d = table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", "source", shingles_expr(k).alias("sh"))
+    """doc_id → MinHash signature (array<long>, N_PERM entries).
+
+    Two-stage split keeps each side on its fast path: the per-shingle base
+    hash runs JVM-side (``xxhash64`` inside whole-stage codegen — no Python
+    string traffic), and the 64-permutation min-hash is one vectorized
+    (N_PERM × m) int64 op per document in an Arrow batch.
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    hashes = F.transform(shingles_expr(k), lambda s: F.xxhash64(s))
+    base = d.select("doc_id", "source", hashes.alias("hs"))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(sh: pd.Series) -> pd.Series:
-        return sh.apply(lambda s: _minhash_signature(list(s)).tolist())
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if len(h) == 0:
+                out.append(_EMPTY_SIG)
+                continue
+            # fold to 32 bits so a·x + b stays inside int64 before the mod
+            x = (np.asarray(h, dtype=np.int64) & 0xFFFFFFFF)
+            out.append(((_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1).tolist())
+        return pd.Series(out)
 
-    return sets.select("doc_id", "source", sig_udf("sh").alias("sig"))
+    return base.select("doc_id", "source", sig_udf("hs").alias("sig"))
 
 
 @register("minhash_lsh_pairs", oracle=None)  # approximate → rows-only check
@@ -223,7 +221,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-block collisions, never to |docs|². Estimated Jaccard = fraction
     of matching signature slots.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    # Persist: the signature pipeline (shingle + hash + Python UDF) feeds
+    # BOTH sides of the self-join; without this Spark computes it twice.
+    sigs = minhash_signatures(spark, sf_dir).persist()
     rows_per_band = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",

@@ -62,3 +62,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` queries run."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise the partition count of a small-bytes scan feeding CPU-heavy work.
+
+    Parquet split sizing is byte-based (maxPartitionBytes), so a 600 KB
+    compressed text table arrives as ONE split even though shingling it
+    costs minutes of CPU — the classic small-input/expensive-map shape. A
+    cheap repartition spreads it across the cluster. No-ops whenever the
+    scan already has enough splits (any real 100 TB table will).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
