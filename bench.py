@@ -69,6 +69,35 @@ def bench_kmeans(spark, sf_dir: str) -> None:
     kmeans(pts, init, n_iters=10)
 
 
+def bench_collectives(spark, n_iters: int = 10, size: int = 1000, n_part: int = 32) -> None:
+    """Reduce / AllReduce latency (collectives/Reduce.java, AllReduce.java:
+    size=1000, itr=10 defaults from collectives/Program.java:13-26).
+
+    Reduce = per-partition partial vector sums → driver combine; AllReduce
+    adds the broadcast of the result back to the executors each round.
+    """
+    import pandas as pd
+
+    sc = spark.sparkContext
+    base = spark.range(0, n_part, 1, n_part)
+
+    def partials(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"v": [np.ones(size).tolist()] * len(pdf)})
+
+    vecs = base.mapInPandas(partials, "v array<double>")
+    vecs = vecs.persist()
+    vecs.count()
+    cur = np.zeros(size)
+    for _ in range(n_iters):
+        rows = vecs.toPandas()
+        reduced = np.sum(np.vstack(rows["v"].to_numpy()), axis=0)  # Reduce
+        bc = sc.broadcast(reduced + cur)  # AllReduce: result back to workers
+        cur = bc.value * 0.0
+        bc.destroy()
+    vecs.unpersist()
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("flink-mm-spark-bench")
@@ -97,6 +126,10 @@ def main() -> None:
     t0 = time.perf_counter()
     bench_kmeans(spark, SF_DIR)
     timings["kmeans_d2_k100_i10"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_collectives(spark)
+    timings["collectives_allreduce_i10"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -563,3 +563,90 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(k.cast("bigint")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    shuffle (SURVEY §2.4 'absent in reference → free via Catalyst')."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based within group).
+
+    Uses Spark's exact ``percentile`` (not percentile_approx) so the result
+    hash-matches quantile_cont. At 100 TB the approx sketch is the right
+    default; exact stays available for audit queries like this one.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY month), 6) AS delta
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + month-over-month delta via lag window (date/scalar
+    function surface + ordered window, SURVEY §2.5/§2.6 extensions)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return (
+        m.withColumn("delta", F.round(F.col("revenue") - F.lag("revenue").over(w), 6))
+        .orderBy("month")
+    )

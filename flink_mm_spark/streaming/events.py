@@ -106,6 +106,52 @@ def streaming_dedup(events: DataFrame, watermark: str = "24 hours") -> DataFrame
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max) via
+    ``applyInPandasWithState`` (SURVEY §2.9 — the Spark analogue of a Flink
+    keyed RichFunction with managed state).
+
+    State is one fixed-size tuple per user (no per-event retention), so
+    state-store size is O(distinct users) regardless of stream length; each
+    micro-batch emits the refreshed row per user seen in that batch
+    (output mode: update).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 class IncrementalKMeans:
     """foreachBatch-driven incremental k-means over a value stream.
 

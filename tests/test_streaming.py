@@ -150,3 +150,44 @@ def F_unix_nanos():
     from pyspark.sql import functions as F
 
     return (F.unix_micros("ts") * 1000).cast("long")
+
+
+def test_stateful_user_stats(spark, batch_events, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: final
+    per-user stats equal the batch groupBy."""
+    from flink_mm_spark.streaming.events import stateful_user_stats
+
+    split_dir = tmp_path / "split_state"
+    (
+        batch_events.repartition(3)
+        .withColumn("ts", F_unix_nanos())
+        .write.mode("overwrite")
+        .parquet(str(split_dir))
+    )
+    stream = events_stream(spark, str(split_dir), max_files_per_trigger=1)
+    _run_to_memory(stateful_user_stats(stream), "ustats_t", tmp_path, output_mode="update")
+    # update mode re-emits per batch; the row with the max n_events per user
+    # is the final state
+    got = {}
+    for r in spark.sql("SELECT * FROM ustats_t").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            got[r["user_id"]] = r
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: r
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"], uid
+        assert g["max_value"] == w["max_value"], uid
+        assert abs(g["sum_value"] - w["sum_value"]) < 1e-6, uid
