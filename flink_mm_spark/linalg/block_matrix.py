@@ -58,14 +58,27 @@ def split_rows(n_rows: int, n_blocks: int) -> list[tuple[int, int, int]]:
 
 
 def blocks_from_numpy(spark: SparkSession, arr: np.ndarray, n_blocks: int) -> DataFrame:
-    """Partition a driver-side (rows, cols) array into a block DataFrame."""
+    """Partition a driver-side (rows, cols) array into a block DataFrame.
+
+    Ships via a pandas DataFrame so createDataFrame takes the Arrow path
+    (one columnar batch) instead of per-row py4j pickling.
+    """
+    import pandas as pd
+
     arr = np.asarray(arr, dtype=np.float64)
     n_rows, n_cols = arr.shape
-    rows = [
-        (b, start, nrows, n_rows, n_cols, arr[start : start + nrows].ravel().tolist())
-        for b, start, nrows in split_rows(n_rows, n_blocks)
-    ]
-    return spark.createDataFrame(rows, BLOCK_SCHEMA).repartition(min(n_blocks, 64), "block_id")
+    specs = split_rows(n_rows, n_blocks)
+    pdf = pd.DataFrame(
+        {
+            "block_id": np.array([b for b, _, _ in specs], dtype=np.int32),
+            "start": np.array([s for _, s, _ in specs], dtype=np.int64),
+            "block_rows": np.array([r for _, _, r in specs], dtype=np.int32),
+            "matrix_rows": np.full(len(specs), n_rows, dtype=np.int64),
+            "matrix_cols": np.full(len(specs), n_cols, dtype=np.int32),
+            "data": [arr[s : s + r].ravel() for _, s, r in specs],
+        }
+    )
+    return spark.createDataFrame(pdf, BLOCK_SCHEMA).repartition(min(n_blocks, 64), "block_id")
 
 
 def blocks_to_numpy(blocks: DataFrame) -> np.ndarray:

@@ -46,3 +46,28 @@ def gemm_broadcast(blocks: DataFrame, b_matrix: np.ndarray) -> DataFrame:
         F.lit(n_out_cols).cast("int").alias("matrix_cols"),
         gemm_udf("data", "block_rows", "matrix_cols").alias("data"),
     )
+
+
+def matrix_multiply_file(
+    spark,
+    a_path: str,
+    n_rows: int,
+    n_cols: int,
+    b_matrix: np.ndarray,
+    byteorder: str = "big",
+    n_blocks: int = 32,
+) -> np.ndarray:
+    """End-to-end MatrixMultiply (mm/MatrixMultiply.java:27-160): binary A
+    file → row blocks → broadcast-B GEMM → C assembled ordered by block.
+
+    The reference's ``-t`` self-check (local single-threaded product,
+    mm/MatrixMultiply.java:88-103,175-181) is tests/test_linalg.py's numpy
+    oracle. C returns to the driver because every reference gather does
+    (SURVEY A6); keep the result distributed by calling ``gemm_broadcast``
+    directly when C is large.
+    """
+    from flink_mm_spark.linalg.block_matrix import blocks_to_numpy
+    from flink_mm_spark.sources.binary_matrix import read_matrix_blocks
+
+    blocks = read_matrix_blocks(spark, a_path, n_rows, n_cols, "float64", byteorder, n_blocks)
+    return blocks_to_numpy(gemm_broadcast(blocks, b_matrix))

@@ -56,3 +56,17 @@ def test_generate_short_blocks_deterministic(spark):
     b = blocks_to_numpy(generate_short_blocks(spark, 50, 8, n_blocks=4, seed=11))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (50, 8) and (a >= 0).all() and (a <= 1).all()
+
+
+def test_matrix_multiply_file_end_to_end(spark, tmp_path):
+    """MatrixMultiply parity: binary A scan -> broadcast-B GEMM -> gather,
+    vs the local numpy product (the reference's -t test mode)."""
+    from flink_mm_spark.linalg.gemm import matrix_multiply_file
+
+    rng = np.random.RandomState(9)
+    a = rng.standard_normal((64, 48))
+    b = rng.standard_normal((48, 8))
+    path = str(tmp_path / "A.bin")
+    write_matrix_file(path, a, "float64", "big")
+    c = matrix_multiply_file(spark, path, 64, 48, b, n_blocks=6)
+    np.testing.assert_allclose(c, a @ b, rtol=1e-12)
