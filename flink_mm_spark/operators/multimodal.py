@@ -64,7 +64,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_vid, (F.col("doc_id") % 30 + 1).cast("int")).alias("n_frames"),
             F.when(is_vid, F.lit(10)).cast("int").alias("fps"),
         ).alias("meta"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        # payload size is ingest-time metadata (n_chars == octet_length for
+        # this ASCII corpus, asserted in tests): metadata-only queries must
+        # not force the payload/text column into their scan
+        F.col("n_chars").alias("n_bytes"),
     )
 
 
@@ -80,7 +83,7 @@ MEDIA_SQL = """
            CASE WHEN doc_id % 3 = 1 THEN CAST(100 * n_chars AS BIGINT) END AS duration_ms,
            CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 30 + 1 AS INT) END AS n_frames,
            CASE WHEN doc_id % 3 = 2 THEN 10 END AS fps,
-           octet_length(encode(text)) AS n_bytes
+           n_chars AS n_bytes
     FROM documents
 """
 

@@ -650,3 +650,41 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("delta", F.round(F.col("revenue") - F.lag("revenue").over(w), 6))
         .orderBy("month")
     )
+
+
+@register(
+    "salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: salt → partial agg → final agg.
+
+    event_type has a handful of distinct values — at 100 TB a plain
+    groupBy(event_type) funnels the whole table into ~5 reducers. Salting
+    the key (16-way here) spreads the partial aggregation across
+    5×16 reducers; the final agg combines 80 tiny rows. Decimal partials
+    keep the two-phase sum bit-identical to the single-phase oracle. (For
+    ad-hoc queries AQE's skew handling covers joins; salting is the
+    explicit pattern for known-skewed aggregation keys.)
+    """
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.pmod(F.col("event_id"), F.lit(16))).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )

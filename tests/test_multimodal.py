@@ -27,6 +27,16 @@ def test_media_table_schema(spark):
     assert row["meta"]["width"] % 32 == 0 and row["meta"]["sample_rate"] is None
 
 
+def test_n_bytes_metadata_matches_payload(spark):
+    """media_table stores payload size as ingest metadata (from n_chars);
+    this guards the corpus assumption that it equals the true byte length."""
+    from pyspark.sql import functions as F
+
+    m = media_table(spark, SF_DIR)
+    bad = m.filter(F.octet_length("payload") != F.col("n_bytes")).count()
+    assert bad == 0
+
+
 def test_real_codec_path_is_stubbed(spark):
     m = media_table(spark, SF_DIR).limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real codec"):
