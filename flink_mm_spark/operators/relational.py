@@ -688,3 +688,100 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "economy_revenue_share",
+    oracle="""
+    SELECT
+      CAST(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+           / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS economy_share,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a broadcast fact-dim join (TPC-H Q14
+    shape): revenue share of one part type, exact via decimal ratio."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero))
+            / F.sum(rev)
+        )
+        .cast("double")
+        .alias("economy_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "orders_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join (TPC-H Q4 shape): orders having at
+    least one returned lineitem, counted by priority."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(MAX(date_diff('day', prev, o_orderdate)) AS BIGINT) AS max_gap_days
+    FROM seq
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY o_custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gaps: partitioned lag window + date
+    arithmetic + HAVING (windows shuffle once on the partition key)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev"),
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.datediff(F.col("o_orderdate"), F.col("prev"))).cast("long").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )

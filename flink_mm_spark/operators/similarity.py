@@ -140,7 +140,7 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 16
+N_PLANES = 8  # 2^8 buckets; multi-probe widens the search (see ann_lsh_topk)
 _PLANES = np.random.RandomState(7).standard_normal((N_PLANES, EMB_DIM))
 
 
@@ -161,25 +161,35 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> 
 
 @register("ann_lsh_topk", oracle=None)  # approximate → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors per vector via hyperplane-LSH buckets.
+    """Approximate top-3 neighbors per vector via multi-probe hyperplane LSH.
 
-    Vectors hash to a 16-bit sign bucket; the candidate join is an equi-join
-    on bucket. Recall is tested against the brute-force result in
-    tests/test_similarity.py. At 100 TB: buckets are the shuffle key, and a
-    multi-probe variant (flip 1 bit) bounds bucket skew.
+    Vectors hash to an 8-bit sign bucket; each query vector probes its own
+    bucket plus every distance-1 bucket (one sign bit flipped — the planes
+    a near-neighbor most plausibly straddles), so the candidate join stays
+    an equi-join on bucket id with a 9× probe fan-out instead of a wider
+    (unscalable) similarity predicate. Recall vs brute force is asserted in
+    tests/test_similarity.py. At 100 TB: bucket id is the shuffle key;
+    probe fan-out and plane count trade recall for join size.
     """
     from pyspark.sql.window import Window
 
     bucketed = lsh_bucketed(spark, sf_dir)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("bucket").alias("ba")
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.explode(probes).alias("probe"),
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("bucket").alias("bb")
     )
     scored = (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") != F.col("vec_b")))
+        a.join(b, (F.col("probe") == F.col("bb")) & (F.col("vec_a") != F.col("vec_b")))
         .select("vec_a", "vec_b", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
     return (

@@ -1,0 +1,54 @@
+"""Property-based tests (hypothesis) for the pure-python engine kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_mm_spark.algos.damds import quantize_distances
+from flink_mm_spark.linalg.block_matrix import split_rows
+
+INV_SHORT_MAX = 1.0 / 32767.0
+
+
+@given(st.integers(0, 10_000), st.integers(1, 128))
+def test_split_rows_partitions_exactly(n_rows, n_blocks):
+    """Blocks are contiguous, ordered, gap-free, and sized q or q+1
+    (the reference's createInputSplits invariant, mm/MatrixInputFormat.java)."""
+    specs = split_rows(n_rows, n_blocks)
+    q = n_rows // n_blocks
+    acc = 0
+    for i, (b, start, rows) in enumerate(specs):
+        assert start == acc
+        assert rows in (q, q + 1)
+        acc += rows
+    assert acc == n_rows
+    ids = [b for b, _, _ in specs]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1e6, allow_nan=False), min_size=1, max_size=50)
+)
+@settings(max_examples=200)
+def test_quantize_roundtrip_error_bound(vals):
+    """Quantization to int16 of [0, max]-scaled distances round-trips within
+    half a quantization step (|v/max - q/32767| <= 0.5/32767)."""
+    d = np.array(vals, dtype=np.float64).reshape(1, -1)
+    q, mx = quantize_distances(d)
+    assert q.dtype == np.int16
+    if mx == 0:
+        assert (q == 0).all()
+        return
+    back = q.astype(np.float64) * INV_SHORT_MAX
+    assert np.all(np.abs(back - d / mx) <= 0.5 * INV_SHORT_MAX + 1e-12)
+
+
+@given(st.integers(2, 200), st.integers(1, 8))
+def test_split_then_vstack_identity(n_rows, n_cols):
+    """Partition + reassemble is the identity for any block count."""
+    arr = np.arange(n_rows * n_cols, dtype=np.float64).reshape(n_rows, n_cols)
+    for n_blocks in (1, 3, n_rows):
+        parts = [arr[s : s + r] for _, s, r in split_rows(n_rows, n_blocks)]
+        np.testing.assert_array_equal(np.vstack(parts), arr)
