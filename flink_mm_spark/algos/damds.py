@@ -137,10 +137,14 @@ def matrix_stats(blocks: DataFrame) -> MatrixStats:
 
 
 def _gather_block_matrix(df: DataFrame, dim: int) -> np.ndarray:
-    """Ordered gather of per-block (block_rows, dim) partials → (N, dim)."""
-    rows = df.orderBy("block_id").collect()
+    """Ordered gather of per-block (block_rows, dim) partials → (N, dim).
+
+    Arrow collect (toPandas) + driver-side sort: the kernels run ~10× per
+    stress iteration, so per-gather latency is the anneal's critical path.
+    """
+    pdf = df.toPandas().sort_values("block_id")
     return np.vstack(
-        [np.asarray(r["data"], dtype=np.float64).reshape(-1, dim) for r in rows]
+        [np.asarray(d, dtype=np.float64).reshape(-1, dim) for d in pdf["data"]]
     )
 
 
@@ -275,7 +279,7 @@ def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray) -> np.ndarray:
                 w = np.where(diag_mask, 0.0, w)
                 pb = pv[start : start + nrows]
                 res = vv[start : start + nrows, None] * pb - w @ pv
-                out.append((bid, res.ravel().tolist()))
+                out.append((bid, res.ravel()))
         yield pd.DataFrame(out, columns=["block_id", "data"])
 
     return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)

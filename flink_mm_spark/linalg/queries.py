@@ -35,6 +35,12 @@ def _emb_matrix(spark: SparkSession, sf_dir: str, n: int) -> np.ndarray:
     return np.array([r["e"] for r in rows], dtype=np.float64)
 
 
+def _emb_matrices(spark: SparkSession, sf_dir: str, n_a: int, n_b: int) -> tuple[np.ndarray, np.ndarray]:
+    """Both operand matrices from ONE scan+collect (one Spark job, not two)."""
+    m = _emb_matrix(spark, sf_dir, max(n_a, n_b))
+    return m[:n_a], m[:n_b]
+
+
 @register(
     "matmul_cells",
     oracle="""
@@ -100,8 +106,8 @@ def gemm_broadcast_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     A = embeddings[:60] row-block-partitioned; B = embeddings[:8]ᵀ broadcast;
     per-block numpy GEMM in a pandas UDF; result exposed as rounded cells.
     """
-    a = _emb_matrix(spark, sf_dir, 60)
-    b = _emb_matrix(spark, sf_dir, 8).T  # (64, 8)
+    a, b = _emb_matrices(spark, sf_dir, 60, 8)
+    b = b.T  # (64, 8)
     blocks = blocks_from_numpy(spark, a, n_blocks=8)
     c = gemm_broadcast(blocks, b)
     return (
