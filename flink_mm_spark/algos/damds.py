@@ -23,7 +23,7 @@ negative shorts are missing pairs and are skipped everywhere
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -36,6 +36,11 @@ from pyspark.storagelevel import StorageLevel
 from flink_mm_spark.linalg.block_matrix import split_rows
 
 INV_SHORT_MAX = 1.0 / 32767.0
+
+# Read-time weight transformation hook: (weights, dequantized distances) →
+# weights. The Spark analogue of the reference's TransformationFunction
+# config (damds/configuration/section/DAMDSSection.java:40-41).
+WeightTransform = Callable[[np.ndarray, np.ndarray], np.ndarray]
 
 DAMDS_BLOCK_SCHEMA = T.StructType(
     [
@@ -75,11 +80,33 @@ def _block_arrays(pdf: pd.DataFrame) -> Iterator[tuple[int, int, np.ndarray, np.
         yield int(row["block_id"]), int(row["start"]), d, wm
 
 
-def _weights_of(dq: np.ndarray, wblock: np.ndarray | None) -> np.ndarray:
-    """Dequantized weights; default weight 1 where the distance exists."""
+def _weights_of(
+    dq: np.ndarray, wblock: np.ndarray | None, wt: WeightTransform | None = None
+) -> np.ndarray:
+    """Dequantized weights; default weight 1 where the distance exists.
+
+    ``wt`` is the read-time weight transformation hook (the reference's
+    TransformationFunction config, io/RowBlock.java:27-28,88-96 / SURVEY
+    §2.9); it receives (weights, dequantized distances) per block.
+    """
     if wblock is None:
-        return (dq >= 0).astype(np.float64)
-    return np.where(dq >= 0, wblock.astype(np.float64) * INV_SHORT_MAX, 0.0)
+        base = (dq >= 0).astype(np.float64)
+    else:
+        base = np.where(dq >= 0, wblock.astype(np.float64) * INV_SHORT_MAX, 0.0)
+    if wt is not None:
+        base = np.where(dq >= 0, wt(base, dq.astype(np.float64) * INV_SHORT_MAX), 0.0)
+    return base
+
+
+def sammon_transform(sammon_factor: float, avg_dist: float) -> WeightTransform:
+    """Sammon weighting w → w / max(d, sammonFactor·avgDistance)
+    (io/RowBlock.java:139-142, SURVEY F11)."""
+    floor = sammon_factor * avg_dist
+
+    def wt(w: np.ndarray, d: np.ndarray) -> np.ndarray:
+        return w / np.maximum(d, floor)
+
+    return wt
 
 
 @dataclass
@@ -151,7 +178,9 @@ def _gather_block_matrix(df: DataFrame, dim: int) -> np.ndarray:
 _PART_SCHEMA = "block_id int, data array<double>"
 
 
-def stress(blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float) -> float:
+def stress(
+    blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float, wt=None
+) -> float:
     """Stress σ(X) (damds/Stress.java:45-93, SURVEY F7).
 
     tmpD = (δ ≥ diff ? δ − diff : 0) − d_ij(X); σ = Σ w·tmpD² × invΣδ²;
@@ -168,7 +197,7 @@ def stress(blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float) -
         for pdf in batches:
             for bid, start, d, wblk in _block_arrays(pdf):
                 dq = d.astype(np.float64) * INV_SHORT_MAX
-                w = _weights_of(d, wblk)
+                w = _weights_of(d, wblk, wt)
                 xb = xv[start : start + d.shape[0]]
                 dist_x = np.sqrt(
                     np.maximum(
@@ -192,14 +221,14 @@ def stress(blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float) -
     return float(total) * inv_sum_dsq
 
 
-def v_array(blocks: DataFrame) -> np.ndarray:
+def v_array(blocks: DataFrame, wt=None) -> np.ndarray:
     """v_i = 1 + Σ_{j≠i, δ_ij≥0, w_ij≠0} w_ij (damds/VArray.java:49-67, F8)."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for pdf in batches:
             for bid, start, d, wblk in _block_arrays(pdf):
-                w = _weights_of(d, wblk)
+                w = _weights_of(d, wblk, wt)
                 nrows = d.shape[0]
                 cols = np.arange(d.shape[1])
                 diag = cols[None, :] == (start + np.arange(nrows))[:, None]
@@ -210,7 +239,7 @@ def v_array(blocks: DataFrame) -> np.ndarray:
     return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), 1).ravel()
 
 
-def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float) -> np.ndarray:
+def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float, wt=None) -> np.ndarray:
     """BC = B(Z)·Z for the SMACOF update (damds/BC.java:86-134, F6).
 
     Off-diag B_ij = −w_ij·(δ_ij − diff)/d_ij(Z) when d_ij ≥ 1e-10 and
@@ -228,7 +257,7 @@ def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float) -> np.ndarray:
         for pdf in batches:
             for bid, start, d, wblk in _block_arrays(pdf):
                 dq = d.astype(np.float64) * INV_SHORT_MAX
-                w = _weights_of(d, wblk)
+                w = _weights_of(d, wblk, wt)
                 nrows = d.shape[0]
                 xb = xv[start : start + nrows]
                 dist_z = np.sqrt(
@@ -253,7 +282,7 @@ def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float) -> np.ndarray:
     return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
 
 
-def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray) -> np.ndarray:
+def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray, wt=None) -> np.ndarray:
     """V·p where V = diag(v) with off-diag −w_ij (SURVEY F2).
 
     The reference computes this via MatrixUtils.matrixMultiplyWithThreadOffset
@@ -272,7 +301,7 @@ def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray) -> np.ndarray:
         out = []
         for pdf in batches:
             for bid, start, d, wblk in _block_arrays(pdf):
-                w = _weights_of(d, wblk)
+                w = _weights_of(d, wblk, wt)
                 nrows = d.shape[0]
                 cols = np.arange(d.shape[1])
                 diag_mask = cols[None, :] == (start + np.arange(nrows))[:, None]
@@ -292,6 +321,7 @@ def cg_solve(
     x0: np.ndarray,
     cg_iters: int = 20,
     cg_threshold: float = 1e-5,
+    wt: WeightTransform | None = None,
 ) -> tuple[np.ndarray, int]:
     """Conjugate gradient for V·X = BC (damds/CG.java:78-142, F9/I2).
 
@@ -299,13 +329,13 @@ def cg_solve(
     iteration is the single V×p multiply. Returns (X, iterations used).
     """
     x = np.asarray(x0, dtype=np.float64).copy()
-    r = bc_target - v_multiply(blocks, v, x)
+    r = bc_target - v_multiply(blocks, v, x, wt)
     p = r.copy()
     r_tr = float((r * r).sum())
     test_end = r_tr * cg_threshold
     it = 0
     while it < cg_iters and r_tr > test_end:
-        ap = v_multiply(blocks, v, p)
+        ap = v_multiply(blocks, v, p, wt)
         alpha = r_tr / float((p * ap).sum())
         x += alpha * p
         r -= alpha * ap
@@ -337,6 +367,7 @@ def damds(
     cg_iters: int = 8,
     cg_threshold: float = 1e-5,
     seed: int = 42,
+    sammon_factor: float | None = None,
 ) -> DamdsResult:
     """Full deterministic-annealing SMACOF driver loop (SURVEY I3/F10).
 
@@ -346,6 +377,11 @@ def damds(
     (BC then CG) until relative stress change < threshold.
     """
     stats = matrix_stats(blocks)
+    wt = (
+        sammon_transform(sammon_factor, stats.sum / stats.count)
+        if sammon_factor is not None
+        else None
+    )
     inv_sum_dsq = 1.0 / stats.sum_sq
     sqrt2d = float(np.sqrt(2.0 * dim))
     t_max = stats.max / sqrt2d
@@ -354,16 +390,16 @@ def damds(
 
     rng = np.random.RandomState(seed)
     x = rng.uniform(-0.5, 0.5, size=(n_points, dim))
-    v = v_array(blocks)
+    v = v_array(blocks, wt)
 
     total_stress_iters = 0
     temp_loops = 0
-    sig = stress(blocks, x, t_cur, inv_sum_dsq)
+    sig = stress(blocks, x, t_cur, inv_sum_dsq, wt)
     while True:
         for _ in range(max_stress_loops):
-            bc = bofz_bc(blocks, x, t_cur)
-            x, _ = cg_solve(blocks, v, bc, x, cg_iters, cg_threshold)
-            new_sig = stress(blocks, x, t_cur, inv_sum_dsq)
+            bc = bofz_bc(blocks, x, t_cur, wt)
+            x, _ = cg_solve(blocks, v, bc, x, cg_iters, cg_threshold, wt)
+            new_sig = stress(blocks, x, t_cur, inv_sum_dsq, wt)
             total_stress_iters += 1
             if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
                 sig = new_sig

@@ -785,3 +785,71 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 8)
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "user_sessions_batch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,6)) AS dv
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_id, us, dv,
+             CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000 OR
+                       lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us, dv,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+           CAST(SUM(dv) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): 30-min inactivity gap per
+    user via lag + running sum — the batch twin of the streaming
+    ``session_window`` aggregate, exactly oracle-checkable. Session math
+    runs on epoch-microsecond integers so both engines see identical
+    values. One shuffle on user_id serves both windows and the final agg.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = F.when(
+        (F.col("us") - F.lag("us").over(w) > 30 * 60 * 1_000_000)
+        | F.lag("us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").cast("long").alias("start_us"),
+            (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+            F.sum("dv").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "sess_id")
+    )

@@ -151,3 +151,25 @@ def test_damds_full_deterministic_and_converges(spark, problem):
         assert r1.stress < rng_stress * 0.8
     finally:
         blocks.unpersist()
+
+
+def test_sammon_weight_transform(spark, problem, blocks):
+    """Sammon weighting (F11, io/RowBlock.java:139-142) applied as the
+    read-time weight transform changes v_array exactly like the dense
+    numpy mirror w / max(d, factor*avg)."""
+    q, w, _ = problem
+    dq = q.astype(np.float64) * D.INV_SHORT_MAX
+    wq = np.where(q >= 0, w.astype(np.float64) * D.INV_SHORT_MAX, 0.0)
+    present = q >= 0
+    avg = dq[present].sum() / present.sum()
+    factor = 0.3
+    wt = D.sammon_transform(factor, avg)
+
+    got = D.v_array(blocks, wt)
+    w_sam = np.where(present, wq / np.maximum(dq, factor * avg), 0.0)
+    np.fill_diagonal(w_sam, 0.0)
+    want = 1.0 + w_sam.sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # and the full anneal accepts the hook end-to-end
+    res = D.damds(blocks, len(q), dim=DIM, max_temp_loops=1, max_stress_loops=1, sammon_factor=factor)
+    assert np.isfinite(res.stress)
