@@ -38,10 +38,13 @@ HEADLINE = [
     "dedup_exact",              # hash dedup
     "jaccard_token_pairs",      # inverted-index similarity join
     "minhash_lsh_pairs",        # MinHash-LSH
+    "embedding_near_dup",       # exact cosine near-dup pairs
     "cosine_topk",              # embedding search
     "matmul_cells",             # relational matmul
     "gemm_broadcast_cells",     # pandas-UDF GEMM
     "mds_stress",               # distributed stress kernel
+    "user_sessions_batch",      # sessionization (windows + running sum)
+    "media_decode_features",    # multimodal mapInPandas decode
 ]
 
 
@@ -82,6 +85,31 @@ def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
     q, _ = quantize_distances(np.sqrt(d2))
     blocks = damds_blocks(spark, q, n_blocks=16)
     damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
+
+
+def bench_streaming(spark, sf_dir: str) -> None:
+    """Structured Streaming throughput: tumbling watermarked aggregate over
+    the whole events table as one availableNow run (file source → windowed
+    agg → noop sink)."""
+    import shutil
+    import tempfile
+
+    from flink_mm_spark.streaming.events import events_stream, tumbling_aggregate
+
+    ckpt = tempfile.mkdtemp(prefix="fms_bench_ckpt_")
+    try:
+        stream = events_stream(spark, sf_dir)
+        q = (
+            tumbling_aggregate(stream)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def bench_collectives(spark, n_iters: int = 10, size: int = 1000, n_part: int = 32) -> None:
@@ -147,6 +175,10 @@ def main() -> None:
     t0 = time.perf_counter()
     bench_damds(spark, SF_DIR)
     timings["damds_n500_d3"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_streaming(spark, SF_DIR)
+    timings["streaming_tumbling_availablenow"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     bench_collectives(spark)
