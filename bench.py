@@ -72,6 +72,20 @@ def bench_kmeans(spark, sf_dir: str) -> None:
     kmeans(pts, init, n_iters=10)
 
 
+def bench_kmeans_k1000(spark, sf_dir: str) -> None:
+    """k=1000 variant — the reference's benchmarked config (its 'correct'
+    runs are all k>=1000, BASELINE.md) where the per-pass cost is
+    compute-bound rather than scheduling-bound."""
+    from flink_mm_spark.algos.kmeans import kmeans
+
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.array(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0).alias("features")
+    )
+    init = np.array([[float(i % 50), float(i // 50)] for i in range(1000)])
+    kmeans(pts, init, n_iters=10)
+
+
 def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
     """The reference's flagship workload: DA-MDS anneal over an n×n quantized
     distance matrix (config.properties shape scaled up: dim 3, 8 CG iters,
@@ -171,6 +185,10 @@ def main() -> None:
     t0 = time.perf_counter()
     bench_kmeans(spark, SF_DIR)
     timings["kmeans_d2_k100_i10"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_kmeans_k1000(spark, SF_DIR)
+    timings["kmeans_d2_k1000_i10"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     bench_damds(spark, SF_DIR)

@@ -126,9 +126,11 @@ def kmeans(
     cols_df = _columnar(points, features_col, d)
     # Parallelism floor: a handful of fat parquet splits would serialize the
     # per-pass kernel (3 partitions on a 32-core box = 10% utilization).
-    # Half the cores is the local sweet spot (Arrow + python worker overlap);
-    # on a real cluster input partitioning already exceeds this and is kept.
-    floor = max(1, points.sparkSession.sparkContext.defaultParallelism // 2)
+    # One partition per core keeps the compute-bound regime (large k·d) at
+    # full utilization; the overhead-bound small-k case loses only a few
+    # percent vs fewer partitions. On a real cluster the input partitioning
+    # already exceeds this and is kept.
+    floor = max(1, points.sparkSession.sparkContext.defaultParallelism)
     if cols_df.rdd.getNumPartitions() < floor:
         cols_df = cols_df.repartition(floor)
     cols_df = cols_df.persist(StorageLevel.MEMORY_AND_DISK)
