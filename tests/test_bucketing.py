@@ -1,0 +1,35 @@
+"""Bucketed layout: the join plan must contain no shuffle Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_mm_spark.sources.bucketing import colocated_join, write_bucketed
+from flink_mm_spark.sources.tables import table
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+        lineitem = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+        write_bucketed(lineitem, "b_lineitem", "l_orderkey", n_buckets=8)
+
+        j = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+
+        # and it computes the same thing as the shuffled plain-parquet join
+        got = j.agg(F.sum("l_quantity").cast("long").alias("s")).collect()[0]["s"]
+        want = (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .agg(F.sum("l_quantity").cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
