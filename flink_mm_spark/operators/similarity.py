@@ -197,3 +197,105 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("vec_a", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (trained coarse quantizer, cogrouped cell search)
+# ---------------------------------------------------------------------------
+
+N_LIST = 16  # coarse cells
+N_PROBE = 4  # cells searched per query
+
+
+def _train_coarse_centroids(m: np.ndarray, n_list: int, n_iters: int = 10) -> np.ndarray:
+    """Driver-side Lloyd on the (sampled) corpus — the IVF coarse quantizer.
+    Deterministic: init = evenly-strided rows of the input."""
+    init = m[:: max(1, len(m) // n_list)][:n_list]
+    from flink_mm_spark.algos.kmeans import kmeans_numpy_oracle
+
+    return kmeans_numpy_oracle(m, init, n_iters)
+
+
+@register("ivf_topk", oracle=None)  # approximate → rows-only check
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via IVF: a k-means-trained coarse
+    quantizer assigns every vector to a cell; each query probes its
+    ``N_PROBE`` nearest cells; per-cell scoring happens in a COGROUPED
+    ``applyInPandas`` (cell members × cell probers, one numpy GEMM per
+    cell); a window merges per-cell top-k into the global answer.
+
+    Versus hyperplane LSH (``ann_lsh_topk``): the quantizer is *trained* on
+    the corpus, so cells follow the data distribution — higher recall at
+    equal candidate budget (asserted in tests/test_similarity.py). At
+    100 TB: train on a sample, broadcast the (n_list × dim) centroids, and
+    the cell id is the shuffle key for both sides of the cogroup; n_list
+    scales with corpus size to bound cell width, n_probe buys recall.
+    """
+    from pyspark.sql.window import Window
+
+    e = embeddings64(spark, sf_dir)
+    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.vstack([r["emb"] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = _train_coarse_centroids(mn, N_LIST)
+    c_bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        c = c_bc.value
+        x = np.vstack(emb.to_numpy())
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        c = c_bc.value
+        x = np.vstack(emb.to_numpy())
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(list(np.argsort(d2, axis=1)[:, :N_PROBE].astype(np.int32)))
+
+    members = e.select("vec_id", "emb", cell_udf("emb").alias("cell"))
+    probers = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.explode(probe_udf("emb")).alias("cell"),
+    )
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def cell_topk(members_pdf: pd.DataFrame, probers_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(members_pdf) or not len(probers_pdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        mm = np.vstack(members_pdf["emb"].to_numpy())
+        mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        qq = np.vstack(probers_pdf["qemb"].to_numpy())
+        qq = qq / np.linalg.norm(qq, axis=1, keepdims=True)
+        cos = np.round(qq @ mm.T, 6)
+        mids = members_pdf["vec_id"].to_numpy()
+        qids = probers_pdf["qid"].to_numpy()
+        take = min(3 + 1, cos.shape[1])  # +1: self may be in the cell
+        idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+        va, vb, cs = [], [], []
+        for r, qid in enumerate(qids):
+            for j in idx[r]:
+                if mids[j] != qid:
+                    va.append(qid)
+                    vb.append(mids[j])
+                    cs.append(cos[r, j])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
+
+    scored = (
+        members.groupBy("cell")
+        .cogroup(probers.groupBy("cell"))
+        .applyInPandas(cell_topk, out_schema)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("vec_a", "rnk")
+    )

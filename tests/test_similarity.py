@@ -68,3 +68,28 @@ def test_cosine_expr_matches_numpy(spark):
     want = mn @ mn[0]
     for r, w in zip(got, want):
         assert abs(r["c"] - w) < 1e-9
+
+
+def test_ivf_recall_beats_lsh(spark):
+    """IVF (trained cells, 4/16 probed = 25% of corpus searched) must find
+    a substantial share of true neighbors — and more than untrained LSH."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    want = _brute_force_topk(spark, k=3, n=10_000_000)
+
+    def recall(name):
+        rows = registry.QUERIES[name].fn(spark, SF_DIR).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["vec_a"], set()).add(r["vec_b"])
+        hits = total = 0
+        for vid, nbrs in want.items():
+            total += len(nbrs)
+            hits += len(nbrs & got.get(vid, set()))
+        return hits / total
+
+    r_ivf = recall("ivf_topk")
+    r_lsh = recall("ann_lsh_topk")
+    assert r_ivf > 0.3, f"ivf recall {r_ivf:.3f}"
+    assert r_ivf > r_lsh, f"ivf {r_ivf:.3f} <= lsh {r_lsh:.3f}"
