@@ -97,7 +97,7 @@ def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
     n = len(m)
     d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
     q, _ = quantize_distances(np.sqrt(d2))
-    blocks = damds_blocks(spark, q, n_blocks=16)
+    blocks = damds_blocks(spark, q, n_blocks=32)  # one block per core
     damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
 
 

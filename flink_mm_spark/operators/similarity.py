@@ -1,9 +1,13 @@
 """Embedding similarity search over ARRAY<FLOAT> columns.
 
 Baseline: brute-force cosine top-k with JVM-side higher-order functions
-(zip_with/aggregate — stays in whole-stage codegen, no Python in the hot
-path). Scale path: random-hyperplane LSH bucketing so the candidate join is
-keyed on a short signature instead of crossing every pair.
+(zip_with/aggregate). Scale paths: random-hyperplane LSH bucketing
+(``ann_lsh_topk``) and a trained IVF coarse quantizer (``ivf_topk``) — both
+turn candidate generation into an equi-join/cogroup on a short bucket key
+instead of crossing every pair. Note HOF folds are interpreted, not
+codegen'd: fine for one fold per row (cosine_topk), ruinous per-pair in
+wide joins — pair scoring at volume belongs in numpy GEMM kernels
+(see dedup.embedding_near_dup).
 
 All float math is done in float64 (embeddings cast up front) so Spark and
 the DuckDB oracle agree; cosine values are rounded to 6 decimals before
