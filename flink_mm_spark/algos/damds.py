@@ -422,3 +422,60 @@ def quantize_distances(dist: np.ndarray) -> tuple[np.ndarray, float]:
     mx = float(dist.max())
     q = np.round(dist / mx * 32767.0).astype(np.int16) if mx > 0 else dist.astype(np.int16)
     return q, mx
+
+
+def damds_blocks_from_files(
+    spark: SparkSession,
+    dist_path: str,
+    n_points: int,
+    weight_path: str | None = None,
+    byteorder: str = "big",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Build the damds block table straight from headerless int16 files —
+    the 100 TB construction path (no driver materialization).
+
+    Each task reads ONLY its row-range's bytes from the distance file and,
+    when given, the matching range of the weight file — the shuffle-free
+    distance/weight pairing the reference does by re-reading side files per
+    block (damds/Distances.java:71-106, SURVEY S8/J3). The driver holds
+    just the block manifest.
+    """
+    import os
+
+    from flink_mm_spark.sources.binary_matrix import _np_dtype
+
+    dt = _np_dtype("int16", byteorder)
+    expect = n_points * n_points * dt.itemsize
+    actual = os.path.getsize(dist_path)
+    if actual < expect:
+        raise ValueError(f"{dist_path}: {actual} bytes < expected {expect}")
+    specs = pd.DataFrame(
+        split_rows(n_points, n_blocks), columns=["block_id", "start", "block_rows"]
+    )
+    spec_df = spark.createDataFrame(specs).repartition(len(specs), "block_id")
+
+    def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                start, nrows = int(r["start"]), int(r["block_rows"])
+                count = nrows * n_points
+                offset = start * n_points * dt.itemsize
+                d = np.fromfile(dist_path, dtype=dt, count=count, offset=offset).astype(np.int16)
+                w = (
+                    np.fromfile(weight_path, dtype=dt, count=count, offset=offset).astype(np.int16)
+                    if weight_path is not None
+                    else None
+                )
+                yield pd.DataFrame(
+                    {
+                        "block_id": [int(r["block_id"])],
+                        "start": [start],
+                        "block_rows": [nrows],
+                        "n_points": [n_points],
+                        "dist": [d],
+                        "weight": [w],
+                    }
+                )
+
+    return spec_df.mapInPandas(load, DAMDS_BLOCK_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)

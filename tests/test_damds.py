@@ -173,3 +173,22 @@ def test_sammon_weight_transform(spark, problem, blocks):
     # and the full anneal accepts the hook end-to-end
     res = D.damds(blocks, len(q), dim=DIM, max_temp_loops=1, max_stress_loops=1, sammon_factor=factor)
     assert np.isfinite(res.stress)
+
+
+def test_blocks_from_files_match_driver_blocks(spark, problem, blocks, tmp_path):
+    """File-loaded blocks (per-task offset reads of dist+weight int16 files)
+    produce identical kernels to driver-built blocks."""
+    from flink_mm_spark.sources.binary_matrix import write_matrix_file
+
+    q, w, x = problem
+    dp, wp = str(tmp_path / "dist.bin"), str(tmp_path / "w.bin")
+    write_matrix_file(dp, q, "int16", "big")
+    write_matrix_file(wp, w, "int16", "big")
+    fb = D.damds_blocks_from_files(spark, dp, len(q), wp, n_blocks=7)
+    try:
+        np.testing.assert_allclose(D.v_array(fb), D.v_array(blocks), rtol=1e-12)
+        s1 = D.stress(fb, x, 0.05, 1.0)
+        s2 = D.stress(blocks, x, 0.05, 1.0)
+        assert s1 == pytest.approx(s2, rel=1e-12)
+    finally:
+        fb.unpersist()

@@ -43,3 +43,32 @@ def test_empty_cluster_stays_zero(spark):
     got = kmeans(_points_df(spark, data), init, n_iters=1)
     np.testing.assert_allclose(got[0], data.mean(axis=0))
     np.testing.assert_array_equal(got[1], [0.0, 0.0])
+
+
+def test_kmeans_from_text_files_end_to_end(spark, tmp_path):
+    """The reference's full KMeansBlock program shape (kmeans/KMeansBlock.
+    java:16-116): text points file + text centroids file → parse → iterate
+    → final centroids, vs the numpy oracle on the same inputs."""
+    import numpy as np
+
+    from flink_mm_spark.algos.kmeans import kmeans, kmeans_numpy_oracle
+    from flink_mm_spark.sources.text_points import read_centroids_text, read_points_text
+
+    rng = np.random.RandomState(17)
+    pts = np.vstack(
+        [rng.standard_normal((80, 2)) + c for c in ([0, 0], [8, 8], [-8, 6])]
+    )
+    init = pts[::60][:4]
+    ppath, cpath = tmp_path / "pts.txt", tmp_path / "cents.txt"
+    ppath.write_text("\n".join(" ".join(repr(v) for v in r) for r in pts) + "\n")
+    cpath.write_text(
+        "\n".join(f"{i + 1} " + " ".join(repr(v) for v in r) for i, r in enumerate(init)) + "\n"
+    )
+
+    points_df = read_points_text(spark, str(ppath), 2)
+    cents = read_centroids_text(spark, str(cpath), 2).orderBy("id").collect()
+    init_arr = np.array([r["features"] for r in cents])
+
+    got = kmeans(points_df, init_arr, n_iters=5)
+    want = kmeans_numpy_oracle(pts, init_arr, n_iters=5)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
