@@ -368,6 +368,7 @@ def damds(
     cg_threshold: float = 1e-5,
     seed: int = 42,
     sammon_factor: float | None = None,
+    x0: np.ndarray | None = None,
 ) -> DamdsResult:
     """Full deterministic-annealing SMACOF driver loop (SURVEY I3/F10).
 
@@ -390,6 +391,11 @@ def damds(
 
     rng = np.random.RandomState(seed)
     x = rng.uniform(-0.5, 0.5, size=(n_points, dim))
+    if x0 is not None:
+        # warm start (incremental/streaming refinement): carry over known
+        # rows, keep random init for rows beyond x0
+        k = min(len(x0), n_points)
+        x[:k] = np.asarray(x0, dtype=np.float64)[:k, :dim]
     v = v_array(blocks, wt)
 
     total_stress_iters = 0

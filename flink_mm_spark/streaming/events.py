@@ -185,3 +185,78 @@ class IncrementalKMeans:
 
     def sink(self) -> Callable[[DataFrame, int], None]:
         return self.update
+
+
+EMBEDDINGS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def embeddings_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of embeddings parquet."""
+    reader = spark.readStream.schema(EMBEDDINGS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", "*.parquet").parquet(path)
+
+
+class IncrementalMDS:
+    """foreachBatch-driven incremental DA-MDS over an embedding stream.
+
+    The streaming analogue of the reference's outer driver loop (SURVEY I3)
+    for the MDS workload: each micro-batch appends its vectors to the
+    corpus, rebuilds the distributed distance blocks, and refines the
+    embedding with a short anneal **warm-started from the previous
+    embedding** — new points start random, old points keep their positions,
+    so per-batch work is a refinement, not a re-solve. State on the driver
+    is O(N·dim) plus the raw vectors; the O(N²) distance matrix only ever
+    exists distributed (damds_blocks_from rebuild each batch; at scale the
+    rebuild becomes an append of new block rows).
+    """
+
+    def __init__(self, dim: int = 2, stress_loops: int = 2, n_blocks: int = 8):
+        self.dim = dim
+        self.stress_loops = stress_loops
+        self.n_blocks = n_blocks
+        self.vectors: np.ndarray | None = None
+        self.points: np.ndarray | None = None
+        self.stress_history: list[float] = []
+        self.batches = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from flink_mm_spark.algos.damds import damds, damds_blocks, quantize_distances
+
+        rows = batch_df.select("vec_id", "embedding").collect()
+        if not rows:
+            return
+        new = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+        self.vectors = new if self.vectors is None else np.vstack([self.vectors, new])
+        m = self.vectors
+        dist = np.sqrt(np.maximum(
+            (m * m).sum(1)[:, None] - 2.0 * (m @ m.T) + (m * m).sum(1)[None, :], 0.0
+        ))
+        q, _ = quantize_distances(dist)
+        blocks = damds_blocks(batch_df.sparkSession, q, n_blocks=self.n_blocks)
+        try:
+            res = damds(
+                blocks,
+                len(m),
+                dim=self.dim,
+                max_temp_loops=1,
+                max_stress_loops=self.stress_loops,
+                x0=self.points,
+            )
+        finally:
+            blocks.unpersist()
+        self.points = res.points
+        self.stress_history.append(res.stress)
+        self.batches += 1
+
+    def sink(self) -> Callable[[DataFrame, int], None]:
+        return self.update

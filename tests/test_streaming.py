@@ -191,3 +191,31 @@ def test_stateful_user_stats(spark, batch_events, tmp_path):
         assert g["n_events"] == w["n_events"], uid
         assert g["max_value"] == w["max_value"], uid
         assert abs(g["sum_value"] - w["sum_value"]) < 1e-6, uid
+
+
+def test_incremental_mds_foreachbatch(spark, tmp_path):
+    """Streaming DA-MDS: embeddings arrive in micro-batches; each batch
+    refines the embedding warm-started from the last. Uses the distributed
+    damds kernels per batch."""
+    from flink_mm_spark.sources.tables import table
+    from flink_mm_spark.streaming.events import IncrementalMDS, embeddings_stream
+
+    emb = table(spark, SF_DIR, "embeddings").filter("vec_id < 120")
+    split_dir = tmp_path / "emb_split"
+    emb.repartition(3).write.mode("overwrite").parquet(str(split_dir))
+
+    model = IncrementalMDS(dim=2, stress_loops=2, n_blocks=4)
+    stream = embeddings_stream(spark, str(split_dir), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(model.sink())
+        .option("checkpointLocation", str(tmp_path / "imds"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert model.batches >= 2
+    assert model.points.shape == (120, 2)
+    assert all(np.isfinite(s) for s in model.stress_history)
+    # the final full-corpus stress should not be wildly above the first
+    # partial-corpus stress (warm start keeps refinement stable)
+    assert model.stress_history[-1] < 1.0
