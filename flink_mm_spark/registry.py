@@ -50,5 +50,6 @@ def load_all() -> None:
     import flink_mm_spark.operators.multimodal  # noqa: F401
     import flink_mm_spark.sources.binary_matrix  # noqa: F401
     import flink_mm_spark.sources.text_points  # noqa: F401
+    import flink_mm_spark.operators.udf_surface  # noqa: F401
     import flink_mm_spark.linalg.queries  # noqa: F401
     import flink_mm_spark.algos.queries  # noqa: F401
