@@ -453,9 +453,10 @@ def damds_blocks_from_files(
 
     dt = _np_dtype("int16", byteorder)
     expect = n_points * n_points * dt.itemsize
-    actual = os.path.getsize(dist_path)
-    if actual < expect:
-        raise ValueError(f"{dist_path}: {actual} bytes < expected {expect}")
+    for pth in [dist_path] + ([weight_path] if weight_path else []):
+        actual = os.path.getsize(pth)
+        if actual < expect:
+            raise ValueError(f"{pth}: {actual} bytes < expected {expect}")
     specs = pd.DataFrame(
         split_rows(n_points, n_blocks), columns=["block_id", "start", "block_rows"]
     )

@@ -853,3 +853,108 @@ def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_id")
     )
+
+
+@register(
+    "event_followups_range_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    )
+    SELECT a.event_type AS lead_type, b.event_type AS follow_type,
+           COUNT(*) AS n_pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.us > a.us AND b.us <= a.us + 5 * 60 * 1000000
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_followups_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: events followed by another event from the
+    same user within 5 minutes, counted by type transition.
+
+    The reference has no theta/range joins (SURVEY §2.3 'absent'); here the
+    equi-part (user_id) is the shuffle key and the range predicate filters
+    within each user's partition — the standard band-join shape. Skewed
+    users are the risk at scale: AQE skew-join splits them, or pre-bucket
+    time into coarse intervals and join on (user, bucket) to bound the
+    per-key cross product.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    a = e.select(
+        F.col("user_id").alias("ua"), F.col("us").alias("us_a"), F.col("event_type").alias("lead_type")
+    )
+    b = e.select(
+        F.col("user_id").alias("ub"), F.col("us").alias("us_b"), F.col("event_type").alias("follow_type")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + 5 * 60 * 1_000_000),
+        )
+        .groupBy("lead_type", "follow_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lead_type", "follow_type")
+    )
+
+
+@register(
+    "asof_click_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    clicks AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, event_id AS p_event, us AS p_us
+                  FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id,
+           CAST(p.p_event AS BIGINT) AS prior_purchase_event,
+           CAST(c.us - p.p_us AS BIGINT) AS gap_us
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.us >= p.p_us
+    ORDER BY c.user_id, c.event_id
+    """,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the same user's most recent prior
+    (or simultaneous) purchase, NULL when none.
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is the
+    union-and-carry pattern: union both streams ordered by time per user,
+    then ``last(purchase, ignoreNulls)`` over an unbounded-preceding window
+    carries the latest purchase forward to each click — ONE shuffle on
+    user_id, no range-join blowup, works at any key cardinality. The DuckDB
+    oracle uses its native ASOF JOIN, proving the rewrite's semantics.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id")).alias("p"),
+        F.col("event_type").alias("et"),
+    )
+    # purchases sort before simultaneous clicks so "ts >= purchase ts" holds
+    order = [F.col("us"), F.when(F.col("et") == "purchase", 0).otherwise(1), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = both.withColumn("last_p", F.last("p", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("et") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("last_p.event_id").cast("long").alias("prior_purchase_event"),
+            (F.col("us") - F.col("last_p.us")).cast("long").alias("gap_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -67,6 +67,12 @@ def read_matrix_blocks(
             for _, r in pdf.iterrows():
                 start, nrows = int(r["start"]), int(r["block_rows"])
                 raw = np.fromfile(path, dtype=dt, count=nrows * n_cols, offset=start * n_cols * dt.itemsize)
+                if raw.size != nrows * n_cols:
+                    raise ValueError(
+                        f"{path}: block {int(r['block_id'])} (rows "
+                        f"{start}..{start + nrows}) got {raw.size} cells, "
+                        f"expected {nrows * n_cols} — truncated or mis-shaped file"
+                    )
                 if cell == "int16":
                     vals = raw.astype(np.float64)
                     out = np.where(vals < 0, np.nan, vals * INV_SHORT_MAX)

@@ -70,3 +70,16 @@ def test_matrix_multiply_file_end_to_end(spark, tmp_path):
     write_matrix_file(path, a, "float64", "big")
     c = matrix_multiply_file(spark, path, 64, 48, b, n_blocks=6)
     np.testing.assert_allclose(c, a @ b, rtol=1e-12)
+
+
+def test_truncated_file_raises(spark, tmp_path):
+    """A short file must fail loudly with block context, not mis-shape."""
+    arr = np.arange(10 * 4, dtype=np.float64).reshape(10, 4)
+    path = str(tmp_path / "t.bin")
+    write_matrix_file(path, arr, "float64", "big")
+    import os
+
+    os.truncate(path, os.path.getsize(path) - 16)  # drop two cells
+    blocks = read_matrix_blocks(spark, path, 10, 4, "float64", "big", n_blocks=2)
+    with pytest.raises(Exception, match="truncated|expected"):
+        blocks_to_numpy(blocks)
