@@ -958,3 +958,24 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register("approx_distinct_users", oracle=None)  # HLL sketch ≠ DuckDB's → rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact, per event_type.
+
+    The sketch path is the 100 TB default for distinct counts: fixed-size
+    state (vs a full hash table), mergeable partials, one narrow shuffle.
+    Deterministic for a given input (hash-based, no RNG) but implementation
+    -specific, so it is rows-only checked; the ≤2% relative-error contract
+    vs the exact count is asserted in tests/test_relational_extra.py.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -260,3 +260,34 @@ class IncrementalMDS:
 
     def sink(self) -> Callable[[DataFrame, int], None]:
         return self.update
+
+
+def followup_join_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to same-
+    user purchases within the preceding ``horizon``.
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    purchase can be evicted once the click-side watermark passes its ts +
+    horizon (Structured Streaming derives the eviction bound from the
+    interval condition). The batch twin is the
+    ``event_followups_range_join``/``asof_click_purchase`` family.
+    """
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id", "c_ts", "p_ts")

@@ -219,3 +219,40 @@ def test_incremental_mds_foreachbatch(spark, tmp_path):
     # the final full-corpus stress should not be wildly above the first
     # partial-corpus stress (warm start keeps refinement stable)
     assert model.stress_history[-1] < 1.0
+
+
+def test_stream_stream_interval_join(spark, batch_events, tmp_path):
+    """Watermarked stream-stream join produces exactly the batch interval
+    join pairs."""
+    from flink_mm_spark.streaming.events import followup_join_stream
+
+    src = events_stream(spark, SF_DIR)
+    clicks = src.filter("event_type = 'click'")
+    purchases = src.filter("event_type = 'purchase'")
+    _run_to_memory(
+        followup_join_stream(clicks, purchases), "ssjoin_t", tmp_path, output_mode="append"
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_t").collect()
+    }
+    from pyspark.sql import functions as F
+
+    e = batch_events.select("user_id", "event_id", "event_type", "ts")
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("ci"), F.col("ts").alias("ct")
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pi"), F.col("ts").alias("pt")
+    )
+    want = {
+        (r["ci"], r["pi"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pt") <= F.col("ct"))
+            & (F.col("pt") >= F.col("ct") - F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert want
+    assert got == want
