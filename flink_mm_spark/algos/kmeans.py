@@ -59,9 +59,13 @@ def assign_clusters(points: DataFrame, centroids: np.ndarray, features_col: str 
     return points.withColumn("cluster", assign_udf(features_col))
 
 
-def _lloyd_step_columnar(cols_df: DataFrame, centroids: np.ndarray) -> np.ndarray:
+def _lloyd_step_columnar(
+    cols_df: DataFrame, centroids: np.ndarray, n_parts: int | None = None
+) -> np.ndarray:
     """One Lloyd pass over the f0..f{d-1} columnar layout."""
     k, d = centroids.shape
+    if n_parts is None:
+        n_parts = cols_df.rdd.getNumPartitions()
     bc = cols_df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +91,6 @@ def _lloyd_step_columnar(cols_df: DataFrame, centroids: np.ndarray) -> np.ndarra
         )
 
     partials_df = cols_df.mapInPandas(partials, PARTIAL_SCHEMA)
-    n_parts = cols_df.rdd.getNumPartitions()
     if k * d * n_parts > 2_000_000:
         # Large fan-in: pre-combine with one shuffle before the gather, the
         # treeAggregate shape (bounds driver inflow to k·d rows).
@@ -98,6 +101,7 @@ def _lloyd_step_columnar(cols_df: DataFrame, centroids: np.ndarray) -> np.ndarra
     # rows are tiny (≤ k·d per partition) so the collect is the reference's
     # A6 ordered gather, Arrow-accelerated.
     pdf = partials_df.toPandas()
+    bc.destroy()  # per-pass broadcast; job is done once toPandas returns
     g = pdf.groupby(["cluster", "dim"], sort=False).agg(s=("s", "sum"), cnt=("cnt", "sum")).reset_index()
     new = np.zeros((k, d))  # vanished clusters stay zero (reference I4)
     counts = np.zeros(k, dtype=np.int64)
@@ -136,8 +140,9 @@ def kmeans(
     cols_df = cols_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cols_df.count()  # materialize the cache before timing-sensitive loop
+        n_parts = cols_df.rdd.getNumPartitions()  # loop-invariant
         for _ in range(n_iters):
-            centroids = _lloyd_step_columnar(cols_df, centroids)
+            centroids = _lloyd_step_columnar(cols_df, centroids, n_parts)
         return centroids
     finally:
         cols_df.unpersist()

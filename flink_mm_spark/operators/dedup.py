@@ -41,24 +41,24 @@ def tokens_expr(col: str = "text") -> Column:
 
 
 def shingles_expr(k: int, col: str = "text") -> Column:
-    """Distinct k-word shingles as an array<string> (JVM higher-order fns)."""
+    """Distinct k-word shingles as an array<string> (JVM higher-order fns).
+
+    Documents with fewer than k tokens yield an EMPTY array — guarded
+    explicitly because sequence(1, 0) would count DOWN to [1, 0] and
+    slice(toks, 0, k) throws (SQL arrays are 1-indexed).
+    """
     toks = tokens_expr(col)
     n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-
-def _duckdb_shingles(k: int) -> str:
-    """DuckDB expression mirroring shingles_expr (1-indexed lists)."""
-    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
-    return (
-        "list_distinct(list_transform("
-        f"range(1, greatest(len(toks) - {k - 2}, 1)), i -> {parts}))"
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +183,8 @@ _MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 
 _EMPTY_SIG = [int(_MERSENNE)] * N_PERM  # signature of a shingle-less doc
 
+_SIG_CACHE: list[DataFrame] = []  # last persisted signatures (bounds cache leak)
+
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """doc_id → MinHash signature (array<long>, N_PERM entries).
@@ -223,7 +225,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Persist: the signature pipeline (shingle + hash + Python UDF) feeds
     # BOTH sides of the self-join; without this Spark computes it twice.
+    # The previous invocation's cache is released here (the DataFrame must
+    # stay cached while the returned lazy plan is still executable, so a
+    # try/finally inside this builder cannot do it).
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
     sigs = minhash_signatures(spark, sf_dir).persist()
+    _SIG_CACHE.append(sigs)
     rows_per_band = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",

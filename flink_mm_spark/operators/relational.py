@@ -910,8 +910,10 @@ def event_followups_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
     ),
     clicks AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
-    purchases AS (SELECT user_id, event_id AS p_event, us AS p_us
-                  FROM e WHERE event_type = 'purchase')
+    -- collapse same-microsecond purchases to the max event_id so the ASOF
+    -- match is total (mirrors the Spark side's event_id tie-break)
+    purchases AS (SELECT user_id, MAX(event_id) AS p_event, us AS p_us
+                  FROM e WHERE event_type = 'purchase' GROUP BY user_id, us)
     SELECT c.user_id, c.event_id,
            CAST(p.p_event AS BIGINT) AS prior_purchase_event,
            CAST(c.us - p.p_us AS BIGINT) AS gap_us

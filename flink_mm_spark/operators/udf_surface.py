@@ -76,8 +76,7 @@ def label_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(i - 1 AS INT) AS pos,
            t[i] || ' ' || t[i + 1] AS pair
-    FROM toks, (SELECT unnest(range(1, 2000)) AS i) r
-    WHERE i < len(t)
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
     ORDER BY doc_id, pos
     """,
 )
@@ -94,6 +93,8 @@ def udtf_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, pair: string")
     class WordPairs:
         def eval(self, text: str):
+            if text is None:
+                return
             toks = text.strip().lower().split()
             for i in range(len(toks) - 1):
                 yield i, f"{toks[i]} {toks[i + 1]}"

@@ -29,20 +29,25 @@ def read_points_text(spark: SparkSession, path: str, d: int, strict: bool = True
     """Text lines of d whitespace-separated doubles → points(features ARRAY<DOUBLE>).
 
     ``strict`` reproduces the reference's arity check
-    (kmeans/PointInputFormat.java:408-428: throw if splits.length != d):
-    malformed lines surface as a count of nulls instead of silent drops.
+    (kmeans/PointInputFormat.java:408-428: throw if splits.length != d).
+    The check runs INSIDE the scan (raise_error on the first malformed
+    line, surfacing on the caller's action) — no separate validation job,
+    the file is read once. strict=False turns malformed lines into NULL
+    feature rows instead.
     """
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
     feats = F.transform(toks, lambda s: s.cast("double"))
-    pts = lines.filter(F.length(F.trim("value")) > 0).select(
-        F.when(F.size(toks) == d, feats).alias("features")
-    )
+    good = F.when(F.size(toks) == d, feats)
     if strict:
-        bad = pts.filter(F.col("features").isNull()).count()
-        if bad:
-            raise ValueError(f"{bad} lines do not have exactly {d} columns")
-    return pts
+        good = good.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"line does not have exactly {d} columns: "), F.col("value")
+                )
+            ).cast("array<double>")
+        )
+    return lines.filter(F.length(F.trim("value")) > 0).select(good.alias("features"))
 
 
 def read_centroids_text(spark: SparkSession, path: str, d: int) -> DataFrame:

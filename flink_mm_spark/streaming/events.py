@@ -54,7 +54,12 @@ def tumbling_aggregate(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-cast sum: identical result for any micro-batch split
+            # vs the batch plan (see relational.dsum / CLAUDE.md)
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -74,7 +79,10 @@ def sliding_aggregate(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg((F.sum("value") / F.count(F.lit(1))).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
     )
 
@@ -86,7 +94,10 @@ def session_aggregate(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

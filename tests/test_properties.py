@@ -52,3 +52,18 @@ def test_split_then_vstack_identity(n_rows, n_cols):
     for n_blocks in (1, 3, n_rows):
         parts = [arr[s : s + r] for _, s, r in split_rows(n_rows, n_blocks)]
         np.testing.assert_array_equal(np.vstack(parts), arr)
+
+
+def test_shingles_short_documents_dont_crash(spark):
+    """Documents with < k tokens must yield empty shingle sets, not a
+    slice(toks, 0, k) SparkRuntimeException (sequence(1,0) counts DOWN)."""
+    import pandas as pd
+
+    from flink_mm_spark.operators.dedup import shingles_expr
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["one", "one two", "one two three", "a b c d", "  "]})
+    )
+    rows = df.select(shingles_expr(3).alias("sh")).collect()
+    sizes = [len(r["sh"]) for r in rows]
+    assert sizes == [0, 0, 1, 2, 0]

@@ -21,8 +21,8 @@ def test_points_roundtrip(spark, tmp_path):
 def test_strict_arity_raises(spark, tmp_path):
     path = tmp_path / "bad.txt"
     path.write_text("1.0 2.0 3.0\n4.0 5.0\n")
-    with pytest.raises(ValueError, match="do not have exactly 3"):
-        read_points_text(spark, str(path), 3)
+    with pytest.raises(Exception, match="does not have exactly 3"):
+        read_points_text(spark, str(path), 3).collect()
     # non-strict: malformed line becomes a null row instead
     rows = read_points_text(spark, str(path), 3, strict=False).collect()
     assert sum(r["features"] is None for r in rows) == 1
