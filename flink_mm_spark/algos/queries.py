@@ -97,7 +97,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.rn = 1
     )
     SELECT cid AS cluster_id, dim,
-           CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_v,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
            COUNT(*) AS n
     FROM upd GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -113,7 +113,11 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(e, "vec_id")
         .groupBy(F.col("cid").alias("cluster_id"), "dim")
         .agg(
-            (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+            # rounded: decimal casts of float32-origin doubles can land on
+            # half-up-vs-half-even ties at scale 12 (seen at sf0.1)
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_v"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("cluster_id", "dim")

@@ -694,10 +694,10 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "economy_revenue_share",
     oracle="""
     SELECT
-      CAST(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+      ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
                  ELSE CAST(0 AS DECIMAL(18,6)) END)
-           / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS economy_share,
+           / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS economy_share,
       COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
@@ -711,13 +711,16 @@ def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,6)")
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     return j.agg(
-        (
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero))
-            / F.sum(rev)
-        )
-        .cast("double")
-        .alias("economy_share"),
+        # rounded: the double promotion order of 100·a/b differs between
+        # engines by one ulp at sf0.1
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero))
+                / F.sum(rev)
+            ).cast("double"),
+            6,
+        ).alias("economy_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -22,7 +23,7 @@ import __spark_entry__ as entrymod
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 SF001 = "/root/testdata/sf0.001"
-SF01 = "/root/testdata/sf0.01"
+SF01 = os.environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
 
 
 def value_hash(cols, rows):
