@@ -140,6 +140,55 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _cogroup_cell_topk(members: DataFrame, probers: DataFrame, k: int = 3) -> DataFrame:
+    """Shared ANN scorer: cogroup (cell members × cell probers), one numpy
+    GEMM per cell, window-merge per-cell top-k into the global top-k.
+
+    ``members``: (vec_id, emb, cell); ``probers``: (qid, qemb, cell) with
+    one row per probed cell. The cell id is the only shuffle key; scoring
+    never leaves numpy (HOF folds are interpreted per pair — see module
+    doc). Used by both the LSH and IVF paths.
+    """
+    from pyspark.sql.window import Window
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def cell_topk(members_pdf: pd.DataFrame, probers_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(members_pdf) or not len(probers_pdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        mm = np.vstack(members_pdf["emb"].to_numpy())
+        mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        qq = np.vstack(probers_pdf["qemb"].to_numpy())
+        qq = qq / np.linalg.norm(qq, axis=1, keepdims=True)
+        cos = np.round(qq @ mm.T, 6)
+        mids = members_pdf["vec_id"].to_numpy()
+        qids = probers_pdf["qid"].to_numpy()
+        take = min(k + 1, cos.shape[1])  # +1: self may be among the members
+        idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+        va, vb, cs = [], [], []
+        for r, qid in enumerate(qids):
+            for j in idx[r]:
+                if mids[j] != qid:
+                    va.append(qid)
+                    vb.append(mids[j])
+                    cs.append(cos[r, j])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
+
+    scored = (
+        members.groupBy("cell")
+        .cogroup(probers.groupBy("cell"))
+        .applyInPandas(cell_topk, out_schema)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("vec_a", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN: random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
@@ -169,38 +218,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Vectors hash to an 8-bit sign bucket; each query vector probes its own
     bucket plus every distance-1 bucket (one sign bit flipped — the planes
-    a near-neighbor most plausibly straddles), so the candidate join stays
-    an equi-join on bucket id with a 9× probe fan-out instead of a wider
-    (unscalable) similarity predicate. Recall vs brute force is asserted in
-    tests/test_similarity.py. At 100 TB: bucket id is the shuffle key;
-    probe fan-out and plane count trade recall for join size.
+    a near-neighbor most plausibly straddles). Candidates are scored by the
+    shared cogrouped GEMM scorer — bucket id is the only shuffle key, with
+    a 9× probe fan-out instead of an unscalable similarity predicate.
+    Recall vs brute force is asserted in tests/test_similarity.py. At
+    100 TB: probe fan-out and plane count trade recall for join size.
     """
-    from pyspark.sql.window import Window
-
     bucketed = lsh_bucketed(spark, sf_dir)
+    members = bucketed.select("vec_id", "emb", F.col("bucket").alias("cell"))
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        F.explode(probes).alias("probe"),
+    probers = bucketed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.explode(probes).alias("cell"),
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("bucket").alias("bb")
-    )
-    scored = (
-        a.join(b, (F.col("probe") == F.col("bb")) & (F.col("vec_a") != F.col("vec_b")))
-        .select("vec_a", "vec_b", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 3)
-        .orderBy("vec_a", "rnk")
-    )
+    return _cogroup_cell_topk(members, probers, k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -267,39 +302,4 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.explode(probe_udf("emb")).alias("cell"),
     )
-
-    out_schema = "vec_a long, vec_b long, cos_sim double"
-
-    def cell_topk(members_pdf: pd.DataFrame, probers_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(members_pdf) or not len(probers_pdf):
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-        mm = np.vstack(members_pdf["emb"].to_numpy())
-        mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
-        qq = np.vstack(probers_pdf["qemb"].to_numpy())
-        qq = qq / np.linalg.norm(qq, axis=1, keepdims=True)
-        cos = np.round(qq @ mm.T, 6)
-        mids = members_pdf["vec_id"].to_numpy()
-        qids = probers_pdf["qid"].to_numpy()
-        take = min(3 + 1, cos.shape[1])  # +1: self may be in the cell
-        idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
-        va, vb, cs = [], [], []
-        for r, qid in enumerate(qids):
-            for j in idx[r]:
-                if mids[j] != qid:
-                    va.append(qid)
-                    vb.append(mids[j])
-                    cs.append(cos[r, j])
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
-
-    scored = (
-        members.groupBy("cell")
-        .cogroup(probers.groupBy("cell"))
-        .applyInPandas(cell_topk, out_schema)
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), F.col("vec_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 3)
-        .orderBy("vec_a", "rnk")
-    )
+    return _cogroup_cell_topk(members, probers, k=3)
