@@ -34,8 +34,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from flink_mm_spark.linalg.block_matrix import split_rows
-
-INV_SHORT_MAX = 1.0 / 32767.0
+from flink_mm_spark.sources.binary_matrix import INV_SHORT_MAX  # single source
 
 # Read-time weight transformation hook: (weights, dequantized distances) →
 # weights. The Spark analogue of the reference's TransformationFunction
@@ -62,6 +61,8 @@ def damds_blocks(
 ) -> DataFrame:
     """Partition quantized int16 distance (+weight) matrices into row blocks."""
     dist = np.asarray(dist, dtype=np.int16)
+    if weights is not None:
+        weights = np.asarray(weights, dtype=np.int16)
     n = dist.shape[0]
     rows = []
     for b, start, nrows in split_rows(n, n_blocks):
@@ -218,6 +219,7 @@ def stress(
         .agg(F.sum("v"))
         .collect()[0][0]
     )
+    x_bc.destroy()  # per-call broadcast; the job completed with collect()
     return float(total) * inv_sum_dsq
 
 
@@ -279,7 +281,9 @@ def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float, wt=None) -> np.ndarr
                 out.append((bid, bz.ravel().tolist()))
         yield pd.DataFrame(out, columns=["block_id", "data"])
 
-    return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+    out = _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+    x_bc.destroy()
+    return out
 
 
 def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray, wt=None) -> np.ndarray:
@@ -311,7 +315,10 @@ def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray, wt=None) -> np.n
                 out.append((bid, res.ravel()))
         yield pd.DataFrame(out, columns=["block_id", "data"])
 
-    return _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+    out = _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
+    p_bc.destroy()
+    v_bc.destroy()
+    return out
 
 
 def cg_solve(
@@ -378,6 +385,15 @@ def damds(
     (BC then CG) until relative stress change < threshold.
     """
     stats = matrix_stats(blocks)
+    if n_points < 2 or stats.sum_sq <= 0.0 or not np.isfinite(stats.positive_min):
+        # degenerate matrix (single point / all-identical vectors): nothing
+        # to embed — reachable from IncrementalMDS's first tiny micro-batch
+        rng = np.random.RandomState(seed)
+        x = rng.uniform(-0.5, 0.5, size=(n_points, dim))
+        if x0 is not None:
+            k = min(len(x0), n_points)
+            x[:k] = np.asarray(x0, dtype=np.float64)[:k, :dim]
+        return DamdsResult(points=x, stress=0.0, temp_loops=0, stress_iters=0)
     wt = (
         sammon_transform(sammon_factor, stats.sum / stats.count)
         if sammon_factor is not None

@@ -34,6 +34,11 @@ def gemm_broadcast(blocks: DataFrame, b_matrix: np.ndarray) -> DataFrame:
         b_local = b_bc.value
         out = []
         for flat, nrows, ncols in zip(data, block_rows, matrix_cols):
+            if int(ncols) != b_local.shape[0]:
+                raise ValueError(
+                    f"GEMM shape mismatch: A blocks have {int(ncols)} cols, "
+                    f"B has {b_local.shape[0]} rows"
+                )
             a = np.asarray(flat, dtype=np.float64).reshape(int(nrows), int(ncols))
             out.append((a @ b_local).ravel())
         return pd.Series(out)

@@ -37,27 +37,41 @@ def read_points_text(spark: SparkSession, path: str, d: int, strict: bool = True
     """
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
-    feats = F.transform(toks, lambda s: s.cast("double"))
-    good = F.when(F.size(toks) == d, feats)
     if strict:
-        good = good.otherwise(
+        # ANSI cast: a non-numeric token raises; wrong arity raises explicitly
+        feats = F.transform(toks, lambda s: s.cast("double"))
+        good = F.when(F.size(toks) == d, feats).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"line does not have exactly {d} columns: "), F.col("value")
                 )
             ).cast("array<double>")
         )
+    else:
+        # try_cast: malformed tokens or arity → NULL feature row, never a
+        # job abort (Spark 4 runs ANSI mode by default)
+        feats = F.transform(toks, lambda s: s.try_cast("double"))
+        ok = (F.size(toks) == d) & (
+            F.size(F.filter(feats, lambda x: x.isNull())) == 0
+        )
+        good = F.when(ok, feats)
     return lines.filter(F.length(F.trim("value")) > 0).select(good.alias("features"))
 
 
 def read_centroids_text(spark: SparkSession, path: str, d: int) -> DataFrame:
     """id + d coords per line → centroids(id INT, features ARRAY<DOUBLE>)
-    (kmeans/KMeansOriginal.java:95-105 parse semantics)."""
+    (kmeans/KMeansOriginal.java:95-105 parse semantics). Lines without
+    exactly 1 + d tokens raise (same strictness as read_points_text)."""
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
+    feats = F.when(F.size(toks) == d + 1, F.slice(toks, 2, d).cast("array<double>")).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"centroid line does not have exactly {d + 1} columns: "), F.col("value"))
+        ).cast("array<double>")
+    )
     return lines.filter(F.length(F.trim("value")) > 0).select(
         F.element_at(toks, 1).cast("int").alias("id"),
-        F.slice(toks, 2, d).cast("array<double>").alias("features"),
+        feats.alias("features"),
     )
 
 

@@ -177,7 +177,8 @@ class IncrementalKMeans:
         self.batches = 0
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select("value").collect()
+        # NULL values would fold NaN into a centroid permanently — drop them
+        rows = batch_df.select("value").where(F.col("value").isNotNull()).collect()
         if not rows:
             return
         x = np.array([[r["value"]] for r in rows], dtype=np.float64)

@@ -192,3 +192,15 @@ def test_blocks_from_files_match_driver_blocks(spark, problem, blocks, tmp_path)
         assert s1 == pytest.approx(s2, rel=1e-12)
     finally:
         fb.unpersist()
+
+
+def test_degenerate_single_point(spark):
+    """A 1x1 (or all-identical) distance matrix must return a finite
+    embedding, not ZeroDivisionError (IncrementalMDS first micro-batch)."""
+    blocks = D.damds_blocks(spark, np.zeros((1, 1), dtype=np.int16), n_blocks=1)
+    try:
+        res = D.damds(blocks, 1, dim=2)
+        assert res.points.shape == (1, 2) and np.isfinite(res.points).all()
+        assert res.stress == 0.0 and res.stress_iters == 0
+    finally:
+        blocks.unpersist()

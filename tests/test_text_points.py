@@ -33,3 +33,22 @@ def test_centroids_parse(spark, tmp_path):
     path.write_text("1 0.5 0.25\n2 -1.0 3.5\n")
     got = {r["id"]: r["features"] for r in read_centroids_text(spark, str(path), 2).collect()}
     assert got == {1: [0.5, 0.25], 2: [-1.0, 3.5]}
+
+
+def test_nonstrict_bad_token_is_null_row(spark, tmp_path):
+    """Under ANSI mode a non-numeric token must not abort the scan when
+    strict=False (try_cast path)."""
+    path = tmp_path / "tok.txt"
+    path.write_text("1.0 2.0 3.0\n4.0 abc 6.0\n")
+    rows = read_points_text(spark, str(path), 3, strict=False).collect()
+    assert sum(r["features"] is None for r in rows) == 1
+    assert sum(r["features"] is not None for r in rows) == 1
+
+
+def test_centroids_arity_raises(spark, tmp_path):
+    path = tmp_path / "cb.txt"
+    path.write_text("1 0.5 0.25\n2 0.5\n")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="centroid line"):
+        read_centroids_text(spark, str(path), 2).collect()
