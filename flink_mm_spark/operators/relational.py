@@ -984,3 +984,37 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event_type values become count columns per user bucket.
+
+    The explicit value list keeps the plan single-pass (no distinct-values
+    pre-query) — required at scale, where an unlisted pivot would scan the
+    table twice. Compiles to one hash aggregate with conditional counts.
+    """
+    e = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_bucket", *[F.col(t).cast("long").alias(t) for t in types]
+    ).orderBy("user_bucket")
