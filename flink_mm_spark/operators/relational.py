@@ -1018,3 +1018,35 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_bucket", *[F.col(t).cast("long").alias(t) for t in types]
     ).orderBy("user_bucket")
+
+
+@register(
+    "order_price_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, CAST(v AS DOUBLE) AS v
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(o_custkey AS DOUBLE) AS cust_key
+      FROM orders WHERE o_orderkey < 200
+    )
+    UNPIVOT (v FOR metric IN (total_price, cust_key))
+    ORDER BY o_orderkey, metric
+    """,
+)
+def order_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide metric columns to (key, metric, value) rows —
+    the inverse of ``event_type_pivot``, a pure narrow transform (no
+    shuffle; check the plan has only Expand over the scan)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("o_custkey").cast("double").alias("cust_key"),
+        )
+    )
+    return o.unpivot(
+        "o_orderkey", ["total_price", "cust_key"], "metric", "v"
+    ).orderBy("o_orderkey", "metric")
