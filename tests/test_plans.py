@@ -58,3 +58,20 @@ def test_media_metadata_prunes_payload(spark):
     plan = _plan(spark, "media_metadata")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "text" not in scan.split("[", 1)[1].split("]", 1)[0]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    become a PartitionFilter (pruned at file listing, zero data read from
+    other partitions) — the at-rest layout lever for 100 TB event tables."""
+    from flink_mm_spark.sources.tables import table
+
+    out = str(tmp_path / "events_by_type")
+    table(spark, SF_DIR, "events").write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'click'").select("event_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(event_type" in scan, scan
+    # the predicate must NOT degrade to a post-scan data filter
+    assert "PushedFilters: []" in scan
