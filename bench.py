@@ -126,33 +126,37 @@ def bench_streaming(spark, sf_dir: str) -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def bench_collectives(spark, n_iters: int = 10, size: int = 1000, n_part: int = 32) -> None:
-    """Reduce / AllReduce latency (collectives/Reduce.java, AllReduce.java:
-    size=1000, itr=10 defaults from collectives/Program.java:13-26).
-
-    Reduce = per-partition partial vector sums → driver combine; AllReduce
-    adds the broadcast of the result back to the executors each round.
-    """
+def _collective_vectors(spark, size: int, n_part: int):
     import pandas as pd
-
-    sc = spark.sparkContext
-    base = spark.range(0, n_part, 1, n_part)
 
     def partials(batches):
         for pdf in batches:
             yield pd.DataFrame({"v": [np.ones(size).tolist()] * len(pdf)})
 
-    vecs = base.mapInPandas(partials, "v array<double>")
-    vecs = vecs.persist()
+    vecs = spark.range(0, n_part, 1, n_part).mapInPandas(partials, "v array<double>").persist()
     vecs.count()
+    return vecs
+
+
+def bench_reduce(spark, vecs, n_iters: int = 10) -> None:
+    """Reduce latency (collectives/Reduce.java: per-partition partial vector
+    sums → driver combine; size=1000, itr=10 from Program.java:13-26)."""
+    for _ in range(n_iters):
+        rows = vecs.toPandas()
+        np.sum(np.vstack(rows["v"].to_numpy()), axis=0)
+
+
+def bench_allreduce(spark, vecs, n_iters: int = 10, size: int = 1000) -> None:
+    """AllReduce latency (collectives/AllReduce.java): Reduce plus the
+    broadcast of the combined vector back to the executors each round."""
+    sc = spark.sparkContext
     cur = np.zeros(size)
     for _ in range(n_iters):
         rows = vecs.toPandas()
-        reduced = np.sum(np.vstack(rows["v"].to_numpy()), axis=0)  # Reduce
-        bc = sc.broadcast(reduced + cur)  # AllReduce: result back to workers
+        reduced = np.sum(np.vstack(rows["v"].to_numpy()), axis=0)
+        bc = sc.broadcast(reduced + cur)
         cur = bc.value * 0.0
         bc.destroy()
-    vecs.unpersist()
 
 
 def main() -> None:
@@ -198,9 +202,15 @@ def main() -> None:
     bench_streaming(spark, SF_DIR)
     timings["streaming_tumbling_availablenow"] = round(time.perf_counter() - t0, 3)
 
+    vecs = _collective_vectors(spark, size=1000, n_part=32)
     t0 = time.perf_counter()
-    bench_collectives(spark)
+    bench_reduce(spark, vecs)
+    timings["collectives_reduce_i10"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bench_allreduce(spark, vecs)
     timings["collectives_allreduce_i10"] = round(time.perf_counter() - t0, 3)
+    vecs.unpersist()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

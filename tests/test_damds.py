@@ -204,3 +204,46 @@ def test_degenerate_single_point(spark):
         assert res.stress == 0.0 and res.stress_iters == 0
     finally:
         blocks.unpersist()
+
+
+def test_config_properties_parity(spark, problem, blocks, tmp_path):
+    """A reference-format config.properties drives the anneal unchanged
+    (damds/configuration/section/DAMDSSection.java key set)."""
+    from flink_mm_spark.algos.damds_config import (
+        damds_from_config,
+        damds_kwargs,
+        load_properties,
+    )
+
+    q, _, _ = problem
+    cfg_path = tmp_path / "config.properties"
+    cfg_path.write_text(
+        "# reference-style config\n"
+        f"NumberDataPoints={len(q)}\n"
+        "TargetDimension=3\n"
+        "CGIterations=8\n"
+        "Threshold = 0.0001\n"
+        "IsSammon = false\n"
+        "Alpha = .5\n"
+        "TminFactor = 0.5\n"
+        "CGErrorThreshold = 0.0001\n"
+        "MaxStressLoops = 2\n"
+        "MaxTempLoops = 4\n"
+        "OutputFolder=damds_out\n"  # layout keys accepted and ignored
+        'OutFile="final.txt"\n'
+    )
+    cfg = load_properties(str(cfg_path))
+    kw = damds_kwargs(cfg)
+    assert kw == {
+        "dim": 3,
+        "alpha": 0.5,
+        "t_min_factor": 0.5,
+        "max_temp_loops": 4,
+        "max_stress_loops": 2,
+        "stress_threshold": 0.0001,
+        "cg_iters": 8,
+        "cg_threshold": 0.0001,
+    }
+    res = damds_from_config(blocks, cfg)
+    assert res.points.shape == (len(q), 3)
+    assert np.isfinite(res.stress)

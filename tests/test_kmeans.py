@@ -72,3 +72,19 @@ def test_kmeans_from_text_files_end_to_end(spark, tmp_path):
     got = kmeans(points_df, init_arr, n_iters=5)
     want = kmeans_numpy_oracle(pts, init_arr, n_iters=5)
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_kmeans_higher_dims(spark):
+    """d=8 (the reference generator supports 2-100d): distributed loop
+    matches the numpy oracle."""
+    import numpy as np
+
+    from flink_mm_spark.algos.kmeans import kmeans, kmeans_numpy_oracle
+
+    rng = np.random.RandomState(23)
+    pts = np.vstack([rng.standard_normal((60, 8)) + c for c in (0.0, 6.0, -6.0)])
+    init = pts[::50][:3]
+    df = spark.createDataFrame([(row.tolist(),) for row in pts], "features array<double>")
+    got = kmeans(df, init, n_iters=4)
+    want = kmeans_numpy_oracle(pts, init, n_iters=4)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
