@@ -384,3 +384,87 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "vec_a long, vec_b long, cos_sim double"
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+
+
+_JPF_CACHE: list[DataFrame] = []
+
+
+@register("jaccard_prefix_filtered", oracle=_JACCARD_ORACLE)
+def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.7 with PPJoin-style prefix filtering —
+    IDENTICAL output to ``jaccard_token_pairs`` (same oracle), different
+    candidate generation.
+
+    Tokens sort by ascending global document frequency; a doc's *prefix* is
+    its first n − ⌈t·n⌉ + 1 rare tokens. Any pair with Jaccard ≥ t must
+    share a prefix token (if not, their overlap fits inside one suffix of
+    size ⌈t·n⌉ − 1 < the required ⌈t·n⌉), so joining on prefix tokens only
+    is lossless — and stopwords ("the" in every doc) fall OUT of prefixes,
+    removing exactly the hot-key blowup that makes the naive inverted-index
+    join skew-bound at 100 TB. Verification computes the exact Jaccard on
+    the full sets via array_intersect.
+
+    Crossover note (measured at sf0.1): the synthetic corpus has a ~31-token
+    vocabulary, so there ARE no rare tokens — every prefix token is hot and
+    candidates balloon (616k pairs) while the naive count-join stays cheap.
+    Prefix filtering wins on real corpora (Zipfian vocabularies, where the
+    prefix holds genuinely rare tokens); both variants stay registered with
+    the SAME oracle proving they agree, and the naive variant remains the
+    benched default.
+    """
+    from pyspark.sql.window import Window
+
+    t = 0.7
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    # the token pipeline feeds freq, posting AND both verify sides: persist
+    # once (previous invocation's cache released, same pattern as minhash)
+    while _JPF_CACHE:
+        _JPF_CACHE.pop().unpersist()
+    sets = d.select("doc_id", "source", F.array_distinct(tokens_expr()).alias("sh")).persist()
+    _JPF_CACHE.append(sets)
+
+    # global document frequency per token → rarity rank (ties by token)
+    freq = (
+        sets.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    posting = sets.select("doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ranked = posting.join(F.broadcast(freq), "s").withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    prefixes = ranked.filter(F.col("rnk") <= prefix_len).select("doc_id", "source", "s")
+
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
