@@ -18,7 +18,6 @@ driver's rows-only checks stay stable).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -282,33 +281,86 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(tokens: list[str]) -> int:
-    """63-bit SimHash: sum of md5-derived ±1 bit vectors over tokens."""
-    if not tokens:
+def _simhash_from_hashes(hashes: np.ndarray) -> int:
+    """63-bit SimHash from per-token 64-bit base hashes: each hash votes
+    ±1 per bit; the sign of the vote sum sets the output bit."""
+    if hashes.size == 0:
         return 0
-    acc = np.zeros(63, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") >> 1
-        bits = (h >> np.arange(63)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(63):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    h = (hashes.astype(np.int64) >> 1) & ((1 << 63) - 1)
+    bits = (h[:, None] >> np.arange(63)[None, :]) & 1  # (tokens, 63)
+    acc = (bits * 2 - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.int64) << np.arange(63)).sum())
+
+
+def simhash_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 63-bit SimHash. Token hashing is JVM ``xxhash64``; the bit
+    arithmetic is one vectorized (tokens × 63) op per doc (same JVM/Python
+    split as minhash_signatures)."""
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    hashes = F.transform(F.array_distinct(tokens_expr()), lambda t: F.xxhash64(t))
+    base = d.select("doc_id", "source", hashes.alias("hs"))
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_simhash_from_hashes(np.asarray(h, dtype=np.int64)) for h in hs]
+        )
+
+    return base.select("doc_id", "source", sim_udf("hs").alias("simhash"))
 
 
 @register("simhash_fingerprints", oracle=None)  # python-hash based → rows-only
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 63-bit SimHash fingerprint (deterministic)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(tokens_expr()).alias("toks"))
+    return simhash_fingerprint_df(spark, sf_dir).select("doc_id", "simhash").orderBy("doc_id")
 
-    @F.pandas_udf(T.LongType())
-    def sim_udf(t: pd.Series) -> pd.Series:
-        return t.apply(lambda x: _simhash64(list(x)))
 
-    return toks.select("doc_id", sim_udf("toks").alias("simhash")).orderBy("doc_id")
+@register("simhash_near_dup", oracle=None)  # approximate → rows-only check
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 over 63-bit prints.
+
+    Candidate generation is a band join — the 63-bit print splits into 4
+    bands (~16 bits each); by pigeonhole, any pair within Hamming distance
+    3 matches EXACTLY on at least one band, so the equi-join on
+    (source, band_id, band_value) is lossless for the threshold. Hamming
+    verification is a JVM bit_count on the XOR — no Python in the join.
+    """
+    sigs = simhash_fingerprint_df(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "simhash", "b.band_id", "b.band_value")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,29 @@ def test_shingles_short_documents_dont_crash(spark):
     rows = df.select(shingles_expr(3).alias("sh")).collect()
     sizes = [len(r["sh"]) for r in rows]
     assert sizes == [0, 0, 1, 2, 0]
+
+
+def test_simhash_band_join_is_lossless(spark):
+    """The 4-band equi-join must recover EXACTLY the Hamming<=3 pairs a
+    brute-force scan finds (pigeonhole guarantee), within source blocks."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    from flink_mm_spark.operators.dedup import simhash_fingerprint_df
+
+    sigs = simhash_fingerprint_df(spark, sf).collect()
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            if a["source"] != b["source"]:
+                continue
+            if bin(a["simhash"] ^ b["simhash"]).count("1") <= 3:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                want.add((lo, hi))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["simhash_near_dup"].fn(spark, sf).collect()
+    }
+    assert got == want
