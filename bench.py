@@ -159,6 +159,44 @@ def bench_allreduce(spark, vecs, n_iters: int = 10, size: int = 1000) -> None:
         bc.destroy()
 
 
+def bench_bucketed_join(spark, sf_dir: str, timings: dict) -> None:
+    """Co-located (bucketed) fact join vs the same join over plain parquet.
+
+    Both tables hash-bucketed on the join key at write time -> the join
+    plans ZERO Exchanges; the plain-parquet twin pays the full shuffle.
+    The write itself is untimed (a layout cost amortized over every query
+    that reuses it). At 100 TB this is the single biggest join lever.
+    """
+    from flink_mm_spark.sources.bucketing import colocated_join, write_bucketed
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "bench_b_orders", "o_orderkey", n_buckets=32)
+        write_bucketed(lineitem, "bench_b_lineitem", "l_orderkey", n_buckets=32)
+
+        t0 = time.perf_counter()
+        force(
+            colocated_join(spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey", "l_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity"))
+        )
+        timings["bucketed_fact_join"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        force(
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity"))
+        )
+        timings["shuffle_fact_join"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+        spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("flink-mm-spark-bench")
@@ -201,6 +239,8 @@ def main() -> None:
     t0 = time.perf_counter()
     bench_streaming(spark, SF_DIR)
     timings["streaming_tumbling_availablenow"] = round(time.perf_counter() - t0, 3)
+
+    bench_bucketed_join(spark, SF_DIR, timings)
 
     vecs = _collective_vectors(spark, size=1000, n_part=32)
     t0 = time.perf_counter()
