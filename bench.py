@@ -112,7 +112,7 @@ def bench_streaming(spark, sf_dir: str) -> None:
 
     ckpt = tempfile.mkdtemp(prefix="fms_bench_ckpt_")
     try:
-        stream = events_stream(spark, sf_dir)
+        stream = events_stream(spark, sf_dir, glob="events.parquet")
         q = (
             tumbling_aggregate(stream)
             .writeStream.format("noop")
@@ -121,7 +121,8 @@ def bench_streaming(spark, sf_dir: str) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # never rmtree a live query's checkpoint
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -146,16 +147,17 @@ def bench_reduce(spark, vecs, n_iters: int = 10) -> None:
         np.sum(np.vstack(rows["v"].to_numpy()), axis=0)
 
 
-def bench_allreduce(spark, vecs, n_iters: int = 10, size: int = 1000) -> None:
+def bench_allreduce(spark, vecs, n_iters: int = 10, n_part: int = 32) -> None:
     """AllReduce latency (collectives/AllReduce.java): Reduce plus the
-    broadcast of the combined vector back to the executors each round."""
+    broadcast of the combined vector back to EVERY executor each round
+    (a per-partition job reads the broadcast so the fetch actually
+    happens; without it only the driver would touch bc.value)."""
     sc = spark.sparkContext
-    cur = np.zeros(size)
     for _ in range(n_iters):
         rows = vecs.toPandas()
         reduced = np.sum(np.vstack(rows["v"].to_numpy()), axis=0)
-        bc = sc.broadcast(reduced + cur)
-        cur = bc.value * 0.0
+        bc = sc.broadcast(reduced)
+        sc.parallelize(range(n_part), n_part).map(lambda i: float(bc.value[0])).count()
         bc.destroy()
 
 
@@ -171,6 +173,7 @@ def bench_bucketed_join(spark, sf_dir: str, timings: dict) -> None:
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         write_bucketed(orders, "bench_b_orders", "o_orderkey", n_buckets=32)
@@ -192,7 +195,7 @@ def bench_bucketed_join(spark, sf_dir: str, timings: dict) -> None:
         )
         timings["shuffle_fact_join"] = round(time.perf_counter() - t0, 3)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS bench_b_orders")
         spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
 
@@ -253,7 +256,8 @@ def main() -> None:
     vecs.unpersist()
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    m = __import__("re").search(r"sf([0-9.]+)/?$", SF_DIR)
+    sf = m.group(1) if m else SF_DIR
     print(
         json.dumps(
             {
@@ -261,7 +265,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": float(sf) if isinstance(sf, str) and sf.replace(".", "").isdigit() else sf,
             }
         )
     )

@@ -88,6 +88,8 @@ def udtf_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     design; the production-scale equivalent is the JVM-side
     ``shingles_expr`` + explode used by the dedup pipeline.
     """
+    import re
+
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos: int, pair: string")
@@ -95,7 +97,9 @@ def udtf_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             if text is None:
                 return
-            toks = text.strip().lower().split()
+            # mirror the oracle exactly: SQL trim strips SPACES only and
+            # string_split_regex keeps empty edge tokens — so does re.split
+            toks = re.split(r"\s+", text.lower().strip(" "))
             for i in range(len(toks) - 1):
                 yield i, f"{toks[i]} {toks[i + 1]}"
 

@@ -37,13 +37,23 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of events parquet (a directory or one file's dir)."""
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """File-source stream of events parquet files under ``path``.
+
+    Pass ``glob="events.parquet"`` when ``path`` is a multi-table directory
+    (like an sf dir) — otherwise every table's parquet is ingested and only
+    filtered out as schema-mismatch nulls downstream.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    df = reader.option("pathGlobFilter", glob).parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -39,10 +39,20 @@ def value_hash(cols, rows):
 
 
 def norm_rows(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(float(v) if isinstance(v, float) else v for v in r))
-    return out
+    """Align cross-engine value types before hashing: DuckDB DECIMAL/numpy
+    scalars → plain Python floats/ints so repr() compares equal."""
+    import decimal
+
+    import numpy as np
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    return [tuple(norm(v) for v in r) for r in rows]
 
 
 def main():
@@ -53,7 +63,7 @@ def main():
     df = entrymod.entry(spark)
     rows = df.collect()
     print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
-    assert len(rows) >= 0
+    assert len(rows) > 0, 'entry() returned no rows'
 
     con = duckdb.connect()
     for t in TABLES:

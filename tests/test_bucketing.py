@@ -10,6 +10,7 @@ from tests.conftest import SF_DIR
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
     try:
         orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
@@ -30,6 +31,6 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         )
         assert got == want
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")

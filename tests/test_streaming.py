@@ -55,7 +55,7 @@ def _watermark_cutoff(batch_events, horizon_hours=2):
 def test_tumbling_stream_equals_batch(spark, batch_events, tmp_path):
     import datetime
 
-    stream = events_stream(spark, SF_DIR)
+    stream = events_stream(spark, SF_DIR, glob="events.parquet")
     _run_to_memory(tumbling_aggregate(stream), "tumbling_t", tmp_path)
     got = _rows(spark, "tumbling_t")
     cutoff = _watermark_cutoff(batch_events)
@@ -73,7 +73,7 @@ def test_tumbling_stream_equals_batch(spark, batch_events, tmp_path):
 def test_sliding_stream_equals_batch(spark, batch_events, tmp_path):
     import datetime
 
-    stream = events_stream(spark, SF_DIR)
+    stream = events_stream(spark, SF_DIR, glob="events.parquet")
     _run_to_memory(sliding_aggregate(stream), "sliding_t", tmp_path)
     got = _rows(spark, "sliding_t")
     cutoff = _watermark_cutoff(batch_events)
@@ -87,7 +87,7 @@ def test_sliding_stream_equals_batch(spark, batch_events, tmp_path):
 
 
 def test_session_stream_equals_batch(spark, batch_events, tmp_path):
-    stream = events_stream(spark, SF_DIR)
+    stream = events_stream(spark, SF_DIR, glob="events.parquet")
     _run_to_memory(session_aggregate(stream), "session_t", tmp_path)
     got = _rows(spark, "session_t")
     cutoff = _watermark_cutoff(batch_events)
@@ -226,7 +226,7 @@ def test_stream_stream_interval_join(spark, batch_events, tmp_path):
     join pairs."""
     from flink_mm_spark.streaming.events import followup_join_stream
 
-    src = events_stream(spark, SF_DIR)
+    src = events_stream(spark, SF_DIR, glob="events.parquet")
     clicks = src.filter("event_type = 'click'")
     purchases = src.filter("event_type = 'purchase'")
     _run_to_memory(
