@@ -7,12 +7,15 @@ no Python in the hot path, so they run at scan speed on 100 TB of documents.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_mm_spark.operators.dedup import norm_text, tokens_expr
 from flink_mm_spark.registry import register
-from flink_mm_spark.sources.tables import table
+from flink_mm_spark.sources.tables import parallelize_scan, table
 
 # Tiny per-language stopword lists for the heuristic language ID. Chosen
 # deterministic + ASCII so Spark and DuckDB tokenize identically.
@@ -220,3 +223,72 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(norm_text().cast("binary")), 1, 16).alias("fingerprint"),
         F.substring(F.md5(bag.cast("binary")), 1, 16).alias("bag_fingerprint"),
     ).orderBy("doc_id")
+
+
+# --- rolling-hash fingerprints (Rabin-Karp + winnowing) --------------------
+
+_RH_K, _RH_W, _RH_M = 16, 8, 2147483647
+_RH_POW = np.array([1079017218, 330081243, 1346595130, 1150007217, 1090750511, 1775709275, 483199522, 1213495441, 623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1], dtype=np.int64)  # 257^(k-1-j) mod M, precomputed
+
+
+@register(
+    "rolling_fingerprints",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    wins AS (
+      SELECT doc_id, i,
+             list_sum(list_transform(range(1, 16 + 1),
+               j -> CAST(ascii(substr(text, CAST(i + j - 1 AS INT), 1)) AS BIGINT) * ([1079017218, 330081243, 1346595130, 1150007217, 1090750511, 1775709275, 483199522, 1213495441, 623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1])[j]
+             )) % 2147483647 AS h
+      FROM d, (SELECT unnest(range(1, 2000)) AS i) r
+      WHERE i <= length(text) - 16 + 1
+    ),
+    mins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             i,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_wins
+      FROM wins
+    )
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+    FROM mins WHERE i <= n_wins - 8 + 1
+    ORDER BY doc_id, fp
+    """,
+)
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme).
+
+    Rabin-Karp hash over every 16-char window (polynomial base 257 mod
+    2^31-1), then winnowing: the minimum hash of each 8-window of hashes,
+    deduplicated — a compact, position-robust fingerprint set whose overlap
+    detects partial/reordered plagiarism that whole-doc hashes miss. The
+    window hashing is one vectorized sliding-window matmul per doc in an
+    Arrow batch; the oracle reproduces the integer arithmetic exactly
+    (ASCII corpus, precomputed modular powers).
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fps_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            codes = np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64)
+            n = len(codes) - _RH_K + 1
+            if n < 1:
+                out.append([])
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(codes, _RH_K)
+            h = (wins @ _RH_POW) % _RH_M
+            if len(h) < _RH_W:
+                out.append(sorted(set([int(h.min())])))
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(h, _RH_W).min(axis=1)
+            out.append(sorted({int(v) for v in mins}))
+        return pd.Series(out)
+
+    return (
+        d.select("doc_id", fps_udf("text").alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
