@@ -271,3 +271,64 @@ def media_resize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize-to-64x64 planning pass (metadata arithmetic only — the
     real pixel work slots into the same stage when a codec exists)."""
     return resize_images(media_table(spark, sf_dir), 64, 64).orderBy("media_id")
+
+
+FRAME = 64  # samples per analysis frame (fake PCM = payload bytes)
+
+
+@register(
+    "media_audio_energy",
+    oracle=f"""
+    WITH media AS ({{MEDIA_SQL}}),
+    aud AS (SELECT media_id, text, n_bytes FROM media WHERE media_type = 'audio'),
+    frames AS (
+      SELECT media_id, CAST(f.i - 1 AS INT) AS frame_idx,
+             list_sum(list_transform(range(1, {FRAME} + 1),
+               j -> CAST(ascii(substr(text, CAST((f.i - 1) * {FRAME} + j AS INT), 1)) AS BIGINT)
+                    * CAST(ascii(substr(text, CAST((f.i - 1) * {FRAME} + j AS INT), 1)) AS BIGINT)
+             )) AS energy
+      FROM aud, (SELECT unnest(range(1, 40)) AS i) f
+      WHERE f.i * {FRAME} <= n_bytes
+    )
+    SELECT media_id, frame_idx, CAST(energy AS BIGINT) AS energy
+    FROM frames WHERE media_id < 300 ORDER BY media_id, frame_idx
+    """.format(MEDIA_SQL=MEDIA_SQL),
+)
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: per-frame energy over the payload treated
+    as 8-bit PCM (the deterministic fake; a real decoder slots into the
+    same mapInPandas stage). Frames are full 64-byte windows; energy =
+    Σ sample² as exact integers so the oracle matches bit-for-bit.
+    """
+    aud = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("media_id") < 300)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fidx, energy = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = len(samples) // FRAME
+                if n_frames == 0:
+                    continue
+                e = (samples[: n_frames * FRAME].reshape(n_frames, FRAME) ** 2).sum(axis=1)
+                ids.extend([mid] * n_frames)
+                fidx.extend(range(n_frames))
+                energy.extend(e.tolist())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": fidx, "energy": energy})
+
+    return (
+        aud.select("media_id", "payload")
+        .mapInPandas(extract, schema)
+        .orderBy("media_id", "frame_idx")
+    )
