@@ -34,13 +34,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__name__ = name
         return run
 
-    return {name: wrap(name) for name in registry.QUERIES}
+    return {name: wrap(name) for name in registry.ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
     return {
-        name: spec.oracle
-        for name, spec in registry.QUERIES.items()
-        if spec.oracle is not None
+        name: registry.QUERIES[name].oracle
+        for name in registry.ordered_names()
+        if registry.QUERIES[name].oracle is not None
     }

@@ -1,0 +1,79 @@
+"""Grading-window ordering invariants (see VERDICT.md round 1).
+
+The driver grades only the first ``GRADE_WINDOW`` entries of ``queries()`` in
+dict order; round 1 left the 14 flagship reference workloads ungraded because
+they registered last. These tests pin the fix.
+"""
+
+from __future__ import annotations
+
+from flink_mm_spark import registry
+
+registry.load_all()
+
+# Core reference workloads that MUST be driver-graded (VERDICT.md "Next round"
+# item 1 done-criteria).
+CORE = {
+    "binary_f64_scan",
+    "binary_i16_scan",
+    "text_points_scan",
+    "matmul_cells",
+    "gemm_broadcast_cells",
+    "short_matrix_stats",
+    "kmeans_assign",
+    "kmeans_centroid_update",
+    "kmeans_full",
+    "mds_stress",
+    "damds_embed",
+    "label_centroid_udaf",
+    "udtf_word_pairs",
+    "media_audio_energy",
+}
+
+
+def window() -> list[str]:
+    return registry.ordered_names()[: registry.GRADE_WINDOW]
+
+
+def test_ordered_names_is_a_permutation():
+    names = registry.ordered_names()
+    assert sorted(names) == sorted(registry.QUERIES)
+
+
+def test_core_workloads_inside_grading_window():
+    missing = CORE - set(window())
+    assert not missing, f"core workloads outside grading window: {missing}"
+
+
+def test_core_workloads_registered_first():
+    assert registry.ordered_names()[: len(registry.PROMOTE)] == [
+        n for n in registry.PROMOTE if n in registry.QUERIES
+    ]
+
+
+def test_every_deferred_query_has_a_graded_family_sibling():
+    """A deferred oracle query must leave its family represented in-window."""
+    graded = set(window())
+    siblings = {
+        "jaccard_token_pairs": "jaccard_prefix_filtered",
+        "orders_by_priority": "pricing_summary",
+        "top_orders_by_price": "top_customers_per_nation",
+        "order_price_unpivot": "event_type_pivot",
+        "monthly_revenue_trend": "running_order_totals",
+        "customers_without_orders": "nation_set_ops",
+        "suppliers_with_large_lineitems": "local_supplier_volume",
+        "events_json_props": "events_hourly",
+    }
+    for deferred, sibling in siblings.items():
+        if deferred in registry.QUERIES:
+            assert sibling in graded, f"{deferred} deferred but {sibling} ungraded"
+
+
+def test_window_oracle_density():
+    """The graded window should be dominated by hash-checked oracle queries."""
+    w = window()
+    with_oracle = [n for n in w if registry.QUERIES[n].oracle is not None]
+    # only kmeans_full and damds_embed (genuinely iterative) lack oracles
+    assert len(w) - len(with_oracle) <= 2, [
+        n for n in w if registry.QUERIES[n].oracle is None
+    ]
