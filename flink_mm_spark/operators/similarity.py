@@ -244,6 +244,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_LIST = 16  # coarse cells
 N_PROBE = 4  # cells searched per query
+IVF_TRAIN_MAX = 65536  # quantizer-training sample cap (driver-side rows)
 
 
 def _train_coarse_centroids(m: np.ndarray, n_list: int, n_iters: int = 10) -> np.ndarray:
@@ -264,17 +265,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell); a window merges per-cell top-k into the global answer.
 
     Versus hyperplane LSH (``ann_lsh_topk``): the quantizer is *trained* on
-    the corpus, so cells follow the data distribution — higher recall at
-    equal candidate budget (asserted in tests/test_similarity.py). At
-    100 TB: train on a sample, broadcast the (n_list × dim) centroids, and
-    the cell id is the shuffle key for both sides of the cogroup; n_list
-    scales with corpus size to bound cell width, n_probe buys recall.
+    a bounded corpus sample, so cells follow the data distribution — higher
+    recall at equal candidate budget (asserted in tests/test_similarity.py).
+    The training collect is capped at ``IVF_TRAIN_MAX`` rows (deterministic:
+    first rows by vec_id via TakeOrdered — never a full-corpus gather), the
+    (n_list × dim) centroids broadcast, and the cell id is the shuffle key
+    for both sides of the cogroup; n_list scales with corpus size to bound
+    cell width, n_probe buys recall.
     """
     from pyspark.sql.window import Window
 
     e = embeddings64(spark, sf_dir)
-    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    rows = (
+        e.select("vec_id", "emb").orderBy("vec_id").limit(IVF_TRAIN_MAX).collect()
+    )
     m = np.vstack([r["emb"] for r in rows])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     cents = _train_coarse_centroids(mn, N_LIST)
