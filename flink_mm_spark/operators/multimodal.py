@@ -274,6 +274,11 @@ def media_resize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME = 64  # samples per analysis frame (fake PCM = payload bytes)
+# Frames analyzed per document, capped IDENTICALLY on the Spark side and in
+# the oracle (ADVICE r1: the oracle's frame enumeration is necessarily
+# bounded; an unbounded Spark side silently diverges on docs ≥ cap·FRAME
+# bytes at larger scale factors). tests/test_multimodal.py guards the cap.
+MAX_FRAMES = 256
 
 
 @register(
@@ -287,7 +292,7 @@ FRAME = 64  # samples per analysis frame (fake PCM = payload bytes)
                j -> CAST(ascii(substr(text, CAST((f.i - 1) * {FRAME} + j AS INT), 1)) AS BIGINT)
                     * CAST(ascii(substr(text, CAST((f.i - 1) * {FRAME} + j AS INT), 1)) AS BIGINT)
              )) AS energy
-      FROM aud, (SELECT unnest(range(1, 40)) AS i) f
+      FROM aud, (SELECT unnest(range(1, {MAX_FRAMES + 1})) AS i) f
       WHERE f.i * {FRAME} <= n_bytes
     )
     SELECT media_id, frame_idx, CAST(energy AS BIGINT) AS energy
@@ -297,7 +302,8 @@ FRAME = 64  # samples per analysis frame (fake PCM = payload bytes)
 def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: per-frame energy over the payload treated
     as 8-bit PCM (the deterministic fake; a real decoder slots into the
-    same mapInPandas stage). Frames are full 64-byte windows; energy =
+    same mapInPandas stage). Frames are full 64-byte windows, capped at the
+    first ``MAX_FRAMES`` per document (same cap in the oracle); energy =
     Σ sample² as exact integers so the oracle matches bit-for-bit.
     """
     aud = media_table(spark, sf_dir).filter(
@@ -318,7 +324,7 @@ def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, fidx, energy = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                n_frames = len(samples) // FRAME
+                n_frames = min(len(samples) // FRAME, MAX_FRAMES)
                 if n_frames == 0:
                     continue
                 e = (samples[: n_frames * FRAME].reshape(n_frames, FRAME) ** 2).sum(axis=1)

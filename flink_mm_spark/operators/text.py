@@ -228,19 +228,23 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rolling-hash fingerprints (Rabin-Karp + winnowing) --------------------
 
 _RH_K, _RH_W, _RH_M = 16, 8, 2147483647
+# Window starts hashed per document, capped IDENTICALLY in the UDF and the
+# oracle's enumeration (ADVICE r1: an uncapped Spark side silently diverges
+# from the oracle's bounded range() on docs longer than the enumeration).
+_RH_MAX_STARTS = 4096
 _RH_POW = np.array([1079017218, 330081243, 1346595130, 1150007217, 1090750511, 1775709275, 483199522, 1213495441, 623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1], dtype=np.int64)  # 257^(k-1-j) mod M, precomputed
 
 
 @register(
     "rolling_fingerprints",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
     wins AS (
       SELECT doc_id, i,
              list_sum(list_transform(range(1, 16 + 1),
                j -> CAST(ascii(substr(text, CAST(i + j - 1 AS INT), 1)) AS BIGINT) * ([1079017218, 330081243, 1346595130, 1150007217, 1090750511, 1775709275, 483199522, 1213495441, 623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1])[j]
              )) % 2147483647 AS h
-      FROM d, (SELECT unnest(range(1, 2000)) AS i) r
+      FROM d, (SELECT unnest(range(1, {_RH_MAX_STARTS + 1})) AS i) r
       WHERE i <= length(text) - 16 + 1
     ),
     mins AS (
@@ -274,6 +278,8 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for t in texts:
             codes = np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64)
+            # same bound as the oracle's window-start enumeration
+            codes = codes[: _RH_MAX_STARTS + _RH_K - 1]
             n = len(codes) - _RH_K + 1
             if n < 1:
                 out.append([])
