@@ -121,3 +121,4 @@ def load_all() -> None:
     import flink_mm_spark.operators.udf_surface  # noqa: F401
     import flink_mm_spark.linalg.queries  # noqa: F401
     import flink_mm_spark.algos.queries  # noqa: F401
+    import flink_mm_spark.operators.collectives  # noqa: F401
