@@ -206,28 +206,29 @@ def damds_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DA-MDS anneal embedding the first 120 embedding vectors into 3-D
     (SURVEY §3.1 lifecycle: stats → temperature schedule → per-temp SMACOF
     with CG inner solves). Deterministic (seeded init, fixed iteration caps);
-    verified against a numpy oracle in tests/test_damds.py."""
-    rows = (
+    kernels verified against numpy oracles in tests/test_damds.py. The N×N
+    distance matrix is built DISTRIBUTED from the points DataFrame
+    (``damds_blocks_from_points`` — pairwise GEMM cells, distributed
+    quantization scale); the driver only ever holds the (N, 3) embedding."""
+    n = 120
+    pts_df = (
         table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 120)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .orderBy("vec_id")
-        .collect()
+        .filter(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
     )
-    pts = np.array([r["emb"] for r in rows])
-    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
-    dist = np.sqrt(np.maximum(d2, 0.0))
-    q, _scale = damds_mod.quantize_distances(dist)
-    blocks = damds_mod.damds_blocks(spark, q, n_blocks=8)
+    blocks = damds_mod.damds_blocks_from_points(spark, pts_df, n_points=n, n_blocks=8)
     try:
         res = damds_mod.damds(
-            blocks, n_points=len(pts), max_temp_loops=2, max_stress_loops=4, cg_iters=8
+            blocks, n_points=n, max_temp_loops=2, max_stress_loops=4, cg_iters=8
         )
     finally:
         blocks.unpersist()
     out = [
         (int(i), float(np.round(res.points[i, 0], 5)), float(np.round(res.points[i, 1], 5)),
          float(np.round(res.points[i, 2], 5)))
-        for i in range(len(pts))
+        for i in range(n)
     ]
     return spark.createDataFrame(out, "point_id int, x double, y double, z double")

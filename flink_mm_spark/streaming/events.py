@@ -237,9 +237,11 @@ class IncrementalMDS:
     embedding with a short anneal **warm-started from the previous
     embedding** — new points start random, old points keep their positions,
     so per-batch work is a refinement, not a re-solve. State on the driver
-    is O(N·dim) plus the raw vectors; the O(N²) distance matrix only ever
-    exists distributed (damds_blocks_from rebuild each batch; at scale the
-    rebuild becomes an append of new block rows).
+    is O(N·dim): the raw vectors and the embedding. The O(N²) distance
+    matrix only ever exists distributed — ``damds_blocks_from_points``
+    computes pairwise-distance cells and the quantization scale on the
+    executors each rebuild (at scale the rebuild becomes an append of new
+    block rows).
     """
 
     def __init__(self, dim: int = 2, stress_loops: int = 2, n_blocks: int = 8):
@@ -252,7 +254,9 @@ class IncrementalMDS:
         self.batches = 0
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        from flink_mm_spark.algos.damds import damds, damds_blocks, quantize_distances
+        import pandas as pd
+
+        from flink_mm_spark.algos.damds import damds, damds_blocks_from_points
 
         rows = batch_df.select("vec_id", "embedding").collect()
         if not rows:
@@ -260,11 +264,14 @@ class IncrementalMDS:
         new = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
         self.vectors = new if self.vectors is None else np.vstack([self.vectors, new])
         m = self.vectors
-        dist = np.sqrt(np.maximum(
-            (m * m).sum(1)[:, None] - 2.0 * (m @ m.T) + (m * m).sum(1)[None, :], 0.0
-        ))
-        q, _ = quantize_distances(dist)
-        blocks = damds_blocks(batch_df.sparkSession, q, n_blocks=self.n_blocks)
+        spark = batch_df.sparkSession
+        pts_df = spark.createDataFrame(
+            pd.DataFrame({"point_id": np.arange(len(m), dtype=np.int64), "vec": list(m)}),
+            "point_id long, vec array<double>",
+        )
+        blocks = damds_blocks_from_points(
+            spark, pts_df, n_points=len(m), n_blocks=self.n_blocks
+        )
         try:
             res = damds(
                 blocks,

@@ -194,6 +194,39 @@ def test_blocks_from_files_match_driver_blocks(spark, problem, blocks, tmp_path)
         fb.unpersist()
 
 
+def test_blocks_from_points_distributed_construction(spark):
+    """damds_blocks_from_points must reproduce the quantized matrix exactly
+    (GEMM distance formula + distributed max as the quantization scale)
+    without any O(N²) driver array, across uneven block splits."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    n = 37  # deliberately not divisible by n_blocks
+    pts = rng.standard_normal((n, 5))
+    pdf = pd.DataFrame({"point_id": np.arange(n, dtype=np.int64), "vec": list(pts)})
+    pts_df = spark.createDataFrame(pdf, "point_id long, vec array<double>")
+    fb = D.damds_blocks_from_points(spark, pts_df, n_points=n, n_blocks=5)
+    try:
+        rows = fb.select("block_id", "start", "block_rows", "n_points", "dist").collect()
+        assert sorted(r["block_id"] for r in rows) == [0, 1, 2, 3, 4]
+        got = np.vstack(
+            [
+                np.asarray(r["dist"], dtype=np.int16).reshape(r["block_rows"], n)
+                for r in sorted(rows, key=lambda r: r["block_id"])
+            ]
+        )
+        # numpy mirror with the SAME contraction (GEMM form), then quantize
+        d2 = (pts * pts).sum(1)[:, None] - 2.0 * (pts @ pts.T) + (pts * pts).sum(1)[None, :]
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        want, _ = D.quantize_distances(dist)
+        np.testing.assert_array_equal(got, want)
+        # and the anneal runs end-to-end on these blocks
+        res = D.damds(fb, n, dim=2, max_temp_loops=1, max_stress_loops=1)
+        assert np.isfinite(res.stress)
+    finally:
+        fb.unpersist()
+
+
 def test_degenerate_single_point(spark):
     """A 1x1 (or all-identical) distance matrix must return a finite
     embedding, not ZeroDivisionError (IncrementalMDS first micro-batch)."""
