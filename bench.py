@@ -89,16 +89,25 @@ def bench_kmeans_k1000(spark, sf_dir: str) -> None:
 def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
     """The reference's flagship workload: DA-MDS anneal over an n×n quantized
     distance matrix (config.properties shape scaled up: dim 3, 8 CG iters,
-    4 temp loops). Distances derive from sf embeddings so input is real."""
-    from flink_mm_spark.algos.damds import damds, damds_blocks, quantize_distances
-    from flink_mm_spark.linalg.queries import _emb_matrix
+    4 temp loops). Distances derive from sf embeddings so input is real,
+    and the distance blocks are built DISTRIBUTED from the points DataFrame
+    (the production path — the timed figure includes construction)."""
+    from flink_mm_spark.algos.damds import damds, damds_blocks_from_points
+    from flink_mm_spark.sources.tables import table
 
-    m = _emb_matrix(spark, sf_dir, n)
-    n = len(m)
-    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
-    q, _ = quantize_distances(np.sqrt(d2))
-    blocks = damds_blocks(spark, q, n_blocks=32)  # one block per core
-    damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").alias("point_id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    )
+    blocks = damds_blocks_from_points(spark, pts, n_points=n, n_blocks=32)
+    try:
+        damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
+    finally:
+        blocks.unpersist()
 
 
 def bench_streaming(spark, sf_dir: str) -> None:

@@ -18,6 +18,7 @@ driver's rows-only checks stay stable).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -483,6 +484,85 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     scored = pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+
+
+# Banded hyperplane LSH for the near-dup scale tier: B bands of P planes
+# ORed together. Per-pair recall at cosine s is 1 - (1 - p^P)^B with
+# p = 1 - arccos(s)/pi; at the registered threshold 0.4 on this corpus the
+# fixed seed gives ~0.65 (asserted in tests) — the corpus-quirks note
+# applies: random near-orthogonal embeddings are LSH's worst case, and low
+# thresholds are fundamentally hard to prune (a band of uncorrelated
+# vectors still collides with prob 2^-P). Real near-dup corpora (clustered,
+# higher thresholds) sit far up the recall curve.
+EMB_LSH_BANDS = 16
+EMB_LSH_PLANES = 6
+_EMB_LSH_CACHE: list[DataFrame] = []
+
+
+@register("embedding_near_dup_lsh", oracle=None)  # approximate → rows-only
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, SCALE tier: banded-LSH candidates, exact verify.
+
+    The composition VERDICT r1 asked for: candidate pairs come from a
+    self-equi-join on (band, 6-bit sign signature) — a short shuffle key,
+    O(collisions per bucket) like every other dedup join here — and ONLY
+    candidates get the exact cosine (one vectorized einsum per Arrow
+    batch). ``embedding_near_dup`` is the exact all-pairs verification
+    tier this replaces once the corpus outgrows block-pair GEMM.
+    """
+    from flink_mm_spark.operators.similarity import EMB_DIM, embeddings64
+
+    planes = np.random.RandomState(13).standard_normal(
+        (EMB_LSH_BANDS * EMB_LSH_PLANES, EMB_DIM)
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())
+        bits = (m @ planes.T) > 0  # (n, B*P)
+        weights = (1 << np.arange(EMB_LSH_PLANES)).astype(np.int64)
+        sigs = bits.reshape(len(m), EMB_LSH_BANDS, EMB_LSH_PLANES) @ weights
+        keyed = sigs + (np.arange(EMB_LSH_BANDS, dtype=np.int64) << 32)[None, :]
+        return pd.Series(list(keyed))
+
+    e = embeddings64(spark, sf_dir)
+    while _EMB_LSH_CACHE:
+        _EMB_LSH_CACHE.pop().unpersist()
+    banded = e.select(
+        "vec_id", "emb", F.explode(band_keys("emb")).alias("bucket")
+    ).persist()
+    _EMB_LSH_CACHE.append(banded)
+
+    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.vstack(pdf["ea"].to_numpy())
+            mb = np.vstack(pdf["eb"].to_numpy())
+            ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(np.einsum("ij,ij->i", ma, mb), 6)
+            keep = cos >= 0.4
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    scored = cand.select("vec_a", "vec_b", "ea", "eb").mapInPandas(
+        verify, "vec_a long, vec_b long, cos_sim double"
+    )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
 
 

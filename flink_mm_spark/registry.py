@@ -95,6 +95,7 @@ DEFER: list[str] = [
     "simhash_near_dup",
     "ann_lsh_topk",
     "ivf_topk",
+    "embedding_near_dup_lsh",
     "collectives_reduce",
     "collectives_allreduce",
 ]

@@ -93,3 +93,27 @@ def test_ivf_recall_beats_lsh(spark):
     r_lsh = recall("ann_lsh_topk")
     assert r_ivf > 0.3, f"ivf recall {r_ivf:.3f}"
     assert r_ivf > r_lsh, f"ivf {r_ivf:.3f} <= lsh {r_lsh:.3f}"
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(spark):
+    """The banded-LSH scale tier must (a) return a SUBSET of the exact
+    all-pairs result (exact verify -> perfect precision) and (b) recall a
+    meaningful fraction of it even on this worst-case random corpus."""
+    from flink_mm_spark.operators.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_near_dup(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_near_dup_lsh(spark, SF_DIR).collect()
+    }
+    assert set(approx) <= set(exact)  # verified candidates: no false positives
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # identical rounded cosine
+    recall = len(approx) / len(exact)
+    # analytic recall at cos=0.4 with 16 bands x 6 planes is ~0.65; the
+    # fixed-seed measured value on sf0.001 sits near it. Floor well below
+    # to stay robust to corpus regeneration.
+    assert recall >= 0.4, f"recall {recall:.3f}"
