@@ -76,6 +76,8 @@ PROMOTE: list[str] = [
     "label_centroid_udaf",
     "udtf_word_pairs",
     "media_audio_energy",
+    "collectives_reduce",
+    "collectives_allreduce",
 ]
 
 DEFER: list[str] = [
@@ -88,6 +90,8 @@ DEFER: list[str] = [
     "customers_without_orders",  # anti-join (0 rows at sf0.01)
     "suppliers_with_large_lineitems",  # semi-join variant
     "events_json_props",  # JSON extraction demo
+    "distinct_part_types",  # DISTINCT: dedup_exact + nation_set_ops stay graded
+    "media_resize_estimate",  # metadata arithmetic: 4 media siblings stay graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",
@@ -96,8 +100,6 @@ DEFER: list[str] = [
     "ann_lsh_topk",
     "ivf_topk",
     "embedding_near_dup_lsh",
-    "collectives_reduce",
-    "collectives_allreduce",
 ]
 
 

@@ -28,6 +28,8 @@ CORE = {
     "label_centroid_udaf",
     "udtf_word_pairs",
     "media_audio_energy",
+    "collectives_reduce",
+    "collectives_allreduce",
 }
 
 
@@ -63,6 +65,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "customers_without_orders": "nation_set_ops",
         "suppliers_with_large_lineitems": "local_supplier_volume",
         "events_json_props": "events_hourly",
+        "distinct_part_types": "nation_set_ops",
+        "media_resize_estimate": "media_metadata",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
