@@ -524,14 +524,19 @@ def damds_blocks_from_points(
     (VERDICT r1 "What's wrong" #3; contrast ``damds_blocks``).
 
     Shape: points pack into row-aligned blocks (same ``split_rows`` ranges as
-    every other constructor); all (row-block × col-block) cells attach their
-    two payloads by equi-join and compute their raw distance sub-matrix in
-    one numpy GEMM; the global max — the reference's quantization scale
-    (damds/DAMDSUtils.java:8-9 semantics via ``quantize_distances``) — is a
-    distributed scalar agg over per-cell maxima; assembly is one
-    groupBy(row-block) that hstacks its N/n_blocks-wide cells into the
-    (block_rows × N) int16 row block. Driver memory: the block manifest and
-    one scalar. ``points[id_col]`` must be exactly 0..n_points-1 (row index).
+    every other constructor) with ONE O(N·d) shuffle; the packed points
+    matrix — O(N·d), the same order of data the anneal broadcasts every
+    iteration as X — is gathered ordered and broadcast once; each row block
+    then computes its full (block_rows × N) distance stripe IN PLACE with
+    one numpy GEMM, so the O(N²) data is born in its final row-block home
+    and never shuffles, spills, or persists in float form. Two narrow
+    passes over the persisted pack: pass 1 reduces per-stripe maxima to the
+    reference's quantization scale (damds/DAMDSUtils.java:8-9 semantics via
+    ``quantize_distances``), pass 2 re-runs the identical GEMM and emits the
+    int16 blocks. Recomputing the GEMM is deliberate: at d ≤ a few hundred
+    it is far cheaper than persisting N²×8 bytes between passes. Driver
+    memory: the N×d matrix and one scalar. ``points[id_col]`` must be
+    exactly 0..n_points-1 (row index).
     """
     specs = split_rows(n_points, n_blocks)
     manifest = {b: (start, nrows) for b, start, nrows in specs}
@@ -551,72 +556,68 @@ def damds_blocks_from_points(
         m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
         return pd.DataFrame({"blk": [int(pdf["blk"].iloc[0])], "mat": [m.ravel()]})
 
-    packed = pts.groupBy("blk").applyInPandas(pack, "blk int, mat array<double>")
-
-    keys = packed.select("blk")
-    pair_keys = keys.select(F.col("blk").alias("rb")).join(
-        keys.select(F.col("blk").alias("cb"))
-    )
-    a = packed.select(F.col("blk").alias("rb"), F.col("mat").alias("mat_a"))
-    b = packed.select(F.col("blk").alias("cb"), F.col("mat").alias("mat_b"))
-    paired = pair_keys.join(a, "rb").join(b, "cb")
-
-    def cell_dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                ra = np.asarray(row.mat_a, dtype=np.float64).reshape(
-                    manifest[int(row.rb)][1], -1
-                )
-                cb_ = np.asarray(row.mat_b, dtype=np.float64).reshape(
-                    manifest[int(row.cb)][1], -1
-                )
-                d2 = (
-                    (ra * ra).sum(1)[:, None]
-                    - 2.0 * (ra @ cb_.T)
-                    + (cb_ * cb_).sum(1)[None, :]
-                )
-                d = np.sqrt(np.maximum(d2, 0.0))
-                yield pd.DataFrame(
-                    {
-                        "rb": [int(row.rb)],
-                        "cb": [int(row.cb)],
-                        "cmax": [float(d.max()) if d.size else 0.0],
-                        "dist": [d.ravel()],
-                    }
-                )
-
-    cells = paired.mapInPandas(
-        cell_dist, "rb int, cb int, cmax double, dist array<double>"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    gmax = cells.agg(F.max("cmax")).collect()[0][0] or 0.0
-    scale = 32767.0 / gmax if gmax > 0 else 0.0
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("cb")
-        rb = int(pdf["rb"].iloc[0])
-        start, nrows = manifest[rb]
-        parts = [
-            np.asarray(row.dist, dtype=np.float64).reshape(nrows, manifest[int(row.cb)][1])
-            for row in pdf.itertuples(index=False)
-        ]
-        full = np.hstack(parts)
-        qblk = np.round(full * scale).astype(np.int16)
-        return pd.DataFrame(
-            {
-                "block_id": [rb],
-                "start": [start],
-                "block_rows": [nrows],
-                "n_points": [n_points],
-                "dist": [qblk.ravel()],
-                "weight": [None],
-            }
-        )
-
-    blocks = (
-        cells.groupBy("rb")
-        .applyInPandas(assemble, DAMDS_BLOCK_SCHEMA)
+    packed = (
+        pts.groupBy("blk")
+        .applyInPandas(pack, "blk int, mat array<double>")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    blocks.count()  # materialize before releasing the raw-distance cells
-    cells.unpersist()
+
+    # O(N·d) ordered gather + broadcast (NOT O(N²)): the same data volume the
+    # anneal ships every iteration as the X broadcast / gathers.
+    prows = sorted(packed.collect(), key=lambda r: r["blk"])
+    pmat = np.vstack(
+        [
+            np.asarray(r["mat"], dtype=np.float64).reshape(manifest[r["blk"]][1], -1)
+            for r in prows
+        ]
+    )
+    bc = spark.sparkContext.broadcast(pmat)
+
+    def stripes(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[tuple[int, int, int, np.ndarray]]:
+        pv = bc.value
+        sq = (pv * pv).sum(1)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                b = int(row.blk)
+                start, nrows = manifest[b]
+                ra = np.asarray(row.mat, dtype=np.float64).reshape(nrows, -1)
+                d2 = sq[start : start + nrows][:, None] - 2.0 * (ra @ pv.T) + sq[None, :]
+                yield b, start, nrows, np.sqrt(np.maximum(d2, 0.0))
+
+    def stripe_max(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _b, _s, _n, d in stripes(batches):
+            yield pd.DataFrame({"cmax": [float(d.max()) if d.size else 0.0]})
+
+    gmax = (
+        packed.mapInPandas(stripe_max, "cmax double").agg(F.max("cmax")).collect()[0][0]
+        or 0.0
+    )
+
+    def stripe_quant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b, start, nrows, d in stripes(batches):
+            # identical arithmetic to quantize_distances (d / max * 32767)
+            q = (
+                np.round(d / gmax * 32767.0).astype(np.int16)
+                if gmax > 0
+                else d.astype(np.int16)
+            )
+            yield pd.DataFrame(
+                {
+                    "block_id": [b],
+                    "start": [start],
+                    "block_rows": [nrows],
+                    "n_points": [n_points],
+                    "dist": [q.ravel()],
+                    "weight": [None],
+                }
+            )
+
+    blocks = packed.mapInPandas(stripe_quant, DAMDS_BLOCK_SCHEMA).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    blocks.count()  # materialize before releasing the packed points
+    packed.unpersist()
+    bc.unpersist()  # executors re-fetch from the driver copy if ever recomputed
     return blocks
