@@ -81,6 +81,26 @@ def test_embedding_near_dup_is_distributed(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_lsh_joins_on_bucket(spark):
+    """The LSH scale tier's candidate generation must be an equi-join on the
+    band-bucket key — never an all-pairs product — and must not collect or
+    broadcast the corpus (the whole point of the tier)."""
+    import inspect
+
+    from flink_mm_spark.operators import dedup
+
+    src = inspect.getsource(dedup.embedding_near_dup_lsh)
+    assert ".collect(" not in src
+    assert "broadcast(" not in src
+
+    plan = _plan(spark, "embedding_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join keys on the 64-bit bucket (band id << 32 | signature)
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("bucket" in l for l in join_lines), join_lines
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Hive-style partitioned layout: a filter on the partition column must
     become a PartitionFilter (pruned at file listing, zero data read from
