@@ -614,16 +614,23 @@ def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
     )
     prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
-    prefixes = ranked.filter(F.col("rnk") <= prefix_len).select("doc_id", "source", "s")
+    prefixes = ranked.filter(F.col("rnk") <= prefix_len).select(
+        "doc_id", "source", "n", "s"
+    )
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # PPJoin length filter (lossless): J(a,b) ≥ t forces
+    # t·max(|a|,|b|) ≤ min(|a|,|b|) — pairs with incompatible set sizes
+    # never reach the verify join.
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= t * F.col("b.n"))
+            & (F.col("b.n") >= t * F.col("a.n")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
