@@ -36,9 +36,12 @@ HEADLINE = [
     "top_customers_per_nation", # window
     "events_hourly",            # time windows
     "dedup_exact",              # hash dedup
-    "jaccard_token_pairs",      # inverted-index similarity join
+    "jaccard_token_pairs",      # inverted-index similarity join (benched twin:
+                                # the 31-token-vocab corpus makes the counting
+                                # join optimal; see jaccard_prefix_filtered doc)
     "minhash_lsh_pairs",        # MinHash-LSH
     "embedding_near_dup",       # exact cosine near-dup pairs
+    "embedding_near_dup_lsh",   # banded-LSH candidates + exact verify (scale tier)
     "cosine_topk",              # embedding search
     "matmul_cells",             # relational matmul
     "gemm_broadcast_cells",     # pandas-UDF GEMM

@@ -65,6 +65,8 @@ PROMOTE: list[str] = [
     "binary_f64_scan",
     "binary_i16_scan",
     "text_points_scan",
+    "centroid_lines_scan",
+    "damds_sidefile_scan",
     "short_matrix_stats",
     "matmul_cells",
     "gemm_broadcast_cells",
@@ -92,6 +94,8 @@ DEFER: list[str] = [
     "events_json_props",  # JSON extraction demo
     "distinct_part_types",  # DISTINCT: dedup_exact + nation_set_ops stay graded
     "media_resize_estimate",  # metadata arithmetic: 4 media siblings stay graded
+    "cube_order_stats",  # grouping sets: rollup_sales stays graded
+    "salted_event_totals",  # salted partial agg: events_hourly + kmeans_centroid_update stay graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",

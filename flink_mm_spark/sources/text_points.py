@@ -120,3 +120,53 @@ def text_points_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("v") * 8).cast("long")).alias("sum_q"),
         F.max("v").cast("double").alias("max_v"),
     )
+
+
+_CK, _CD = 300, 4
+
+
+def ensure_centroids_fixture() -> str:
+    """Deterministic centroids file: 'id x0..x3' with x(i,j) = ((i·d+j) mod 97)/8."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = f"{FIXTURE_DIR}/centroids_{_CK}x{_CD}.txt"
+    if not os.path.exists(path):
+        k = np.arange(_CK * _CD).reshape(_CK, _CD)
+        vals = (k % 97) / 8.0
+        with open(path + ".tmp", "w") as f:
+            for i, row in enumerate(vals):
+                f.write(str(i) + " " + " ".join(repr(v) for v in row) + "\n")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@register(
+    "centroid_lines_scan",
+    oracle=f"""
+    SELECT CAST(k // {_CD} AS BIGINT) AS id,
+           CAST(SUM(k % 97) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n_coords
+    FROM (SELECT unnest(range(0, {_CK} * {_CD})) AS k)
+    GROUP BY 1 ORDER BY id
+    """,
+)
+def centroid_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid text-line scan (S6: kmeans/KMeansOriginal.java:95-105) →
+    per-centroid rollup.
+
+    The fixture holds 'id x0..x3' lines with x = ((id·d+j) mod 97)/8
+    (exact in float64); the strict-arity JVM parse feeds an explode +
+    groupBy(id) whose ×8 re-quantization the oracle reconstructs from
+    range() arithmetic — a dropped line, swapped id column, or off-by-one
+    in the slice changes the result.
+    """
+    path = ensure_centroids_fixture()
+    cents = read_centroids_text(spark, path, _CD)
+    return (
+        cents.select(F.col("id").cast("long"), F.explode("features").alias("v"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.round(F.col("v") * 8).cast("long")).alias("sum_q"),
+            F.count(F.lit(1)).alias("n_coords"),
+        )
+        .orderBy("id")
+    )

@@ -67,6 +67,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_json_props": "events_hourly",
         "distinct_part_types": "nation_set_ops",
         "media_resize_estimate": "media_metadata",
+        "cube_order_stats": "rollup_sales",
+        "salted_event_totals": "events_hourly",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
