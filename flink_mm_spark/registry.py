@@ -80,6 +80,8 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
+    "partitioned_sink_roundtrip",
+    "events_hourly_streamed",
 ]
 
 DEFER: list[str] = [
@@ -96,6 +98,8 @@ DEFER: list[str] = [
     "media_resize_estimate",  # metadata arithmetic: 4 media siblings stay graded
     "cube_order_stats",  # grouping sets: rollup_sales stays graded
     "salted_event_totals",  # salted partial agg: events_hourly + kmeans_centroid_update stay graded
+    "economy_revenue_share",  # global sum: mds_stress + pricing_summary stay graded
+    "customer_order_gaps",  # lag window: running_order_totals stays graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",
@@ -129,3 +133,5 @@ def load_all() -> None:
     import flink_mm_spark.linalg.queries  # noqa: F401
     import flink_mm_spark.algos.queries  # noqa: F401
     import flink_mm_spark.operators.collectives  # noqa: F401
+    import flink_mm_spark.sources.bucketing  # noqa: F401
+    import flink_mm_spark.streaming.events  # noqa: F401

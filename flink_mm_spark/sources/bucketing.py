@@ -31,3 +31,54 @@ def colocated_join(
     lt = spark.table(left)
     rt = spark.table(right)
     return lt.join(rt, lt[key_l] == rt[key_r])
+
+
+# --- S10 sink, driver-graded: partitioned write → read-back rollup --------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_mm_spark.registry import register  # noqa: E402
+
+
+@register(
+    "partitioned_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File sink graded end-to-end (S10: TextOutputFormat/collect sinks →
+    `df.write`): events written Hive-partitioned by event_type, read back,
+    rolled up per partition.
+
+    The oracle computes the same rollup from the SOURCE table, so a row
+    lost or duplicated anywhere in the write → list → read-back path
+    changes the result. Partition pruning on this layout is asserted in
+    tests/test_plans.py::test_partitioned_write_prunes_partitions; at
+    100 TB this hive-partitioned layout (plus bucketing, `write_bucketed`)
+    is the at-rest lever for event tables.
+    """
+    import os
+    import tempfile
+
+    from flink_mm_spark.sources.tables import table
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "flink_mm_spark_sink",
+        f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,6 +69,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "media_resize_estimate": "media_metadata",
         "cube_order_stats": "rollup_sales",
         "salted_event_totals": "events_hourly",
+        "economy_revenue_share": "pricing_summary",
+        "customer_order_gaps": "running_order_totals",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
