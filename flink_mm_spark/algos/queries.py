@@ -320,3 +320,335 @@ def damds_sidefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup is narrow over the persisted scan and re-runnable from files
     blocks.unpersist()
     return out
+
+
+# --- DA-MDS kernel families graded exactly (F2/F6/F8/F9/F10/F11, I4) ------
+#
+# Strategy (same as damds_sidefile_scan): run the REAL distributed kernels
+# over the deterministic int16 side-file fixture, then compare on values the
+# oracle can reconstruct exactly. Quantities that are rational with
+# denominator 32767 are scaled back up (×32767, ×1 per factor) and rounded
+# to integers — the float64 kernel error is ~1e-8, so the rounding is exact
+# and the oracle is pure integer arithmetic over range(). Quantities with
+# genuinely irrational terms (Sammon division, BofZ, CG) round at a decimal
+# where the cross-engine sum-order wobble (~1e-10) is 5+ orders below the
+# boundary. Prototyped bit-exact before registration.
+
+_CELLS_CTE = f"""
+    WITH cells AS (
+      SELECT k // {_SF_N} AS i, k % {_SF_N} AS j,
+             (k * 37) % 40000 - 7233 AS s,
+             (k * 13) % 30000 - 9000 AS wq
+      FROM (SELECT unnest(range(0, {_SF_N * _SF_N})) AS k)
+    )
+"""
+
+
+def _fixture_blocks(spark: SparkSession, with_weights: bool = True) -> DataFrame:
+    dist_path, weight_path = _ensure_sidefile_fixture()
+    return damds_mod.damds_blocks_from_files(
+        spark,
+        dist_path,
+        _SF_N,
+        weight_path=weight_path if with_weights else None,
+        n_blocks=_SF_BLOCKS,
+    )
+
+
+def _p_vectors() -> np.ndarray:
+    """Deterministic integer test vectors p_i = ((i%5)-2, (i%3)-1, (i%7)-3)."""
+    i = np.arange(_SF_N)
+    return np.column_stack([(i % 5) - 2, (i % 3) - 1, (i % 7) - 3]).astype(np.float64)
+
+
+@register(
+    "damds_varray_vp",
+    oracle=_CELLS_CTE
+    + """
+    , pv AS (
+      SELECT i, (i % 5) - 2 AS p0, (i % 3) - 1 AS p1, (i % 7) - 3 AS p2
+      FROM (SELECT unnest(range(0, 256)) AS i)
+    ),
+    agg AS (
+      SELECT c.i,
+             SUM(CASE WHEN c.s >= 0 AND c.i <> c.j THEN c.wq ELSE 0 END) AS swq,
+             SUM(CASE WHEN c.s >= 0 AND c.i <> c.j THEN c.wq * (pi.p0 - pj.p0) ELSE 0 END) AS n0,
+             SUM(CASE WHEN c.s >= 0 AND c.i <> c.j THEN c.wq * (pi.p1 - pj.p1) ELSE 0 END) AS n1,
+             SUM(CASE WHEN c.s >= 0 AND c.i <> c.j THEN c.wq * (pi.p2 - pj.p2) ELSE 0 END) AS n2,
+             SUM(CASE WHEN c.s >= 0 AND c.i <> c.j
+                 THEN (c.wq * (1.0/32767.0)) / GREATEST(c.s * (1.0/32767.0), 0.25)
+                 ELSE 0.0 END) AS sv
+      FROM cells c JOIN pv pi ON c.i = pi.i JOIN pv pj ON c.j = pj.i
+      GROUP BY c.i
+    )
+    SELECT CAST(a.i AS INTEGER) AS point_id,
+           CAST(32767 + a.swq AS BIGINT) AS v_q,
+           ROUND(1.0 + a.sv, 6) AS v_sammon,
+           CAST(32767 * pi.p0 + a.n0 AS BIGINT) AS vp_q0,
+           CAST(32767 * pi.p1 + a.n1 AS BIGINT) AS vp_q1,
+           CAST(32767 * pi.p2 + a.n2 AS BIGINT) AS vp_q2
+    FROM agg a JOIN pv pi ON a.i = pi.i ORDER BY point_id
+    """,
+)
+def damds_varray_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-array, Sammon-weighted V-array, and the V×p multiply through the real
+    distributed kernels (SURVEY F8 damds/VArray.java:49-67, F11
+    io/RowBlock.java:139-142, F2 damds/CG.java:411-421), graded exactly.
+
+    v_i = 1 + Σw_ij and (V·p)_i with integer p are rational with denominator
+    32767: the kernel outputs ×32767 round to the oracle's pure-integer
+    range() arithmetic (float64 error ~1e-8 ≪ 0.5). The Sammon variant
+    (floor = 0.25) divides per cell — identical IEEE ops per cell in both
+    engines, summed order-insensitively to 6 decimals.
+    """
+    blocks = _fixture_blocks(spark)
+    try:
+        p = _p_vectors()
+        v = damds_mod.v_array(blocks)
+        v_sam = damds_mod.v_array(blocks, wt=damds_mod.sammon_transform(1.0, 0.25))
+        vp = damds_mod.v_multiply(blocks, v, p)
+    finally:
+        blocks.unpersist()
+    vq = np.rint(v * 32767.0).astype(np.int64)
+    vpq = np.rint(vp * 32767.0).astype(np.int64)
+    rows = [
+        (
+            int(i),
+            int(vq[i]),
+            float(np.round(v_sam[i], 6)),
+            int(vpq[i, 0]),
+            int(vpq[i, 1]),
+            int(vpq[i, 2]),
+        )
+        for i in range(_SF_N)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "point_id int, v_q bigint, v_sammon double, "
+        "vp_q0 bigint, vp_q1 bigint, vp_q2 bigint",
+    )
+
+
+@register(
+    "damds_bofz_bc",
+    oracle=_CELLS_CTE
+    + """
+    , b AS (
+      SELECT i, j,
+             CASE WHEN s > 0 AND i <> j
+                  THEN (-(wq * (1.0/32767.0)) * (s * (1.0/32767.0))) / abs(i - j)
+                  ELSE 0.0 END AS bij
+      FROM cells
+    )
+    SELECT CAST(i AS INTEGER) AS point_id,
+           ROUND(SUM(bij * j) - SUM(bij) * i, 4) AS bz
+    FROM b GROUP BY i ORDER BY point_id
+    """,
+)
+def damds_bofz_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B(Z)·Z through the real distributed kernel (SURVEY F6,
+    damds/BC.java:86-134), graded exactly against per-cell-identical SQL.
+
+    Layout Z = the 1-D integer grid x_i = i, t_cur = 0: every pairwise
+    distance |i−j| is an exact float64 integer, so each B_ij =
+    −w_ij·δ_ij/|i−j| is the same IEEE double in both engines (identical op
+    order); only the row-sum order differs, absorbed by rounding to 4
+    decimals (~6 orders of margin). Exercises the full off-diag + diagonal
+    (−Σ B_ij) assembly path."""
+    blocks = _fixture_blocks(spark)
+    try:
+        x = np.arange(_SF_N, dtype=np.float64).reshape(-1, 1)
+        bz = damds_mod.bofz_bc(blocks, x, t_cur=0.0).ravel()
+    finally:
+        blocks.unpersist()
+    rows = [(int(i), float(np.round(bz[i], 4))) for i in range(_SF_N)]
+    return spark.createDataFrame(rows, "point_id int, bz double")
+
+
+@register(
+    "damds_temp_schedule",
+    oracle=_CELLS_CTE.replace("WITH cells", "WITH RECURSIVE cells")
+    + """
+    , consts AS (
+      SELECT MAX(s * (1.0/32767.0)) / sqrt(2.0 * 3) AS t_max,
+             0.5 * MIN(CASE WHEN s > 0 THEN s * (1.0/32767.0) END) / sqrt(2.0 * 3) AS t_min
+      FROM cells
+    ),
+    sched AS (
+      SELECT 1 AS loop_idx, 0.8 * t_max AS t_cur, t_min FROM consts
+      UNION ALL
+      SELECT loop_idx + 1,
+             CASE WHEN t_cur * 0.8 < t_min THEN 0.0 ELSE t_cur * 0.8 END, t_min
+      FROM sched WHERE t_cur > 0.0 AND loop_idx < 100
+    )
+    SELECT loop_idx, t_cur FROM sched ORDER BY loop_idx
+    """,
+)
+def damds_temp_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-annealing temperature schedule (SURVEY F10,
+    damds/DAMDS.java:121-152,234-238) driven by the REAL distributed
+    matrix_stats kernel, graded bitwise — no rounding at all.
+
+    t_max = max/√(2d), t_min = 0.5·positiveMin/√(2d), t ← α·t per loop,
+    floored to 0 below t_min (α = 0.8, d = 3, cap 100). Every quantity is a
+    chain of exactly-rounded IEEE ops on exactly-representable stats (max
+    and positiveMin of dequantized shorts involve no summation), and the
+    oracle's recursive CTE replays the same multiply chain — so the doubles
+    hash-match bit for bit. Also exercises the I2 termination shape (the
+    loop's floor-and-stop criterion)."""
+    blocks = _fixture_blocks(spark, with_weights=False)
+    try:
+        stats = damds_mod.matrix_stats(blocks)
+    finally:
+        blocks.unpersist()
+    sqrt2d = float(np.sqrt(2.0 * 3))
+    t_max = stats.max / sqrt2d
+    t_min = 0.5 * stats.positive_min / sqrt2d
+    rows = []
+    t = 0.8 * t_max
+    li = 1
+    while True:
+        rows.append((li, float(t)))
+        if t == 0.0 or li >= 100:
+            break
+        li += 1
+        t = t * 0.8
+        if t < t_min:
+            t = 0.0
+    return spark.createDataFrame(rows, "loop_idx int, t_cur double")
+
+
+@register(
+    "damds_cg_step",
+    oracle=_CELLS_CTE
+    + """
+    , w AS (SELECT i, j, CASE WHEN s >= 0 AND i <> j THEN ABS(wq) ELSE 0 END AS wq FROM cells),
+    t AS (
+      SELECT i, d, (i * (d + 2)) % 9 - 4 AS t
+      FROM (SELECT unnest(range(0, 256)) AS i), (SELECT unnest(range(0, 3)) AS d)
+    ),
+    ap0 AS (
+      SELECT w.i, ti.d, ti.t + CAST(SUM(w.wq * (ti.t - tj.t)) AS DOUBLE) / 32767.0 AS ap
+      FROM w JOIN t ti ON w.i = ti.i JOIN t tj ON w.j = tj.i AND tj.d = ti.d
+      GROUP BY w.i, ti.d, ti.t
+    ),
+    s0 AS (
+      SELECT CAST(SUM(t.t * t.t) AS DOUBLE) AS rtr0, SUM(t.t * ap0.ap) AS pap0
+      FROM t JOIN ap0 ON t.i = ap0.i AND t.d = ap0.d
+    ),
+    r1 AS (
+      SELECT t.i, t.d,
+             (SELECT rtr0 / pap0 FROM s0) * t.t AS x1,
+             t.t - (SELECT rtr0 / pap0 FROM s0) * ap0.ap AS r
+      FROM t JOIN ap0 ON t.i = ap0.i AND t.d = ap0.d
+    ),
+    s1 AS (SELECT SUM(r * r) AS rtr1 FROM r1),
+    p1 AS (
+      SELECT r1.i, r1.d, r1.x1,
+             r1.r + (SELECT rtr1 FROM s1) / (SELECT rtr0 FROM s0) * t.t AS p
+      FROM r1 JOIN t ON r1.i = t.i AND r1.d = t.d
+    ),
+    ap1 AS (
+      SELECT w.i, pi.d, pi.p + CAST(SUM(w.wq * (pi.p - pj.p)) AS DOUBLE) / 32767.0 AS ap
+      FROM w JOIN p1 pi ON w.i = pi.i JOIN p1 pj ON w.j = pj.i AND pj.d = pi.d
+      GROUP BY w.i, pi.d, pi.p
+    ),
+    s2 AS (
+      SELECT SUM(p1.p * ap1.ap) AS pap1
+      FROM p1 JOIN ap1 ON p1.i = ap1.i AND p1.d = ap1.d
+    )
+    SELECT CAST(p1.i AS INTEGER) AS point_id, CAST(p1.d AS INTEGER) AS dim,
+           ROUND(p1.x1 + (SELECT rtr1 FROM s1) / (SELECT pap1 FROM s2) * p1.p, 6) AS x
+    FROM p1 ORDER BY point_id, dim
+    """,
+)
+def damds_cg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two conjugate-gradient iterations of V·X = BC through the real
+    distributed solve (SURVEY F9, damds/CG.java:78-142), graded to 6
+    decimals.
+
+    Weights pass through the |w| read-time transformation hook (the
+    TransformationFunction seam, io/RowBlock.java:27-28) so V is
+    diagonally dominant → positive definite; targets are integer vectors
+    and x₀ = 0, so r₀ = BC exactly and the oracle replays α/β/x algebra
+    from exact rational matvecs (Σwq·Δp as integers / 32767). cg_threshold=0
+    pins exactly two iterations in both engines. The only distributed step
+    per iteration is the V×p multiply — the same shape the full anneal uses.
+    """
+    blocks = _fixture_blocks(spark)
+    wt = lambda w, d: np.abs(w)  # noqa: E731 — the reference's wt hook seam
+    try:
+        v = damds_mod.v_array(blocks, wt=wt)
+        i = np.arange(_SF_N)
+        dvals = np.arange(3)
+        bc = ((i[:, None] * (dvals[None, :] + 2)) % 9 - 4).astype(np.float64)
+        x, iters = damds_mod.cg_solve(
+            blocks, v, bc, np.zeros((_SF_N, 3)), cg_iters=2, cg_threshold=0.0, wt=wt
+        )
+        assert iters == 2  # determinism guard: both engines must do 2 steps
+    finally:
+        blocks.unpersist()
+    rows = [
+        (int(pi), int(d), float(np.round(x[pi, d], 6)))
+        for pi in range(_SF_N)
+        for d in range(3)
+    ]
+    return spark.createDataFrame(rows, "point_id int, dim int, x double")
+
+
+@register(
+    "kmeans_empty_repair",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, CAST(user_id % 7 AS DOUBLE) AS x0, CAST(user_id % 11 AS DOUBLE) AS x1
+      FROM events
+    ),
+    c(cid, c0, c1) AS (VALUES (0, 0.0, 0.0), (1, 6.0, 10.0), (2, 1000.0, 1000.0)),
+    scored AS (
+      SELECT p.event_id, c.cid, p.x0, p.x1,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY (p.x0 - c.c0)*(p.x0 - c.c0) + (p.x1 - c.c1)*(p.x1 - c.c1), c.cid
+             ) AS rn
+      FROM p, c
+    ),
+    m AS (
+      SELECT cid,
+             CAST(SUM(CAST(x0 AS BIGINT)) AS DOUBLE) / COUNT(*) AS m0,
+             CAST(SUM(CAST(x1 AS BIGINT)) AS DOUBLE) / COUNT(*) AS m1
+      FROM scored WHERE rn = 1 GROUP BY cid
+    )
+    SELECT CAST(c.cid AS INTEGER) AS cluster_id, CAST(d.dim AS INTEGER) AS dim,
+           COALESCE(CASE WHEN d.dim = 0 THEN m.m0 ELSE m.m1 END, 0.0) AS centroid
+    FROM c CROSS JOIN (SELECT unnest(range(0, 2)) AS dim) d
+    LEFT JOIN m ON c.cid = m.cid
+    ORDER BY cluster_id, dim
+    """,
+)
+def kmeans_empty_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd pass with a deliberately-starved centroid, graded bitwise:
+    the empty cluster is re-emitted as the zero centroid (SURVEY I4,
+    kmeans/KMeansOriginal.java:119-142).
+
+    Points are small integers ((user_id%7, user_id%11) over events), so the
+    float32 assignment kernel's dropped-||x||² argmin is EXACT integer
+    arithmetic (< 2²⁴) and ties break to the lowest index in both engines;
+    centroid means are one exactly-rounded division of exact integer sums.
+    Centroid 2 = (1000, 1000) attracts nothing → the kernel's zero-repair
+    path is what produces its rows."""
+    from flink_mm_spark.algos.kmeans import lloyd_step
+
+    ev = table(spark, sf_dir, "events").select(
+        F.array(
+            (F.col("user_id") % 7).cast("double"),
+            (F.col("user_id") % 11).cast("double"),
+        ).alias("features")
+    )
+    init = np.array([[0.0, 0.0], [6.0, 10.0], [1000.0, 1000.0]])
+    new = lloyd_step(ev, init)
+    rows = [
+        (int(c), int(d), float(new[c, d]))
+        for c in range(init.shape[0])
+        for d in range(init.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, dim int, centroid double")

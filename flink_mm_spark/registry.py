@@ -82,6 +82,11 @@ PROMOTE: list[str] = [
     "collectives_allreduce",
     "partitioned_sink_roundtrip",
     "events_hourly_streamed",
+    "damds_varray_vp",
+    "damds_bofz_bc",
+    "damds_temp_schedule",
+    "damds_cg_step",
+    "kmeans_empty_repair",
 ]
 
 DEFER: list[str] = [
@@ -100,6 +105,11 @@ DEFER: list[str] = [
     "salted_event_totals",  # salted partial agg: events_hourly + kmeans_centroid_update stay graded
     "economy_revenue_share",  # global sum: mds_stress + pricing_summary stay graded
     "customer_order_gaps",  # lag window: running_order_totals stays graded
+    "events_hourly",  # same oracle as events_hourly_streamed (the stronger twin)
+    "shipping_priority",  # equi-join: local_supplier_volume stays graded
+    "quantity_percentiles",  # ordered analytics: top_customers_per_nation stays graded
+    "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded
+    "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",

@@ -64,13 +64,18 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "monthly_revenue_trend": "running_order_totals",
         "customers_without_orders": "nation_set_ops",
         "suppliers_with_large_lineitems": "local_supplier_volume",
-        "events_json_props": "events_hourly",
+        "events_json_props": "events_hourly_streamed",
         "distinct_part_types": "nation_set_ops",
-        "media_resize_estimate": "media_metadata",
+        "media_resize_estimate": "media_decode_features",
         "cube_order_stats": "rollup_sales",
-        "salted_event_totals": "events_hourly",
+        "salted_event_totals": "events_hourly_streamed",
         "economy_revenue_share": "pricing_summary",
         "customer_order_gaps": "running_order_totals",
+        "events_hourly": "events_hourly_streamed",
+        "shipping_priority": "local_supplier_volume",
+        "quantity_percentiles": "top_customers_per_nation",
+        "global_stats": "short_matrix_stats",
+        "media_metadata": "media_decode_features",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
