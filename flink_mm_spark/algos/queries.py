@@ -556,16 +556,27 @@ def damds_temp_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 AS (
       SELECT SUM(p1.p * ap1.ap) AS pap1
       FROM p1 JOIN ap1 ON p1.i = ap1.i AND p1.d = ap1.d
+    ),
+    s3 AS (
+      SELECT SUM(
+               (r1.r - (SELECT rtr1 FROM s1) / (SELECT pap1 FROM s2) * ap1.ap)
+               * (r1.r - (SELECT rtr1 FROM s1) / (SELECT pap1 FROM s2) * ap1.ap)
+             ) AS rtr2
+      FROM r1 JOIN ap1 ON r1.i = ap1.i AND r1.d = ap1.d
     )
     SELECT CAST(p1.i AS INTEGER) AS point_id, CAST(p1.d AS INTEGER) AS dim,
-           ROUND(p1.x1 + (SELECT rtr1 FROM s1) / (SELECT pap1 FROM s2) * p1.p, 6) AS x
+           ROUND(p1.x1 + (SELECT rtr1 FROM s1) / (SELECT pap1 FROM s2) * p1.p, 6) AS x,
+           (SELECT CAST(rtr0 AS BIGINT) FROM s0) AS rtr0_q,
+           (SELECT ROUND(rtr2, 4) FROM s3) AS rtr2,
+           (SELECT rtr2 <= rtr0 * 0.9 FROM s3, s0) AS stop_loose,
+           (SELECT rtr2 <= rtr0 * 0.01 FROM s3, s0) AS stop_tight
     FROM p1 ORDER BY point_id, dim
     """,
 )
 def damds_cg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two conjugate-gradient iterations of V·X = BC through the real
-    distributed solve (SURVEY F9, damds/CG.java:78-142), graded to 6
-    decimals.
+    distributed solve, plus the termination criterion's quantities (SURVEY
+    F9 + I2, damds/CG.java:78-142), graded to 6 decimals.
 
     Weights pass through the |w| read-time transformation hook (the
     TransformationFunction seam, io/RowBlock.java:27-28) so V is
@@ -574,6 +585,12 @@ def damds_cg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact rational matvecs (Σwq·Δp as integers / 32767). cg_threshold=0
     pins exactly two iterations in both engines. The only distributed step
     per iteration is the V×p multiply — the same shape the full anneal uses.
+
+    The I2 columns grade the stop rule ``rtr ≤ rtr₀·threshold``
+    (damds.py cg_solve / damds/CG.java:97): rtr0_q is the exact integer
+    Σ‖r₀‖², rtr2 the post-iteration residual, and stop_loose/stop_tight the
+    criterion at thresholds 0.9 / 0.01 — chosen 40× either side of the
+    measured ratio ≈ 0.49 so float wobble can never flip them.
     """
     blocks = _fixture_blocks(spark)
     wt = lambda w, d: np.abs(w)  # noqa: E731 — the reference's wt hook seam
@@ -586,14 +603,34 @@ def damds_cg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             blocks, v, bc, np.zeros((_SF_N, 3)), cg_iters=2, cg_threshold=0.0, wt=wt
         )
         assert iters == 2  # determinism guard: both engines must do 2 steps
+        # True residual r = BC − V·x (exact-arithmetic equal to CG's
+        # incremental r, which the oracle replays): one more distributed
+        # V×p — the same quantity cg_solve's while-condition tests.
+        r_true = bc - damds_mod.v_multiply(blocks, v, x, wt=wt)
     finally:
         blocks.unpersist()
+    rtr0_q = int(np.rint((bc * bc).sum()))
+    rtr2 = float((r_true * r_true).sum())
+    stop_loose = bool(rtr2 <= rtr0_q * 0.9)
+    stop_tight = bool(rtr2 <= rtr0_q * 0.01)
     rows = [
-        (int(pi), int(d), float(np.round(x[pi, d], 6)))
+        (
+            int(pi),
+            int(d),
+            float(np.round(x[pi, d], 6)),
+            rtr0_q,
+            float(np.round(rtr2, 4)),
+            stop_loose,
+            stop_tight,
+        )
         for pi in range(_SF_N)
         for d in range(3)
     ]
-    return spark.createDataFrame(rows, "point_id int, dim int, x double")
+    return spark.createDataFrame(
+        rows,
+        "point_id int, dim int, x double, rtr0_q bigint, rtr2 double, "
+        "stop_loose boolean, stop_tight boolean",
+    )
 
 
 @register(

