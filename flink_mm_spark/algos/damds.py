@@ -230,6 +230,71 @@ def stress(
     return float(total) * inv_sum_dsq
 
 
+def stress_bofz(
+    blocks: DataFrame, x: np.ndarray, t_cur: float, inv_sum_dsq: float, wt=None
+) -> tuple[float, np.ndarray]:
+    """Fused σ(X) + B(Z)·Z in ONE distributed job (one barrier, one pass).
+
+    The SMACOF loop evaluates stress(X_i) at the end of iteration i and
+    BofZ(X_i) at the start of iteration i+1 — same X, same t, same blocks,
+    and both kernels are dominated by the identical (block_rows × N)
+    distance computation. Fusing halves that work and removes one
+    synchronization barrier per iteration (at 1000 executors, barriers are
+    the anneal's critical path). Float semantics are IDENTICAL to running
+    ``stress`` then ``bofz_bc``: the shared dist_x is the same value both
+    kernels computed independently, and each output applies the same op
+    sequence to it — so results are bitwise equal and the numpy test
+    oracles are unchanged. Each block emits [σ_partial, *bz_slice].
+    """
+    spark = blocks.sparkSession
+    dim = x.shape[1]
+    diff = float(np.sqrt(2.0 * dim) * t_cur) if t_cur > 1e-10 else 0.0
+    x_bc = spark.sparkContext.broadcast(np.asarray(x, dtype=np.float64))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xv = x_bc.value
+        out = []
+        for pdf in batches:
+            for bid, start, d, wblk in _block_arrays(pdf):
+                dq = d.astype(np.float64) * INV_SHORT_MAX
+                w = _weights_of(d, wblk, wt)
+                nrows = d.shape[0]
+                xb = xv[start : start + nrows]
+                dist_x = np.sqrt(
+                    np.maximum(
+                        (xb * xb).sum(1)[:, None]
+                        - 2.0 * (xb @ xv.T)
+                        + (xv * xv).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+                # stress partial (Stress.java:45-93 semantics)
+                heated = np.where(dq >= diff, dq - diff, 0.0)
+                tmp = heated - dist_x
+                sp = float((w * tmp * tmp * (d >= 0)).sum())
+                # BofZ slice (BC.java:86-134 semantics)
+                ok = (dist_x >= 1e-10) & (dq > diff) & (d >= 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    b = np.where(ok, -w * (dq - diff) / np.where(ok, dist_x, 1.0), 0.0)
+                cols = np.arange(d.shape[1])
+                diag_mask = cols[None, :] == (start + np.arange(nrows))[:, None]
+                b = np.where(diag_mask, 0.0, b)
+                diag = -b.sum(axis=1)
+                bz = b @ xv + diag[:, None] * xb
+                out.append((bid, [sp] + bz.ravel().tolist()))
+        yield pd.DataFrame(out, columns=["block_id", "data"])
+
+    pdf = blocks.mapInPandas(partials, _PART_SCHEMA).toPandas().sort_values("block_id")
+    x_bc.destroy()
+    total = 0.0
+    slices = []
+    for d in pdf["data"]:
+        a = np.asarray(d, dtype=np.float64)
+        total += a[0]
+        slices.append(a[1:].reshape(-1, dim))
+    return float(total) * inv_sum_dsq, np.vstack(slices)
+
+
 def v_array(blocks: DataFrame, wt=None) -> np.ndarray:
     """v_i = 1 + Σ_{j≠i, δ_ij≥0, w_ij≠0} w_ij (damds/VArray.java:49-67, F8)."""
 
@@ -423,12 +488,19 @@ def damds(
 
     total_stress_iters = 0
     temp_loops = 0
-    sig = stress(blocks, x, t_cur, inv_sum_dsq, wt)
+    # Fused kernel: the initial stress evaluation shares its distance pass
+    # with the first iteration's BofZ (same X, same t); within a temp loop
+    # each end-of-iteration stress is fused with the NEXT iteration's BofZ.
+    # One barrier per SMACOF iteration instead of two, and the dominant
+    # O(rows·N) distance computation runs once instead of twice — float
+    # semantics identical to the unfused kernels (see stress_bofz).
+    sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
     while True:
         for _ in range(max_stress_loops):
-            bc = bofz_bc(blocks, x, t_cur, wt)
+            bc = pending_bc if pending_bc is not None else bofz_bc(blocks, x, t_cur, wt)
+            pending_bc = None
             x, _ = cg_solve(blocks, v, bc, x, cg_iters, cg_threshold, wt)
-            new_sig = stress(blocks, x, t_cur, inv_sum_dsq, wt)
+            new_sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
             total_stress_iters += 1
             if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
                 sig = new_sig
@@ -440,6 +512,7 @@ def damds(
         t_cur *= alpha
         if t_cur < t_min:
             t_cur = 0.0
+        pending_bc = None  # t changed → the speculative BofZ is stale
     return DamdsResult(points=x, stress=sig, temp_loops=temp_loops, stress_iters=total_stress_iters)
 
 
