@@ -108,6 +108,20 @@ def test_bofz_bc(blocks, problem, t_cur):
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+@pytest.mark.parametrize("t_cur", [0.0, 0.05])
+def test_stress_bofz_fusion_bitwise_equals_unfused(blocks, problem, t_cur):
+    """The fused kernel must reproduce stress + bofz_bc EXACTLY (the anneal
+    loop relies on the fusion being a pure barrier optimization)."""
+    q, w, x = problem
+    sumsq = (_dq(q)[q >= 0] ** 2).sum()
+    sig, bc = D.stress_bofz(blocks, x, t_cur, 1.0 / sumsq)
+    np.testing.assert_array_equal(bc, D.bofz_bc(blocks, x, t_cur))
+    # stress totals sum per-block partials in block order (driver) vs the
+    # unfused kernel's Spark-side sum — identical partials, so agreement is
+    # to the last couple of ulps even when the reduction order differs
+    np.testing.assert_allclose(sig, D.stress(blocks, x, t_cur, 1.0 / sumsq), rtol=1e-12)
+
+
 def _numpy_v(q, w):
     wm = _wm(q, w)
     np.fill_diagonal(wm, 0.0)
