@@ -99,7 +99,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard pairs (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 
-_JACCARD_ORACLE = """
+_JACCARD_CTES = """
     WITH toks AS (
       SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents
@@ -118,12 +118,18 @@ _JACCARD_ORACLE = """
       JOIN posting b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+_JACCARD_ORACLE = (
+    _JACCARD_CTES
+    + """
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
     ORDER BY doc_a, doc_b
 """
+)
 
 
 @register("jaccard_token_pairs", oracle=_JACCARD_ORACLE)
@@ -655,3 +661,93 @@ def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the exact-Jaccard pair graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=_JACCARD_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
+    ),
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp ORDER BY doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact Jaccard
+    ≥ 0.7 pair graph, every document labeled with its component's minimum
+    doc_id (the canonical survivor a dedup pipeline keeps) + component size.
+
+    This is the missing step between pair lists and actual deduplication:
+    near-dup relations are not transitive, so production pipelines cluster
+    the pair graph and keep one doc per component. Implemented as iterative
+    min-label propagation — per round one shuffle join (labels ⋈ edges) and
+    one min-aggregate, converging in diameter(G) rounds, with a driver-side
+    fixpoint check (count of changed labels). Near-dup components are dense
+    (quasi-cliques), so diameters are tiny; at 100 TB with adversarial
+    chain-shaped graphs, swap the loop body for alternating large-star/
+    small-star (Kiveris et al.), which is the same join shape in O(log n)
+    rounds — the per-round plan (short-key equi-join, no broadcast of the
+    corpus) is already the scale shape. The DuckDB oracle computes the same
+    components via recursive transitive closure + min — exact agreement,
+    including singleton docs (their own component of size 1).
+    """
+    pairs = jaccard_token_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    labels.count()
+    for _round in range(25):  # cap ≫ any real near-dup diameter
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("doc_b"), "label"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql.window import Window
+
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("component_size"),
+    ).orderBy("doc_id")
+    edges.unpersist()
+    return out

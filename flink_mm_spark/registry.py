@@ -87,6 +87,7 @@ PROMOTE: list[str] = [
     "damds_temp_schedule",
     "damds_cg_step",
     "kmeans_empty_repair",
+    "dedup_components",
 ]
 
 DEFER: list[str] = [
@@ -110,6 +111,7 @@ DEFER: list[str] = [
     "quantity_percentiles",  # ordered analytics: top_customers_per_nation stays graded
     "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded
     "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns
+    "media_frame_sample",  # frame explode: media_decode_features + media_audio_energy stay graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",
