@@ -35,6 +35,10 @@ EMB_BLOCK_ROWS = 2048
 
 # --- shared text → tokens/shingles expressions (Column-level, JVM-side) ----
 
+# BPE-ish word/number/punct tokenizer regex (also used by operators.text —
+# defined here because this module is the import leaf of the text family)
+WORD_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
 
 def norm_text(col: str = "text") -> Column:
     return F.lower(F.trim(F.col(col)))
@@ -715,6 +719,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via recursive transitive closure + min — exact agreement,
     including singleton docs (their own component of size 1).
     """
+    from pyspark.sql.window import Window
+
+    labels = component_labels(spark, sf_dir)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("component_size"),
+    ).orderBy("doc_id")
+
+
+def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) connected-component labels over the Jaccard ≥ 0.7
+    pair graph via min-label propagation (see ``dedup_components``)."""
     pairs = jaccard_token_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -742,12 +759,102 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus prep: the composed training-data pipeline funnel
+# ---------------------------------------------------------------------------
+
+_PREP_MIN_TOKENS = 10
+
+
+def _prep_oracle() -> str:
+    return (
+        _JACCARD_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + f"""
+    , jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
+    ),
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS label
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    staged AS (
+      SELECT d.source,
+             d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(lower(trim(d.text)))) AS keep_exact,
+             d.doc_id = c.label AS keep_near,
+             len(regexp_extract_all(d.text, '{WORD_REGEX}')) AS n_tok
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN keep_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN n_tok >= {_PREP_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM staged GROUP BY source ORDER BY source
+    """
+    )
+
+
+@register("corpus_prep_pipeline", oracle=_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus prep funnel, per source: exact-dedup
+    survivors ∩ near-dup component survivors ∩ quality floor, with surviving
+    token mass — the end-to-end pipeline a 100 TB pretraining prep actually
+    runs, built from this engine's own stages (``dedup_exact`` keep rule,
+    ``dedup_components`` labels, ``token_counts`` tokenizer).
+
+    Every stage keeps its production shape: the exact-dedup keep rule is a
+    window-min over the md5 fingerprint (one hash shuffle), component
+    labels come from the distributed min-label propagation, and the quality
+    floor is a JVM-side regex count — the funnel aggregation itself is one
+    groupBy(source). All outputs are integers, so the oracle (which recomputes
+    the whole funnel in SQL, recursive closure included) matches exactly.
+    """
     from pyspark.sql.window import Window
 
-    out = labels.select(
-        "doc_id",
-        F.col("label").alias("component_id"),
-        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("component_size"),
-    ).orderBy("doc_id")
-    edges.unpersist()
-    return out
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    labels = component_labels(spark, sf_dir)
+    fp_min = F.min("doc_id").over(
+        Window.partitionBy(F.md5(norm_text().cast("binary")))
+    )
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0))
+    staged = (
+        d.select("doc_id", "source", "text")
+        .withColumn("keep_exact", F.col("doc_id") == fp_min)
+        .withColumn("n_tok", n_tok)
+        .join(labels, "doc_id")
+        .withColumn("keep_near", F.col("doc_id") == F.col("label"))
+    )
+    keep_q = F.col("n_tok") >= _PREP_MIN_TOKENS
+    final = F.col("keep_exact") & F.col("keep_near") & keep_q
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep_exact"), 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("keep_near"), 1).otherwise(0)).alias("n_near"),
+            F.sum(F.when(keep_q, 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(final, 1).otherwise(0)).alias("n_final"),
+            F.sum(F.when(final, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_final"),
+        )
+        .orderBy("source")
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_mm_spark.operators.dedup import norm_text, tokens_expr
+from flink_mm_spark.operators.dedup import WORD_REGEX, norm_text, tokens_expr
 from flink_mm_spark.registry import register
 from flink_mm_spark.sources.tables import parallelize_scan, table
 
@@ -26,9 +26,9 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
 }
 
-# "BPE-ish" token regex: letter runs, digit runs, single punctuation marks —
-# same semantics under Java regex (Spark) and RE2 (DuckDB).
-WORD_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+# "BPE-ish" token regex (WORD_REGEX, imported from dedup — the import leaf):
+# letter runs, digit runs, single punctuation marks — same semantics under
+# Java regex (Spark) and RE2 (DuckDB).
 
 
 def _sql_list(words: list[str]) -> str:

@@ -112,6 +112,7 @@ DEFER: list[str] = [
     "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded
     "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns
     "media_frame_sample",  # frame explode: media_decode_features + media_audio_energy stay graded
+    "corpus_prep_pipeline",  # funnel composition of graded stages (dedup_exact+components+token_counts)
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",

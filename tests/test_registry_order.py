@@ -77,6 +77,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "global_stats": "short_matrix_stats",
         "media_metadata": "media_decode_features",
         "media_frame_sample": "media_decode_features",
+        "corpus_prep_pipeline": "dedup_components",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
