@@ -1,0 +1,374 @@
+"""Pretraining-corpus preparation operators beyond the dedup/quality core.
+
+The four stages every large-scale LLM data pipeline runs that are not yet
+covered by ``operators.text`` / ``operators.dedup``:
+
+- **PII scrubbing** (`pii_scrub`): regex redaction of emails / phone
+  numbers / IP addresses, counted and length-audited per source.
+- **Gopher-style quality flags** (`gopher_quality_flags`): the hard
+  document filters of Rae et al. 2021 (word count, mean word length,
+  duplicate-bigram ratio, stopword presence) as pass/fail counts.
+- **Benchmark contamination** (`benchmark_contamination`): n-gram overlap
+  of the training split against a held-out eval split via a broadcast
+  shingle join — the decontamination check of GPT-3 appendix C / PaLM.
+- **Stratified sampling** (`stratified_sample`): deterministic hash-based
+  per-source sampling to target mixture rates — reproducible across
+  retries and partitionings because the keep decision is a pure function
+  of ``doc_id``, never an RNG draw.
+
+All four are single-pass JVM column expressions (regex / higher-order
+array functions) aggregated per source: at 100 TB each is one scan plus
+one tiny-key shuffle (≤ |sources| groups), with the contamination join
+broadcasting only the eval-side shingle set (benchmarks are KBs against a
+corpus of TBs). No Python in any hot path; every output column is an
+integer, so the DuckDB oracles match bit-exactly at any parallelism.
+
+The documents corpus is synthetic (~31-token vocabulary, no natural PII),
+so ``pii_scrub`` deterministically injects fixture PII derived from
+``doc_id`` — IDENTICALLY in the Spark query and the oracle — before
+scrubbing; the operator itself is corpus-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mm_spark.operators.dedup import norm_text, shingles_expr, tokens_expr
+from flink_mm_spark.operators.text import STOPWORDS, _sql_list
+from flink_mm_spark.registry import register
+from flink_mm_spark.sources.tables import parallelize_scan, table
+
+# Redaction patterns — plain character classes + bounded repetition only,
+# so Java regex (Spark) and RE2 (DuckDB) agree on every match.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def _inject_pii() -> Column:
+    """Fixture PII keyed on doc_id % 4: none / email / phone+email / IP."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    return (
+        F.when(did % 4 == 1, F.concat(F.col("text"), F.lit(" contact: user"), s, F.lit("@example.com")))
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" or mail ops"),
+                s,
+                F.lit("@mail.net"),
+            ),
+        )
+        .when(
+            did % 4 == 3,
+            F.concat(F.col("text"), F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0."), (did % 40).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+_INJECT_SQL = """
+    CASE doc_id % 4
+      WHEN 1 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' or mail ops' || CAST(doc_id AS VARCHAR) || '@mail.net'
+      WHEN 3 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 40 AS VARCHAR)
+      ELSE text
+    END
+"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source, {_INJECT_SQL} AS t FROM documents
+    ),
+    scrubbed AS (
+      SELECT source, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+               '{IP_RE}', '[IP]', 'g') AS clean
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t, '{EMAIL_RE}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '{PHONE_RE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(t, '{IP_RE}'))) AS BIGINT) AS n_ips,
+           CAST(SUM(length(t) - length(clean)) AS BIGINT) AS chars_redacted,
+           CAST(SUM(CASE WHEN clean = t THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit per source: email/phone/IP match counts, total
+    characters removed by the three-stage ``regexp_replace`` chain, and how
+    many documents were already clean.
+
+    The scrub itself (emails → ``[EMAIL]``, then phones, then IPs — order
+    pinned so a later pattern can never match inside an earlier
+    placeholder) is a pure codegen expression chain: at 100 TB this is one
+    parquet scan with the redacted column materialized on the fly and a
+    ≤ |sources|-key aggregate. Counting uses ``regexp_extract_all`` on the
+    pre-scrub text so the audit is independent of replacement order.
+    """
+    d = table(spark, sf_dir, "documents")
+    aug = _inject_pii()
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(aug, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"),
+        IP_RE,
+        "[IP]",
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(aug, F.lit(pat), 0))  # noqa: E731
+    return (
+        d.select(
+            "source",
+            n(EMAIL_RE).alias("e"),
+            n(PHONE_RE).alias("p"),
+            n(IP_RE).alias("i"),
+            (F.length(aug) - F.length(clean)).alias("dl"),
+            (clean == aug).cast("int").alias("is_clean"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("p").cast("bigint").alias("n_phones"),
+            F.sum("i").cast("bigint").alias("n_ips"),
+            F.sum("dl").cast("bigint").alias("chars_redacted"),
+            F.sum("is_clean").cast("bigint").alias("n_clean_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Gopher-style hard quality filters -------------------------------------
+
+# Integer-form thresholds (no float compares anywhere): a doc passes when
+#   word count in [20, 1000]
+#   mean word length in [2, 10]   ⇔ 2n ≤ (chars - (n-1)) ≤ 10n
+#   duplicate-bigram ratio ≤ 0.5  ⇔ 2·distinct_bigrams ≥ bigrams
+#   ≥ 2 distinct English stopwords present
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 20, 1000
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(toks) AS n,
+             length(nt) - (len(toks) - 1) AS letters,
+             len(list_distinct(grams)) AS dg,
+             len(grams) AS g,
+             len(list_intersect(list_distinct(toks), {_sql_list(STOPWORDS["en"])})) AS stops
+      FROM (
+        SELECT source, nt, toks,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM (
+          SELECT source, lower(trim(text)) AS nt,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        )
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
+           CAST(SUM(CASE WHEN letters BETWEEN 2 * n AND 10 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_meanlen,
+           CAST(SUM(CASE WHEN 2 * dg >= g THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+           CAST(SUM(CASE WHEN stops >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopwords,
+           CAST(SUM(CASE WHEN n BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
+                          AND letters BETWEEN 2 * n AND 10 * n
+                          AND 2 * dg >= g
+                          AND stops >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule hard document filters (Rae et al. 2021 §A1.1), counted
+    per source: word-count band, mean-word-length band, duplicate-bigram
+    ratio, and stopword presence — plus the conjunction.
+
+    Every rule is evaluated in INTEGER arithmetic (the mean-length and
+    repetition bands are cross-multiplied instead of divided), so the
+    pass/fail booleans — and therefore the oracle hash — cannot drift with
+    float evaluation order. One scan, higher-order array expressions only,
+    one ≤ |sources|-key shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_expr()
+    n = F.size(toks)
+    letters = F.length(norm_text()) - (n - 1)
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    per_doc = d.select(
+        "source",
+        n.alias("n"),
+        letters.alias("letters"),
+        F.size(F.array_distinct(grams)).alias("dg"),
+        F.size(grams).alias("g"),
+        F.size(F.array_intersect(F.array_distinct(toks), en_stop)).alias("stops"),
+    )
+    p_wc = F.col("n").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+    p_ml = F.col("letters").between(2 * F.col("n"), 10 * F.col("n"))
+    p_rep = 2 * F.col("dg") >= F.col("g")
+    p_stop = F.col("stops") >= 2
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(p_wc).alias("n_pass_wordcount"),
+            cnt(p_ml).alias("n_pass_meanlen"),
+            cnt(p_rep).alias("n_pass_repetition"),
+            cnt(p_stop).alias("n_pass_stopwords"),
+            cnt(p_wc & p_ml & p_rep & p_stop).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+_BC_K = 4  # shingle width; eval split = doc_id % _BC_MOD == 0
+_BC_MOD = 23
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               list_transform(range(1, greatest(len(toks) - {_BC_K - 1}, 0) + 1),
+                              i -> array_to_string(toks[i:i + {_BC_K - 1}], ' ')))) AS gram
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BC_MOD} = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS shared
+      FROM grams g JOIN eval_grams e USING (gram)
+      WHERE g.doc_id % {_BC_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN h.shared IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(COALESCE(h.shared, 0)) AS BIGINT) AS shared_grams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_BC_MOD} <> 0
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram decontamination check (GPT-3 appendix C shape):
+    per source, how many training documents share at least one distinct
+    4-gram with the held-out eval split (doc_id % 23 == 0), and the total
+    count of shared distinct grams.
+
+    Scale shape: the eval side of the join is the DISTINCT shingle set of
+    the *benchmark* split — KBs even when the training corpus is 100 TB —
+    so it broadcasts, and the train side streams through a
+    BroadcastHashJoin with no shuffle of the exploded grams. The only
+    wide exchange is the per-doc hit count on ``doc_id``, then the tiny
+    per-source rollup. ``parallelize_scan`` spreads the CPU-heavy
+    shingling of the byte-small local corpus (no-op on real tables).
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % _BC_MOD == 0
+    grams = d.select("doc_id", "source", F.explode(shingles_expr(_BC_K)).alias("gram"))
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    train = d.filter(~is_eval).select("doc_id", "source")
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.col("shared").isNotNull().cast("int")).cast("bigint").alias("n_contaminated"),
+            F.sum(F.coalesce("shared", F.lit(0))).cast("bigint").alias("shared_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+# Per-source target rates in basis points, keyed on the numeric source id:
+# src{4k} keep all, src{4k+1} half, src{4k+2} quarter, src{4k+3} eighth.
+_RATES_BP = {0: 10000, 1: 5000, 2: 2500, 3: 1250}
+_RATE_SQL = "CASE CAST(substr(source, 4) AS INT) % 4 " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _RATES_BP.items()
+) + " END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             {_RATE_SQL} AS rate_bp,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(rate_bp) AS BIGINT) AS rate_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture rates (the
+    domain-mixing step of every pretraining recipe): keep a document iff
+    the first 32 bits of ``md5(doc_id)`` land under the source's
+    basis-point rate.
+
+    Hash-bucket sampling instead of ``rand()`` because at 100 TB the keep
+    decision must be a pure function of the row — reproducible across task
+    retries, partitioning changes, and engines (the oracle recomputes the
+    identical md5 bucket in SQL). One scan, no shuffle before the
+    per-source rollup; on a real pipeline the same predicate pushes into
+    the writer to materialize the mixed corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int") % 4
+    rate = F.coalesce(
+        *[F.when(src_num == k, F.lit(v)) for k, v in _RATES_BP.items()]
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("bigint") % 10000
+    keep = bucket < rate
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        d.select("source", rate.alias("rate_bp"), keep.alias("keep"), n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.max("rate_bp").cast("bigint").alias("rate_bp"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -94,6 +94,7 @@ DEFER: list[str] = [
     # oracle-bearing twins of queries that stay graded
     "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
+    "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k
     "order_price_unpivot",  # pivot family: event_type_pivot stays graded
     "monthly_revenue_trend",  # trend window: running_order_totals stays graded
@@ -113,6 +114,9 @@ DEFER: list[str] = [
     "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns
     "media_frame_sample",  # frame explode: media_decode_features + media_audio_energy stay graded
     "corpus_prep_pipeline",  # funnel composition of graded stages (dedup_exact+components+token_counts)
+    "gopher_quality_flags",  # quality-flag family: text_quality_by_lang stays graded
+    "benchmark_contamination",  # shingle-join family: jaccard_prefix_filtered stays graded
+    "stratified_sample",  # hash-keyed selection: dedup_exact stays graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",
@@ -140,6 +144,7 @@ def load_all() -> None:
     import flink_mm_spark.operators.similarity  # noqa: F401
     import flink_mm_spark.operators.text  # noqa: F401
     import flink_mm_spark.operators.multimodal  # noqa: F401
+    import flink_mm_spark.operators.llm_prep  # noqa: F401
     import flink_mm_spark.sources.binary_matrix  # noqa: F401
     import flink_mm_spark.sources.text_points  # noqa: F401
     import flink_mm_spark.operators.udf_surface  # noqa: F401

@@ -78,6 +78,10 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "media_metadata": "media_decode_features",
         "media_frame_sample": "media_decode_features",
         "corpus_prep_pipeline": "dedup_components",
+        "orders_with_returns": "local_supplier_volume",
+        "gopher_quality_flags": "text_quality_by_lang",
+        "benchmark_contamination": "jaccard_prefix_filtered",
+        "stratified_sample": "dedup_exact",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
