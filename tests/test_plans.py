@@ -128,6 +128,34 @@ def test_damds_point_construction_single_shuffle(spark):
         blocks.unpersist()
 
 
+def test_contamination_broadcasts_eval_side(spark):
+    """The decontamination join must broadcast the eval-split shingle set
+    (KBs at any corpus size) and stream the exploded train grams through a
+    BroadcastHashJoin — never shuffle or sort-merge the gram table
+    (SCALE.md §Document/LLM pipelines)."""
+    df = registry.QUERIES["benchmark_contamination"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gram_joins = [l for l in plan.splitlines() if "Join [gram" in l]
+    assert gram_joins and all("BroadcastHashJoin" in l for l in gram_joins), gram_joins
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_one_codegen_scan(spark):
+    """The redaction chain must stay inside whole-stage codegen over a
+    pruned scan (doc_id, text, source only) — no Python, no extra
+    exchanges beyond the per-source aggregate + output sort."""
+    df = registry.QUERIES["pii_scrub"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(read_cols) == 3, scan
+    assert "*(1)" in plan  # scan→project→partial agg fused in one stage
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Hive-style partitioned layout: a filter on the partition column must
     become a PartitionFilter (pruned at file listing, zero data read from
