@@ -48,6 +48,8 @@ HEADLINE = [
     "mds_stress",               # distributed stress kernel
     "user_sessions_batch",      # sessionization (windows + running sum)
     "media_decode_features",    # multimodal mapInPandas decode
+    "pii_scrub",                # regex redaction chain (codegen scan)
+    "benchmark_contamination",  # eval-shingle broadcast decontamination
 ]
 
 
