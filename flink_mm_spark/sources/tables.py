@@ -32,10 +32,16 @@ TABLES = [
 # AQE handles the cutover, and we add explicit hints where it always holds.
 DIM_TABLES = {"region", "nation"}
 
-# The driver's parquet stores TIMESTAMP(NANOS) which Spark does not read
-# natively; with spark.sql.legacy.parquet.nanosAsLong those columns arrive
-# as BIGINT nanoseconds and are converted here (integer div — a double
-# division would lose precision on epoch-nanos magnitudes).
+# Timestamp columns are normalized to TIMESTAMP (instant) whatever physical
+# form the parquet uses. Two generations of driver testdata exist:
+#   - TIMESTAMP(NANOS): Spark can't read it natively; under
+#     spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT nanoseconds
+#     and is converted with an integer div (a double division would lose
+#     precision at epoch-nanos magnitudes).
+#   - TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ, which many
+#     instant functions (unix_micros, to_utc_timestamp) reject; with the
+#     session timezone pinned to UTC the cast to TIMESTAMP is exact and
+#     epoch-preserving, matching DuckDB's epoch_us on the same file.
 TS_COLUMNS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
@@ -47,10 +53,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -23,12 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Parquet TIMESTAMP(NANOS) arrives as BIGINT under nanosAsLong — the stream
-# schema must declare it that way, then convert (see sources/tables.py).
+# The events parquet stores TIMESTAMP(MICROS) without tz, which a declared
+# stream schema must read as TIMESTAMP_NTZ; the scan then casts to TIMESTAMP
+# under a UTC session timezone (exact, epoch-preserving — see sources/tables.py
+# for the two testdata generations).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -49,12 +51,12 @@ def events_stream(
     (like an sf dir) — otherwise every table's parquet is ingested and only
     filtered out as schema-mismatch nulls downstream.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", glob).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_aggregate(

@@ -125,7 +125,7 @@ def test_incremental_kmeans_foreachbatch(spark, batch_events, tmp_path):
     split_dir = tmp_path / "split"
     (
         batch_events.repartition(4)
-        .withColumn("ts", F_unix_nanos())
+        .withColumn("ts", F_stream_ts())
         .write.mode("overwrite")
         .parquet(str(split_dir))
     )
@@ -145,11 +145,12 @@ def test_incremental_kmeans_foreachbatch(spark, batch_events, tmp_path):
     assert min(vals) <= model.centroids.min() <= model.centroids.max() <= max(vals)
 
 
-def F_unix_nanos():
-    """events_stream expects BIGINT nanos (parquet NANOS convention)."""
+def F_stream_ts():
+    """events_stream declares TIMESTAMP_NTZ (the testdata's physical type);
+    session tz is UTC so the cast is exact."""
     from pyspark.sql import functions as F
 
-    return (F.unix_micros("ts") * 1000).cast("long")
+    return F.col("ts").cast("timestamp_ntz")
 
 
 def test_stateful_user_stats(spark, batch_events, tmp_path):
@@ -160,7 +161,7 @@ def test_stateful_user_stats(spark, batch_events, tmp_path):
     split_dir = tmp_path / "split_state"
     (
         batch_events.repartition(3)
-        .withColumn("ts", F_unix_nanos())
+        .withColumn("ts", F_stream_ts())
         .write.mode("overwrite")
         .parquet(str(split_dir))
     )
