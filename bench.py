@@ -50,6 +50,7 @@ HEADLINE = [
     "media_decode_features",    # multimodal mapInPandas decode
     "pii_scrub",                # regex redaction chain (codegen scan)
     "benchmark_contamination",  # eval-shingle broadcast decontamination
+    "pack_sequences",           # two-pass distributed prefix-sum packing
 ]
 
 

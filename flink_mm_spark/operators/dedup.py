@@ -539,18 +539,24 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embeddings64(spark, sf_dir)
     while _EMB_LSH_CACHE:
         _EMB_LSH_CACHE.pop().unpersist()
-    banded = e.select(
-        "vec_id", "emb", F.explode(band_keys("emb")).alias("bucket")
-    ).persist()
+    # Candidate generation runs on (vec_id, bucket) ONLY — 16-byte shuffle
+    # rows. Carrying the embedding arrays through the bucket join and the
+    # pair dedup would multiply every shuffle by ~64× (1 KB/row); instead
+    # the deduped id pairs re-attach vectors with two equi-joins on vec_id
+    # (auto-broadcast locally; plain shuffle hash joins at corpus scale).
+    banded = e.select("vec_id", F.explode(band_keys("emb")).alias("bucket")).persist()
     _EMB_LSH_CACHE.append(banded)
 
-    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
-    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
-    cand = (
+    a = banded.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "bucket")
+    pair_ids = (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    cand = pair_ids.join(
+        e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")), "vec_a"
+    ).join(e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")), "vec_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -372,3 +372,107 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Sequence packing: fixed token budget per training sequence (the
+# concatenate-then-chunk step of GPT-style pretraining ingestion).
+SEQ_TOKEN_BUDGET = 512
+_PACK_CACHE: list[DataFrame] = []
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, n_tok,
+           CAST(cum_before // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_off
+    FROM ordered ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences in a
+    deterministic pseudo-shuffled order (concatenate-and-chunk, the
+    sequence-assembly step between corpus prep and the trainer's data
+    loader).
+
+    Each document is placed at the global token offset given by the prefix
+    sum of whitespace token counts over the order ``(md5(doc_id), doc_id)``
+    — a reproducible corpus shuffle that needs no RNG state. ``seq_id`` is
+    the training sequence the document starts in; ``seq_off`` its offset
+    within that sequence (documents straddle budget boundaries exactly as
+    the chunking tokenizer would).
+
+    Scale design: a global windowed prefix sum (``SUM OVER (ORDER BY ...)``
+    with no PARTITION BY) executes on ONE partition in Spark — the classic
+    single-reducer anti-pattern. Instead this runs the textbook two-pass
+    distributed prefix sum: (1) range-partition + sort by the shuffle key,
+    (2) aggregate per-partition token totals (``|partitions|`` rows to the
+    driver), prefix them, and (3) add each partition's base offset to its
+    local running sum in one mapInPandas pass. One range shuffle total;
+    every other step is partition-local, so the plan survives a corpus of
+    any size. The DuckDB oracle states the same computation as the naive
+    global window — bit-equal integers prove the two-pass decomposition.
+    """
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    while _PACK_CACHE:
+        _PACK_CACHE.pop().unpersist()
+    parts = (
+        docs.repartitionByRange(n_parts, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .select(F.spark_partition_id().alias("pid"), "doc_id", "n_tok")
+        .persist()
+    )
+    _PACK_CACHE.append(parts)
+
+    totals = {
+        r["pid"]: r["tot"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    base, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = base
+        base += int(totals[pid])
+
+    def assign(batches):
+        import pandas as pd
+
+        running = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            start = offsets[int(pdf["pid"].iloc[0])] + running
+            n = pdf["n_tok"].to_numpy().astype("int64")
+            cum_before = start + n.cumsum() - n
+            running += int(n.sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"],
+                    "seq_id": cum_before // SEQ_TOKEN_BUDGET,
+                    "seq_off": cum_before % SEQ_TOKEN_BUDGET,
+                }
+            )
+
+    return parts.mapInPandas(
+        assign, "doc_id long, n_tok int, seq_id long, seq_off long"
+    ).orderBy("doc_id")

@@ -117,6 +117,7 @@ DEFER: list[str] = [
     "gopher_quality_flags",  # quality-flag family: text_quality_by_lang stays graded
     "benchmark_contamination",  # shingle-join family: jaccard_prefix_filtered stays graded
     "stratified_sample",  # hash-keyed selection: dedup_exact stays graded
+    "knn_per_label",  # blocked cosine kNN: cosine_topk keeps similarity graded (slot freed for pack_sequences)
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",

@@ -171,3 +171,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in scan, scan
     # the predicate must NOT degrade to a post-scan data filter
     assert "PushedFilters: []" in scan
+
+
+def test_emb_lsh_candidate_shuffles_are_id_only(spark):
+    """The LSH tier's bucket join and pair dedup must exchange (vec_id,
+    bucket) rows only — re-attaching the 64-float vectors happens AFTER the
+    dedup via equi-joins on vec_id. An `ea`/`eb` payload inside the
+    candidate join or the dropDuplicates exchange multiplies every shuffled
+    byte ~64x at corpus scale."""
+    plan = _plan(spark, "embedding_near_dup_lsh")
+    lines = plan.splitlines()
+    for l in lines:
+        if "HashAggregate" in l and "vec_a" in l and "vec_b" in l:
+            # the pair-dedup aggregate carries no embedding arrays
+            assert "ea" not in l and "eb" not in l, l
+    join_lines = [l for l in lines if "Join" in l and "bucket" in l]
+    assert join_lines, plan
+    for l in join_lines:
+        assert "ea#" not in l and "eb#" not in l, l
+
+
+def test_pack_sequences_single_wide_exchange(spark):
+    """pack_sequences must be the two-pass prefix sum: one range exchange
+    (the deterministic corpus shuffle), then partition-local work — never a
+    single-partition global window (SinglePartition exchange)."""
+    import re
+
+    df = registry.QUERIES["pack_sequences"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    # no window operator anywhere (the prefix sum is mapInPandas)
+    assert "Window" not in plan, plan

@@ -82,6 +82,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "gopher_quality_flags": "text_quality_by_lang",
         "benchmark_contamination": "jaccard_prefix_filtered",
         "stratified_sample": "dedup_exact",
+        "knn_per_label": "cosine_topk",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
