@@ -358,18 +358,28 @@ def bofz_bc(blocks: DataFrame, x: np.ndarray, t_cur: float, wt=None) -> np.ndarr
     return out
 
 
-def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray, wt=None) -> np.ndarray:
+def v_multiply(blocks: DataFrame, v, p: np.ndarray, wt=None) -> np.ndarray:
     """V·p where V = diag(v) with off-diag −w_ij (SURVEY F2).
 
     The reference computes this via MatrixUtils.matrixMultiplyWithThreadOffset
     (damds/CG.java:411-421); here each block does
     out = v_block·p_block − W_nodiag_block @ p in numpy and the slices are
     gathered ordered.
+
+    ``v`` may be a numpy array or an already-created Broadcast of one: v is
+    invariant across the whole anneal (it depends only on the weights), so
+    ``damds`` broadcasts it ONCE and every CG iteration reuses it — only the
+    O(N·dim) search direction ``p`` ships per iteration.
     """
+    from pyspark.broadcast import Broadcast
+
     spark = blocks.sparkSession
     dim = p.shape[1]
     p_bc = spark.sparkContext.broadcast(np.asarray(p, dtype=np.float64))
-    v_bc = spark.sparkContext.broadcast(np.asarray(v, dtype=np.float64))
+    own_v = not isinstance(v, Broadcast)
+    v_bc = (
+        spark.sparkContext.broadcast(np.asarray(v, dtype=np.float64)) if own_v else v
+    )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pv = p_bc.value
@@ -389,13 +399,14 @@ def v_multiply(blocks: DataFrame, v: np.ndarray, p: np.ndarray, wt=None) -> np.n
 
     out = _gather_block_matrix(blocks.mapInPandas(partials, _PART_SCHEMA), dim)
     p_bc.destroy()
-    v_bc.destroy()
+    if own_v:
+        v_bc.destroy()
     return out
 
 
 def cg_solve(
     blocks: DataFrame,
-    v: np.ndarray,
+    v,  # np.ndarray or Broadcast[np.ndarray] (see v_multiply)
     bc_target: np.ndarray,
     x0: np.ndarray,
     cg_iters: int = 20,
@@ -485,6 +496,9 @@ def damds(
         k = min(len(x0), n_points)
         x[:k] = np.asarray(x0, dtype=np.float64)[:k, :dim]
     v = v_array(blocks, wt)
+    # v never changes across the anneal — one broadcast serves every CG
+    # iteration of every stress loop (was: one broadcast per V×p multiply).
+    v_bc = blocks.sparkSession.sparkContext.broadcast(v)
 
     total_stress_iters = 0
     temp_loops = 0
@@ -499,7 +513,7 @@ def damds(
         for _ in range(max_stress_loops):
             bc = pending_bc if pending_bc is not None else bofz_bc(blocks, x, t_cur, wt)
             pending_bc = None
-            x, _ = cg_solve(blocks, v, bc, x, cg_iters, cg_threshold, wt)
+            x, _ = cg_solve(blocks, v_bc, bc, x, cg_iters, cg_threshold, wt)
             new_sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
             total_stress_iters += 1
             if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
@@ -513,6 +527,7 @@ def damds(
         if t_cur < t_min:
             t_cur = 0.0
         pending_bc = None  # t changed → the speculative BofZ is stale
+    v_bc.destroy()
     return DamdsResult(points=x, stress=sig, temp_loops=temp_loops, stress_iters=total_stress_iters)
 
 

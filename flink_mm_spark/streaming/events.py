@@ -189,21 +189,32 @@ class IncrementalKMeans:
         self.batches = 0
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        # NULL values would fold NaN into a centroid permanently — drop them
-        rows = batch_df.select("value").where(F.col("value").isNotNull()).collect()
-        if not rows:
+        # Assignment and per-centroid partials run DISTRIBUTED: nearest
+        # centroid is a JVM array expression (argmin over |value - c_j|,
+        # first-occurrence tie-break like np.argmin), the per-cluster
+        # (sum, count) is a k-row aggregate — the driver sees O(k), never
+        # the micro-batch itself. Decimal-cast sums keep the update
+        # deterministic under any partitioning (the dsum pattern).
+        # NULL values would fold NaN into a centroid permanently — drop them.
+        vals = batch_df.select("value").where(F.col("value").isNotNull())
+        dists = F.array(
+            *[F.abs(F.col("value") - F.lit(float(cj))) for cj in self.centroids[:, 0]]
+        )
+        partials = (
+            vals.select("value", (F.array_position(dists, F.array_min(dists)) - 1).alias("j"))
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("m"),
+            )
+            .collect()
+        )
+        if not partials:
             return
-        x = np.array([[r["value"]] for r in rows], dtype=np.float64)
-        c = self.centroids
-        d2 = (x - c.T[None, 0, :]) ** 2  # d=1: squared distance to each centroid
-        a = np.argmin(d2, axis=1)
-        for j in range(len(c)):
-            mask = a == j
-            m = int(mask.sum())
-            if m == 0:
-                continue
+        for r in partials:
+            j, s, m = int(r["j"]), float(r["s"]), int(r["m"])
             tot = self.counts[j] + m
-            self.centroids[j] = (c[j] * self.counts[j] + x[mask].sum(axis=0)) / tot
+            self.centroids[j] = (self.centroids[j] * self.counts[j] + s) / tot
             self.counts[j] = tot
         self.batches += 1
 

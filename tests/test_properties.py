@@ -93,3 +93,31 @@ def test_simhash_band_join_is_lossless(spark):
         for r in registry.QUERIES["simhash_near_dup"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_pack_sequences_is_a_valid_packing(spark):
+    """Semantic invariants of the sequence packing beyond the SQL oracle:
+    offsets are the token prefix sum of a permutation of the corpus, every
+    document starts inside its sequence's budget, and the packing is
+    gapless (each doc's global start == previous doc's end in shuffle
+    order)."""
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.llm_prep import SEQ_TOKEN_BUDGET
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["pack_sequences"].fn(spark, sf).collect()
+    docs = {r["doc_id"] for r in rows}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs and len(docs) == n_docs  # a permutation
+
+    for r in rows:
+        assert 0 <= r["seq_off"] < SEQ_TOKEN_BUDGET
+        assert r["seq_id"] >= 0
+
+    # gapless: order rows by global start offset and check contiguity
+    ordered = sorted(rows, key=lambda r: r["seq_id"] * SEQ_TOKEN_BUDGET + r["seq_off"])
+    pos = 0
+    for r in ordered:
+        assert r["seq_id"] * SEQ_TOKEN_BUDGET + r["seq_off"] == pos, r
+        pos += r["n_tok"]
