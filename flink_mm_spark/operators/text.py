@@ -298,3 +298,49 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("fps").alias("fp"))
         .orderBy("doc_id", "fp")
     )
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counted AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+    FROM counted ORDER BY rank LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary frequency table: top-100 tokens by count (the
+    tokenizer-design / stopword-discovery scan every corpus build runs).
+
+    Scale shape: explode -> partial+final count per token (map-side combine
+    absorbs the Zipf head: a hot token contributes ONE partial row per
+    input partition, so the shuffle carries O(vocab x partitions) small
+    rows, never O(corpus tokens)); the top-100 compiles to
+    TakeOrderedAndProject over the vocab table (no global sort), and the
+    rank window runs AFTER the limit — over 100 rows, not the vocabulary
+    (a pre-limit global row_number would be a single-reducer pass over
+    O(vocab) rows). Same deterministic (count desc, token asc) tie-break
+    in both engines.
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents").select("text"))
+    counted = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    top = counted.orderBy(F.col("n").desc(), "token").limit(100)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token"))).cast("bigint"),
+    )
