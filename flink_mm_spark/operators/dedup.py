@@ -136,24 +136,12 @@ _JACCARD_ORACLE = (
 )
 
 
-@register("jaccard_token_pairs", oracle=_JACCARD_ORACLE)
-def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs ≥ 0.7 within each source partition.
 
-    Explode distinct tokens → self-join on (source, token) → count common →
-    Jaccard from set sizes. The join key carries the blocking column
-    (source), which is what makes this bounded at 100 TB: near-dup output
-    over a self-similar corpus is inherently O(n²) *per block*, so the
-    block must be the unit that stays constant as the corpus grows (dedup
-    within crawl/snapshot/source — the standard pipeline shape). Hot tokens
-    within a block are the skew risk — AQE skew-join or a
-    document-frequency prefix filter handles them.
-    """
-    d = parallelize_scan(table(spark, sf_dir, "documents"))
-    sets = d.select("doc_id", "source", F.array_distinct(tokens_expr()).alias("sh"))
-    posting = sets.select(
-        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
-    )
+def _posting_jaccard(posting: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index Jaccard from a (doc_id, source, n, s) posting table:
+    self-equi-join on (posting key, source), count common keys, Jaccard
+    from set sizes. Shared by the token and shingle variants — the posting
+    construction is the only thing that differs between n-gram orders."""
     a = posting.alias("a")
     b = posting.alias("b")
     pairs = (
@@ -176,10 +164,83 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.7)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("jaccard_token_pairs", oracle=_JACCARD_ORACLE)
+def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.7 within each source partition.
+
+    Explode distinct tokens → self-join on (source, token) → count common →
+    Jaccard from set sizes. The join key carries the blocking column
+    (source), which is what makes this bounded at 100 TB: near-dup output
+    over a self-similar corpus is inherently O(n²) *per block*, so the
+    block must be the unit that stays constant as the corpus grows (dedup
+    within crawl/snapshot/source — the standard pipeline shape). Hot tokens
+    within a block are the skew risk — AQE skew-join or a
+    document-frequency prefix filter handles them.
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    sets = d.select("doc_id", "source", F.array_distinct(tokens_expr()).alias("sh"))
+    posting = sets.select(
+        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    return _posting_jaccard(posting, 0.7)
+
+
+_SHINGLE_K = 3
+_SHINGLE_JACCARD_ORACLE = f"""
+    WITH sets AS (
+      SELECT doc_id, source, list_distinct(
+          list_transform(range(1, greatest(len(toks) - {_SHINGLE_K - 1}, 0) + 1),
+                         i -> array_to_string(toks[i:i + {_SHINGLE_K - 1}], ' '))) AS sh
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    posting AS (
+      SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sets
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM posting a
+      JOIN posting b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("jaccard_shingle_pairs", oracle=_SHINGLE_JACCARD_ORACLE)
+def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard pairs >= 0.5 within each source.
+
+    Same inverted-index shape as ``jaccard_token_pairs`` with shingles as
+    the posting key. On this corpus the contrast between the twins is the
+    point: token-set Jaccard >= 0.7 yields 2,488 pairs (a 31-token
+    vocabulary makes unrelated documents look alike) while 3-gram Jaccard
+    >= 0.5 keeps only the true near-duplicates — word-order context is
+    what separates topical similarity from duplication, which is why
+    production dedup (GPT-3, Gopher) shingles before hashing. Scale notes
+    of the token variant apply unchanged; shingle postings are also far
+    less skewed than token postings (a shingle's document frequency is
+    bounded by its rarest word's).
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    sets = d.select("doc_id", "source", shingles_expr(_SHINGLE_K).alias("sh"))
+    posting = sets.select(
+        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    return _posting_jaccard(posting, 0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "stratified_sample": "dedup_exact",
         "knn_per_label": "cosine_topk",
         "vocab_top_terms": "token_counts",
+        "jaccard_shingle_pairs": "jaccard_prefix_filtered",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
