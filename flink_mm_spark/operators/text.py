@@ -344,3 +344,61 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token"))).cast("bigint"),
     )
+
+
+@register(
+    "quality_logit_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             length(text) AS n_chars,
+             lower(trim(text)) AS nt,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(length(nt) - (len(toks) - 1) AS DOUBLE) / len(toks) AS atl,
+             CAST(len(list_filter(toks, t -> list_contains({_sql_list(STOPWORDS["en"])}, t))) AS DOUBLE)
+               / len(toks) AS sr,
+             CAST(n_digits AS DOUBLE) / n_chars AS dr
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(2.0 * sr - 4.0 * dr + 0.15 * atl - 1.0, 6) AS score,
+           CAST(CASE WHEN 2.0 * sr - 4.0 * dr + 0.15 * atl - 1.0 > 0.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
+    FROM f ORDER BY doc_id
+    """,
+)
+def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based per-document quality score (the CCNet/fastText-classifier
+    stage of corpus prep): a fixed-weight linear model over the engine's
+    quality features — stopword ratio (fluency +), digit ratio (boilerplate
+    −), average token length (+) — with the keep decision at score > 0.
+
+    The score is a pure arithmetic expression over per-doc rationals, so
+    Spark and DuckDB produce BIT-IDENTICAL doubles (same IEEE ops in the
+    same order — no exp/sigmoid whose libm could differ in the last ulp;
+    a real deployment would calibrate these weights by logistic regression
+    and apply the same linear form). One codegen scan, no shuffle, no
+    Python: at 100 TB this is a free rider on any other pass over the
+    corpus, exactly how quality filtering is deployed in practice.
+    """
+    d = table(spark, sf_dir, "documents")
+    q = quality_columns()
+    lin = (
+        F.lit(2.0) * q["stopword_ratio"]
+        - F.lit(4.0) * q["digit_ratio"]
+        + F.lit(0.15) * q["avg_token_len"]
+        - F.lit(1.0)
+    )
+    return d.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(lin, 6).alias("score"),
+        F.when(lin > 0.0, 1).otherwise(0).cast("int").alias("keep_flag"),
+    ).orderBy("doc_id")

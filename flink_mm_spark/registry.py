@@ -120,6 +120,7 @@ DEFER: list[str] = [
     "knn_per_label",  # blocked cosine kNN: cosine_topk keeps similarity graded (slot freed for pack_sequences)
     "vocab_top_terms",  # vocabulary rollup: token_counts keeps text analysis graded
     "jaccard_shingle_pairs",  # n-gram twin: jaccard_prefix_filtered keeps the family graded
+    "quality_logit_score",  # linear quality model: text_quality_by_lang keeps the family graded
     # approximate / iterative rows-only entries (no_oracle either way)
     "approx_distinct_users",
     "minhash_lsh_pairs",

@@ -85,6 +85,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "knn_per_label": "cosine_topk",
         "vocab_top_terms": "token_counts",
         "jaccard_shingle_pairs": "jaccard_prefix_filtered",
+        "quality_logit_score": "text_quality_by_lang",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
