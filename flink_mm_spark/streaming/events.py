@@ -246,49 +246,102 @@ class IncrementalMDS:
 
     The streaming analogue of the reference's outer driver loop (SURVEY I3)
     for the MDS workload: each micro-batch appends its vectors to the
-    corpus, rebuilds the distributed distance blocks, and refines the
-    embedding with a short anneal **warm-started from the previous
-    embedding** — new points start random, old points keep their positions,
-    so per-batch work is a refinement, not a re-solve. State on the driver
-    is O(N·dim): the raw vectors and the embedding. The O(N²) distance
-    matrix only ever exists distributed — ``damds_blocks_from_points``
-    computes pairwise-distance cells and the quantization scale on the
-    executors each rebuild (at scale the rebuild becomes an append of new
-    block rows).
+    DISTRIBUTED corpus (a checkpointed (point_id, vec) DataFrame — the raw
+    vectors never accumulate on the driver and are never re-uploaded), the
+    distance blocks rebuild distributed, and the embedding refines with a
+    short anneal **warm-started from the previous embedding** — new points
+    start random, old points keep their positions, so per-batch work is a
+    refinement, not a re-solve. Driver state is O(N·out_dim): just the
+    embedding. The O(N²) distance matrix only ever exists distributed
+    (``damds_blocks_from_points``: pairwise GEMM cells + distributed
+    quantization scale per rebuild).
+
+    New rows get contiguous ids ``n .. n+b-1`` (append order, vec_id-sorted
+    within the batch) via the same two-pass prefix count that
+    ``pack_sequences`` uses — a per-batch global row_number window would
+    serialize the batch through one partition. ``localCheckpoint`` after
+    each union truncates the per-batch lineage growth.
     """
 
     def __init__(self, dim: int = 2, stress_loops: int = 2, n_blocks: int = 8):
         self.dim = dim
         self.stress_loops = stress_loops
         self.n_blocks = n_blocks
-        self.vectors: np.ndarray | None = None
+        self.src: DataFrame | None = None  # (point_id, vec), checkpointed
+        self.n = 0
         self.points: np.ndarray | None = None
         self.stress_history: list[float] = []
         self.batches = 0
 
-    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _assign_ids(self, batch_vecs: DataFrame) -> tuple[DataFrame, int, DataFrame]:
+        """(vec_id, vec) → ((point_id, vec), batch size, persisted parts)
+        with ids self.n .. self.n+b-1 in vec_id order: two-pass distributed
+        prefix count (range partition → per-partition counts →
+        partition-local offset add). Caller unpersists ``parts`` after
+        materializing the result."""
         import pandas as pd
 
+        spark = batch_vecs.sparkSession
+        n_parts = spark.sparkContext.defaultParallelism
+        parts = (
+            batch_vecs.repartitionByRange(n_parts, "vec_id")
+            .sortWithinPartitions("vec_id")
+            .select(F.spark_partition_id().alias("pid"), "vec_id", "vec")
+            .persist()
+        )
+        counts = {
+            r["pid"]: r["c"]
+            for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        base, offsets = self.n, {}
+        for pid in sorted(counts):
+            offsets[pid] = base
+            base += int(counts[pid])
+
+        def assign(batches):
+            running = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                start = offsets[int(pdf["pid"].iloc[0])] + running
+                running += len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "point_id": np.arange(start, start + len(pdf), dtype=np.int64),
+                        "vec": pdf["vec"],
+                    }
+                )
+
+        out = parts.mapInPandas(assign, "point_id long, vec array<double>")
+        # materialized by the caller's localCheckpoint before parts unpersists
+        return out, base - self.n, parts
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
         from flink_mm_spark.algos.damds import damds, damds_blocks_from_points
 
-        rows = batch_df.select("vec_id", "embedding").collect()
-        if not rows:
-            return
-        new = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
-        self.vectors = new if self.vectors is None else np.vstack([self.vectors, new])
-        m = self.vectors
         spark = batch_df.sparkSession
-        pts_df = spark.createDataFrame(
-            pd.DataFrame({"point_id": np.arange(len(m), dtype=np.int64), "vec": list(m)}),
-            "point_id long, vec array<double>",
+        new_vecs = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
         )
+        ids, b, parts = self._assign_ids(new_vecs)
+        if b == 0:
+            parts.unpersist()
+            return
+        unioned = ids if self.src is None else self.src.unionByName(ids)
+        src = unioned.localCheckpoint(eager=True)  # truncate per-batch lineage
+        parts.unpersist()
+        if self.src is not None:
+            self.src.unpersist()
+        self.src = src
+        self.n += b
+
         blocks = damds_blocks_from_points(
-            spark, pts_df, n_points=len(m), n_blocks=self.n_blocks
+            spark, self.src, n_points=self.n, n_blocks=self.n_blocks
         )
         try:
             res = damds(
                 blocks,
-                len(m),
+                self.n,
                 dim=self.dim,
                 max_temp_loops=1,
                 max_stress_loops=self.stress_loops,
