@@ -257,3 +257,23 @@ def test_stream_stream_interval_join(spark, batch_events, tmp_path):
     }
     assert want
     assert got == want
+
+
+def test_incremental_mds_id_assignment(spark):
+    """_assign_ids gives contiguous append ids in vec_id order via the
+    two-pass prefix count, independent of input partitioning."""
+    from flink_mm_spark.streaming.events import IncrementalMDS
+
+    model = IncrementalMDS(dim=2)
+    model.n = 7  # pretend 7 points already absorbed
+    src = spark.createDataFrame(
+        [(int(v), [float(v), 0.0]) for v in [42, 3, 17, 99, 8]],
+        "vec_id long, vec array<double>",
+    ).repartition(3)
+    ids, b, parts = model._assign_ids(src)
+    rows = {r["point_id"]: r["vec"][0] for r in ids.collect()}
+    parts.unpersist()
+    assert b == 5
+    assert sorted(rows) == [7, 8, 9, 10, 11]
+    # vec_id order: 3, 8, 17, 42, 99 -> ids 7..11
+    assert [rows[i] for i in range(7, 12)] == [3.0, 8.0, 17.0, 42.0, 99.0]
