@@ -81,9 +81,16 @@ def assign_clusters(points: DataFrame, centroids: np.ndarray, features_col: str 
 
 
 def _lloyd_step_columnar(
-    cols_df: DataFrame, centroids: np.ndarray, n_parts: int | None = None
-) -> np.ndarray:
-    """One Lloyd pass over the f0..f{d-1} columnar layout."""
+    cols_df: DataFrame,
+    centroids: np.ndarray,
+    n_parts: int | None = None,
+    return_counts: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
+    """One Lloyd pass over the f0..f{d-1} columnar layout.
+
+    With ``return_counts`` also returns the per-cluster assignment counts of
+    this pass — the exact integers the oracle-graded ``kmeans_full`` compares
+    on (sums reconstruct as mean×count)."""
     k, d = centroids.shape
     if n_parts is None:
         n_parts = cols_df.rdd.getNumPartitions()
@@ -131,6 +138,8 @@ def _lloyd_step_columnar(
     counts[g["cluster"]] = g["cnt"]
     nz = counts > 0
     new[nz] /= counts[nz, None]
+    if return_counts:
+        return new, counts
     return new
 
 
@@ -145,8 +154,14 @@ def kmeans(
     init_centroids: np.ndarray,
     n_iters: int = 10,
     features_col: str = "features",
-) -> np.ndarray:
-    """Full k-means loop; returns final centroids as a (k, d) ndarray."""
+    trajectory: bool = False,
+) -> np.ndarray | list[tuple[np.ndarray, np.ndarray]]:
+    """Full k-means loop; returns final centroids as a (k, d) ndarray.
+
+    With ``trajectory`` returns the per-pass [(centroids, counts), ...]
+    instead — same distributed passes, exposing the exact integers each
+    pass aggregated so the full loop is oracle-gradeable (``kmeans_full``).
+    """
     centroids = np.asarray(init_centroids, dtype=np.float64).copy()
     d = centroids.shape[1]
     cols_df = _columnar(points, features_col, d)
@@ -169,9 +184,14 @@ def kmeans(
         spark.conf.set(batch_conf, "1048576")
         cols_df.count()  # materialize the cache before timing-sensitive loop
         n_parts = cols_df.rdd.getNumPartitions()  # loop-invariant
+        traj: list[tuple[np.ndarray, np.ndarray]] = []
         for _ in range(n_iters):
-            centroids = _lloyd_step_columnar(cols_df, centroids, n_parts)
-        return centroids
+            centroids, counts = _lloyd_step_columnar(
+                cols_df, centroids, n_parts, return_counts=True
+            )
+            if trajectory:
+                traj.append((centroids.copy(), counts.copy()))
+        return traj if trajectory else centroids
     finally:
         cols_df.unpersist()
         if prev_batch is None:

@@ -19,6 +19,9 @@ from flink_mm_spark.sources.tables import table
 
 K = 8
 
+_SF_N = 256  # points → 256×256 int16 dist + weight side files
+_SF_BLOCKS = 16  # 16 rows per block; block_id = k // (16·256)
+
 # Shared CTE: embeddings as float64 points, first K vectors as centroids,
 # squared euclidean distance rounded to 6 decimals for a cross-engine-stable
 # argmin (both engines compute the same double up to last-ulp; rounding
@@ -124,11 +127,115 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_full", oracle=None)  # iterative → rows-only check
+# --- kmeans_full: the full iterative loop, graded EXACTLY -----------------
+#
+# Integer features ((user_id%13, event_id%17) over events) make every pass
+# exact: sums are integers < 2^53, means one exactly-rounded division, and
+# the float32 assignment kernel's argmin agrees with the oracle's float64
+# argmin because the minimum inter-centroid margin each pass (measured
+# 0.0077 at sf0.001, 0.032 at sf0.01, 0.23 at sf0.1) is ≥38× the kernel's
+# worst-case float32 rounding (~2e-4 at these magnitudes); exact ties only
+# occur on pass 1's integer centroids, where both engines see the same
+# exact value and break to the lowest cluster id. The graded output is the
+# per-pass (sum, count) trajectory — pure integers, no float compare at all.
+# Init = 4 nearly-collinear centroids so the trajectory genuinely moves:
+# counts shift every pass at every SF (e.g. sf0.01: cluster 2 grows
+# 512 → 2419 → 3108).
+
+_KF_K = 4
+_KF_PASSES = 3
+_KF_INIT = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]
+
+
+def _kf_pass_cte(prev: str, tag: int) -> str:
+    return f"""
+    a{tag} AS (
+      SELECT p.rid, p.x0, p.x1, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.rid
+               ORDER BY (p.x0 - c.c0)*(p.x0 - c.c0) + (p.x1 - c.c1)*(p.x1 - c.c1), c.cid
+             ) AS rn
+      FROM p, {prev} c
+    ),
+    m{tag} AS (
+      SELECT cid, SUM(CAST(x0 AS BIGINT)) AS s0, SUM(CAST(x1 AS BIGINT)) AS s1,
+             COUNT(*) AS n
+      FROM a{tag} WHERE rn = 1 GROUP BY cid
+    ),
+    c{tag} AS (
+      SELECT i.cid,
+             COALESCE(CAST(m{tag}.s0 AS DOUBLE) / m{tag}.n, 0.0) AS c0,
+             COALESCE(CAST(m{tag}.s1 AS DOUBLE) / m{tag}.n, 0.0) AS c1
+      FROM c0 i LEFT JOIN m{tag} USING (cid)
+    )"""
+
+
+def _kf_emit(tag: int) -> str:
+    return f"""
+      SELECT {tag} AS pass_id, i.cid AS cluster_id, d.dim,
+             COALESCE(CASE WHEN d.dim = 0 THEN m{tag}.s0 ELSE m{tag}.s1 END, 0) AS sum_q,
+             COALESCE(m{tag}.n, 0) AS n
+      FROM c0 i CROSS JOIN (SELECT unnest(range(0, 2)) AS dim) d
+      LEFT JOIN m{tag} ON i.cid = m{tag}.cid"""
+
+
+_KF_ORACLE = (
+    """
+    WITH p AS MATERIALIZED (
+      SELECT event_id AS rid,
+             CAST(user_id % 13 AS DOUBLE) AS x0,
+             CAST(event_id % 17 AS DOUBLE) AS x1
+      FROM events
+    ),
+    c0(cid, c0, c1) AS (VALUES """
+    + ", ".join(f"({i}, {c0}, {c1})" for i, (c0, c1) in enumerate(_KF_INIT))
+    + "),"
+    + ",".join(_kf_pass_cte(f"c{t - 1}", t) for t in range(1, _KF_PASSES + 1))
+    + """
+    SELECT CAST(pass_id AS INTEGER) AS pass_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+           CAST(dim AS INTEGER) AS dim, CAST(sum_q AS BIGINT) AS sum_q, CAST(n AS BIGINT) AS n
+    FROM ("""
+    + " UNION ALL ".join(_kf_emit(t) for t in range(1, _KF_PASSES + 1))
+    + ") ORDER BY pass_id, cluster_id, dim"
+)
+
+
+@register("kmeans_full", oracle=_KF_ORACLE)
 def kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full distributed k-means, 5 Lloyd passes, k=8, init = first 8 vectors
-    (SURVEY I1/I4/A2/F3). Returns final centroids as (cluster_id, dim, value)
-    rows; verified against a numpy oracle in tests/test_kmeans.py."""
+    """Full distributed k-means (SURVEY I1/A2/F3: kmeans/KMeansBlock.java:
+    16-116), 3 Lloyd passes over integer event features, graded EXACTLY:
+    the oracle replays the entire trajectory pass by pass and compares the
+    per-pass per-cluster integer (sum, count) — the complete state of each
+    iteration, not just the final centroids. See the module comment above
+    ``_KF_ORACLE`` for the exactness argument. The embeddings-space demo
+    (k=8, 5 passes, float features) is ``kmeans_full_demo``."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            (F.col("user_id") % 13).cast("double"),
+            (F.col("event_id") % 17).cast("double"),
+        ).alias("features"),
+    )
+    init = np.array(_KF_INIT)
+    traj = kmeans(ev, init, n_iters=_KF_PASSES, trajectory=True)
+    rows = []
+    for p, (cents, counts) in enumerate(traj, start=1):
+        for c in range(_KF_K):
+            for d in range(2):
+                # mean×count rounds back to the exact integer sum (sums are
+                # < 2^53; one exactly-rounded division then multiply)
+                sq = int(np.rint(cents[c, d] * counts[c])) if counts[c] else 0
+                rows.append((p, c, d, sq, int(counts[c])))
+    return spark.createDataFrame(
+        rows, "pass_id int, cluster_id int, dim int, sum_q bigint, n bigint"
+    )
+
+
+@register("kmeans_full_demo", oracle=None)  # float-space demo → rows-only
+def kmeans_full_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space k-means demo, 5 Lloyd passes, k=8, init = first 8
+    vectors. The oracle-graded loop is ``kmeans_full``; this float-features
+    twin is verified against a numpy oracle in tests/test_kmeans.py."""
     e = table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("features"), "vec_id"
     )
@@ -201,15 +308,218 @@ def mds_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg((num / den).alias("stress"))
 
 
-@register("damds_embed", oracle=None)  # iterative linear algebra → rows-only
+# --- damds_embed: the full anneal lifecycle, graded EXACTLY ---------------
+#
+# Config {max_temp_loops=1, max_stress_loops=1, cg_iters=2, cg_threshold=0}
+# pins the anneal to a finite, SQL-replayable op sequence: distributed
+# stats → t schedule → B(Z)·Z at the integer start layout → two CG
+# iterations of V·X = BC → final stress σ(X₁). Every stage runs through the
+# REAL distributed kernels (stress_bofz fusion, the anneal-lifetime v
+# broadcast, cg_solve) — the same code path the long anneal takes, with the
+# loop depth chosen so the oracle can unroll it. Weights use a second,
+# all-POSITIVE side file ((k·13 % 30000)+1) so V is diagonally dominant →
+# CG is well-conditioned; the start layout x₀_i = (i%16, i%3−1, i%7−3) has
+# integer coordinates (all 256 points distinct), so every pairwise distance
+# is the sqrt of an exact integer — per-cell bitwise equal in both engines.
+# Measured cross-engine wobble (numpy replica vs DuckDB): max |Δx| ≈ 5e-14,
+# |Δσ|/σ ≈ 2e-15 — rounding x and σ at 6 decimals leaves >6 orders of
+# margin. MATERIALIZED CTEs keep the oracle ~1 s (inlining recomputes the
+# 65k-cell CTEs and costs ~27 s).
+
+_AN_ORACLE = f"""
+WITH cells AS MATERIALIZED (
+  SELECT k // {_SF_N} AS i, k % {_SF_N} AS j,
+         (k * 37) % 40000 - 7233 AS s,
+         (k * 13) % 30000 + 1 AS wq
+  FROM (SELECT unnest(range(0, {_SF_N * _SF_N})) AS k)
+),
+x0 AS MATERIALIZED (
+  SELECT i, i % 16 AS p0, (i % 3) - 1 AS p1, (i % 7) - 3 AS p2
+  FROM (SELECT unnest(range(0, {_SF_N})) AS i)
+),
+consts AS (
+  SELECT MAX(CASE WHEN s >= 0 THEN s * (1.0/32767.0) END) / sqrt(2.0*3) AS t_max,
+         SUM(CASE WHEN s >= 0 THEN (s*(1.0/32767.0))*(s*(1.0/32767.0)) END) AS sum_sq
+  FROM cells
+),
+cst AS (
+  SELECT sqrt(2.0*3) * (0.95 * t_max) AS diff, 1.0 / sum_sq AS inv_sum_dsq
+  FROM consts
+),
+wcell AS MATERIALIZED (
+  SELECT c.i, c.j, c.s,
+         CASE WHEN c.s >= 0 THEN c.wq * (1.0/32767.0) ELSE 0.0 END AS w,
+         c.s * (1.0/32767.0) AS dq
+  FROM cells c
+),
+d0 AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         sqrt(CAST((a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                   + (a.p2-b.p2)*(a.p2-b.p2) AS DOUBLE)) AS dist
+  FROM x0 a, x0 b
+),
+bmat AS MATERIALIZED (
+  SELECT w.i, w.j,
+         CASE WHEN d0.dist >= 1e-10 AND w.dq > cst.diff AND w.s >= 0 AND w.i <> w.j
+              THEN -w.w * (w.dq - cst.diff) / d0.dist ELSE 0.0 END AS b
+  FROM wcell w JOIN d0 ON w.i = d0.i AND w.j = d0.j, cst
+),
+bc0 AS MATERIALIZED (
+  SELECT b.i, d.d,
+         SUM(b.b * (CASE d.d WHEN 0 THEN xj.p0 WHEN 1 THEN xj.p1 ELSE xj.p2 END))
+         + (-SUM(b.b)) * (CASE d.d WHEN 0 THEN xi.p0 WHEN 1 THEN xi.p1 ELSE xi.p2 END) AS bc
+  FROM bmat b JOIN x0 xj ON b.j = xj.i JOIN x0 xi ON b.i = xi.i,
+       (SELECT unnest(range(0, 3)) AS d) d
+  GROUP BY b.i, d.d, xi.p0, xi.p1, xi.p2
+),
+varr AS MATERIALIZED (
+  SELECT i, 1.0 + SUM(CASE WHEN i <> j THEN w ELSE 0.0 END) AS v
+  FROM wcell GROUP BY i
+),
+xf AS MATERIALIZED (
+  SELECT i, d, CAST(CASE d WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS DOUBLE) AS x
+  FROM x0, (SELECT unnest(range(0, 3)) AS d) dd
+),
+vx0 AS MATERIALIZED (
+  SELECT xi.i, xi.d,
+         varr.v * xi.x - SUM(CASE WHEN w.i <> w.j THEN w.w * xj.x ELSE 0.0 END) AS vx
+  FROM xf xi JOIN varr ON xi.i = varr.i
+       JOIN wcell w ON w.i = xi.i JOIN xf xj ON xj.i = w.j AND xj.d = xi.d
+  GROUP BY xi.i, xi.d, varr.v, xi.x
+),
+r0 AS MATERIALIZED (
+  SELECT bc0.i, bc0.d, bc0.bc - vx0.vx AS r
+  FROM bc0 JOIN vx0 ON bc0.i = vx0.i AND bc0.d = vx0.d
+),
+s0 AS (SELECT SUM(r * r) AS rtr0 FROM r0),
+ap0 AS MATERIALIZED (
+  SELECT pi.i, pi.d,
+         varr.v * pi.r - SUM(CASE WHEN w.i <> w.j THEN w.w * pj.r ELSE 0.0 END) AS ap
+  FROM r0 pi JOIN varr ON pi.i = varr.i
+       JOIN wcell w ON w.i = pi.i JOIN r0 pj ON pj.i = w.j AND pj.d = pi.d
+  GROUP BY pi.i, pi.d, varr.v, pi.r
+),
+sa0 AS (SELECT (SELECT rtr0 FROM s0) / SUM(p.r * ap0.ap) AS alpha0
+        FROM r0 p JOIN ap0 ON p.i = ap0.i AND p.d = ap0.d),
+x1 AS MATERIALIZED (
+  SELECT xf.i, xf.d, xf.x + (SELECT alpha0 FROM sa0) * r0.r AS x
+  FROM xf JOIN r0 ON xf.i = r0.i AND xf.d = r0.d
+),
+r1 AS MATERIALIZED (
+  SELECT r0.i, r0.d, r0.r - (SELECT alpha0 FROM sa0) * ap0.ap AS r
+  FROM r0 JOIN ap0 ON r0.i = ap0.i AND r0.d = ap0.d
+),
+s1 AS (SELECT SUM(r * r) AS rtr1 FROM r1),
+p1 AS MATERIALIZED (
+  SELECT r1.i, r1.d, r1.r + (SELECT rtr1 FROM s1) / (SELECT rtr0 FROM s0) * r0.r AS p
+  FROM r1 JOIN r0 ON r1.i = r0.i AND r1.d = r0.d
+),
+ap1 AS MATERIALIZED (
+  SELECT pi.i, pi.d,
+         varr.v * pi.p - SUM(CASE WHEN w.i <> w.j THEN w.w * pj.p ELSE 0.0 END) AS ap
+  FROM p1 pi JOIN varr ON pi.i = varr.i
+       JOIN wcell w ON w.i = pi.i JOIN p1 pj ON pj.i = w.j AND pj.d = pi.d
+  GROUP BY pi.i, pi.d, varr.v, pi.p
+),
+sa1 AS (SELECT (SELECT rtr1 FROM s1) / SUM(p1.p * ap1.ap) AS alpha1
+        FROM p1 JOIN ap1 ON p1.i = ap1.i AND p1.d = ap1.d),
+x2 AS MATERIALIZED (
+  SELECT x1.i, x1.d, x1.x + (SELECT alpha1 FROM sa1) * p1.p AS x
+  FROM x1 JOIN p1 ON x1.i = p1.i AND x1.d = p1.d
+),
+d2 AS MATERIALIZED (
+  SELECT xa.i, xb.i AS j, sqrt(greatest(SUM((xa.x - xb.x) * (xa.x - xb.x)), 0.0)) AS dist
+  FROM x2 xa JOIN x2 xb ON xa.d = xb.d
+  GROUP BY xa.i, xb.i
+),
+sig AS (
+  SELECT SUM(w.w * ((CASE WHEN w.dq >= cst.diff THEN w.dq - cst.diff ELSE 0.0 END) - d2.dist)
+                 * ((CASE WHEN w.dq >= cst.diff THEN w.dq - cst.diff ELSE 0.0 END) - d2.dist)
+             ) * (SELECT inv_sum_dsq FROM cst) AS sig
+  FROM wcell w JOIN d2 ON w.i = d2.i AND w.j = d2.j, cst
+  WHERE w.s >= 0
+)
+SELECT CAST(x2.i AS INTEGER) AS point_id, CAST(x2.d AS INTEGER) AS dim,
+       ROUND(x2.x, 6) AS x,
+       (SELECT ROUND(sig, 6) FROM sig) AS stress,
+       1 AS temp_loops, 1 AS stress_iters
+FROM x2 ORDER BY point_id, dim
+"""
+
+
+def _ensure_anneal_fixture() -> tuple[str, str]:
+    """The sidefile dist fixture paired with an all-POSITIVE weight file
+    wpos(k) = (k·13 mod 30000) + 1 — V diagonally dominant → CG well-posed."""
+    import os
+
+    from flink_mm_spark.sources.binary_matrix import FIXTURE_DIR, write_matrix_file
+
+    dist_path, _ = _ensure_sidefile_fixture()
+    k = np.arange(_SF_N * _SF_N, dtype=np.int64)
+    path = f"{FIXTURE_DIR}/damds_wpos_{_SF_N}.i16.big.bin"
+    if not os.path.exists(path):
+        write_matrix_file(path + ".tmp", ((k * 13) % 30000 + 1).reshape(_SF_N, _SF_N), "int16", "big")
+        os.replace(path + ".tmp", path)
+    return dist_path, path
+
+
+@register("damds_embed", oracle=_AN_ORACLE)
 def damds_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full DA-MDS anneal embedding the first 120 embedding vectors into 3-D
-    (SURVEY §3.1 lifecycle: stats → temperature schedule → per-temp SMACOF
-    with CG inner solves). Deterministic (seeded init, fixed iteration caps);
-    kernels verified against numpy oracles in tests/test_damds.py. The N×N
-    distance matrix is built DISTRIBUTED from the points DataFrame
-    (``damds_blocks_from_points`` — pairwise GEMM cells, distributed
-    quantization scale); the driver only ever holds the (N, 3) embedding."""
+    """The COMPLETE DA-MDS anneal (SURVEY §3.1 lifecycle / I3,
+    damds/DAMDS.java:27-253) through the real driver loop — distributed
+    stats, temperature schedule, fused stress+BofZ, anneal-lifetime v
+    broadcast, CG inner solve — graded EXACTLY against an oracle that
+    unrolls the same op sequence (see ``_AN_ORACLE`` comment for the
+    determinism argument). The embeddings-space long anneal is
+    ``damds_embed_demo``."""
+    dist_path, wpos_path = _ensure_anneal_fixture()
+    blocks = damds_mod.damds_blocks_from_files(
+        spark, dist_path, _SF_N, weight_path=wpos_path, n_blocks=_SF_BLOCKS
+    )
+    i = np.arange(_SF_N)
+    x0 = np.column_stack([i % 16, (i % 3) - 1, (i % 7) - 3]).astype(np.float64)
+    try:
+        res = damds_mod.damds(
+            blocks,
+            n_points=_SF_N,
+            dim=3,
+            max_temp_loops=1,
+            max_stress_loops=1,
+            cg_iters=2,
+            cg_threshold=0.0,
+            x0=x0,
+        )
+    finally:
+        blocks.unpersist()
+    # determinism guard: both engines must take exactly this loop shape
+    assert res.temp_loops == 1 and res.stress_iters == 1
+    rows = [
+        (
+            int(pi),
+            int(d),
+            float(np.round(res.points[pi, d], 6)),
+            float(np.round(res.stress, 6)),
+            res.temp_loops,
+            res.stress_iters,
+        )
+        for pi in range(_SF_N)
+        for d in range(3)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "point_id int, dim int, x double, stress double, temp_loops int, stress_iters int",
+    )
+
+
+@register("damds_embed_demo", oracle=None)  # long anneal → rows-only
+def damds_embed_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long DA-MDS anneal embedding the first 120 embedding vectors into 3-D
+    (the oracle-graded lifecycle is ``damds_embed``). Deterministic (seeded
+    init, fixed iteration caps); kernels verified against numpy oracles in
+    tests/test_damds.py. The N×N distance matrix is built DISTRIBUTED from
+    the points DataFrame (``damds_blocks_from_points`` — pairwise GEMM
+    cells, distributed quantization scale); the driver only ever holds the
+    (N, 3) embedding."""
     n = 120
     pts_df = (
         table(spark, sf_dir, "embeddings")
@@ -235,10 +545,6 @@ def damds_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- S7/S8: lazy side-file row-block source, driver-graded ----------------
-
-_SF_N = 256  # points → 256×256 int16 dist + weight side files
-_SF_BLOCKS = 16  # 16 rows per block; block_id = k // (16·256)
-
 
 def _ensure_sidefile_fixture() -> tuple[str, str]:
     """Deterministic dist+weight int16 side files (big-endian, headerless):

@@ -122,6 +122,8 @@ DEFER: list[str] = [
     "jaccard_shingle_pairs",  # n-gram twin: jaccard_prefix_filtered keeps the family graded
     "quality_logit_score",  # linear quality model: text_quality_by_lang keeps the family graded
     # approximate / iterative rows-only entries (no_oracle either way)
+    "kmeans_full_demo",  # float-space 5-pass demo; kmeans_full grades the loop exactly
+    "damds_embed_demo",  # long embeddings anneal; damds_embed grades the lifecycle exactly
     "approx_distinct_users",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
