@@ -88,6 +88,8 @@ PROMOTE: list[str] = [
     "damds_cg_step",
     "kmeans_empty_repair",
     "dedup_components",
+    # promoted r3 to prove the cogrouped-GEMM rewrite (VERDICT r2 ask #3)
+    "knn_per_label",
 ]
 
 DEFER: list[str] = [
@@ -117,7 +119,7 @@ DEFER: list[str] = [
     "gopher_quality_flags",  # quality-flag family: text_quality_by_lang stays graded
     "benchmark_contamination",  # shingle-join family: jaccard_prefix_filtered stays graded
     "stratified_sample",  # hash-keyed selection: dedup_exact stays graded
-    "knn_per_label",  # blocked cosine kNN: cosine_topk keeps similarity graded (slot freed for pack_sequences)
+    "rolling_fingerprints",  # Rabin-Karp/winnowing twin: doc_fingerprints keeps the family graded (slot freed for knn_per_label)
     "vocab_top_terms",  # vocabulary rollup: token_counts keeps text analysis graded
     "jaccard_shingle_pairs",  # n-gram twin: jaccard_prefix_filtered keeps the family graded
     "quality_logit_score",  # linear quality model: text_quality_by_lang keeps the family graded
