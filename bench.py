@@ -116,6 +116,45 @@ def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
         blocks.unpersist()
 
 
+def bench_incremental_mds(spark, sf_dir: str) -> float:
+    """Steady-state incremental-MDS block maintenance (VERDICT r2 ask #4):
+    the embeddings corpus (2000 points at sf0.1) absorbs in one batch (the
+    O(N²) rebuild), then 3 batches of 100 points append. The timed figure
+    is the APPENDS
+    only — the O(N·b) path: b new stripes + b columns on every existing
+    block, never an O(N²) recompute. Appended points are pairwise midpoints
+    of base points, so the global max distance (the quantization scale)
+    provably cannot grow — the run asserts the append path actually ran."""
+    from flink_mm_spark.algos.damds import IncrementalDistanceBlocks
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n_base = e.count()  # 2000 at sf0.1, 500 at smaller SFs
+    base = e.select(F.col("vec_id").alias("point_id"), "vec")
+    inc = IncrementalDistanceBlocks(spark, n_blocks_hint=32)
+    inc.append(base, n_base)
+    a = e.filter(F.col("vec_id") < 300).select(F.col("vec_id").alias("ia"), F.col("vec").alias("va"))
+    b = e.filter(F.col("vec_id") < 301).select(F.col("vec_id").alias("ib"), F.col("vec").alias("vb"))
+    mids = (
+        a.join(b, F.col("ib") == F.col("ia") + 1)
+        .select("ia", F.zip_with("va", "vb", lambda x, y: (x + y) / 2.0).alias("vec"))
+    )
+    t0 = time.perf_counter()
+    for k in range(3):
+        batch = mids.filter((F.col("ia") >= k * 100) & (F.col("ia") < (k + 1) * 100)).select(
+            (F.col("ia") + n_base).alias("point_id"), "vec"
+        )
+        inc.append(batch, 100)
+        assert inc.last_mode == "append", inc.last_mode
+    dt = time.perf_counter() - t0
+    from flink_mm_spark.algos.damds import free_local_checkpoint
+
+    free_local_checkpoint(inc.blocks)
+    free_local_checkpoint(inc.packed)
+    return dt
+
+
 def bench_streaming(spark, sf_dir: str) -> None:
     """Structured Streaming throughput: tumbling watermarked aggregate over
     the whole events table as one availableNow run (file source → windowed
@@ -273,6 +312,10 @@ def main() -> None:
     t0 = time.perf_counter()
     bench_streaming(spark, SF_DIR)
     timings["streaming_tumbling_availablenow"] = round(time.perf_counter() - t0, 3)
+
+    timings["incremental_mds_append_n2000_b100x3"] = round(
+        bench_incremental_mds(spark, SF_DIR), 3
+    )
 
     bench_bucketed_join(spark, SF_DIR, timings)
 

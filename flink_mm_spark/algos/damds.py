@@ -508,27 +508,47 @@ def damds(
     # One barrier per SMACOF iteration instead of two, and the dominant
     # O(rows·N) distance computation runs once instead of twice — float
     # semantics identical to the unfused kernels (see stress_bofz).
-    sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
-    while True:
-        for _ in range(max_stress_loops):
-            bc = pending_bc if pending_bc is not None else bofz_bc(blocks, x, t_cur, wt)
-            pending_bc = None
-            x, _ = cg_solve(blocks, v_bc, bc, x, cg_iters, cg_threshold, wt)
-            new_sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
-            total_stress_iters += 1
-            if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
+    # try/finally: an exception inside any kernel must not leak the
+    # anneal-lifetime v broadcast (and its executor blocks) — ADVICE r2
+    try:
+        sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
+        while True:
+            for _ in range(max_stress_loops):
+                bc = pending_bc if pending_bc is not None else bofz_bc(blocks, x, t_cur, wt)
+                pending_bc = None
+                x, _ = cg_solve(blocks, v_bc, bc, x, cg_iters, cg_threshold, wt)
+                new_sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
+                total_stress_iters += 1
+                if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
+                    sig = new_sig
+                    break
                 sig = new_sig
+            temp_loops += 1
+            if t_cur == 0.0 or temp_loops >= max_temp_loops:
                 break
-            sig = new_sig
-        temp_loops += 1
-        if t_cur == 0.0 or temp_loops >= max_temp_loops:
-            break
-        t_cur *= alpha
-        if t_cur < t_min:
-            t_cur = 0.0
-        pending_bc = None  # t changed → the speculative BofZ is stale
-    v_bc.destroy()
+            t_cur *= alpha
+            if t_cur < t_min:
+                t_cur = 0.0
+            pending_bc = None  # t changed → the speculative BofZ is stale
+    finally:
+        v_bc.destroy()
     return DamdsResult(points=x, stress=sig, temp_loops=temp_loops, stress_iters=total_stress_iters)
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the RDD blocks behind a ``localCheckpoint``'ed DataFrame NOW.
+
+    ``Dataset.unpersist()`` is a no-op for checkpoint RDDs (they are not in
+    the CacheManager), so without this the blocks linger until the
+    ContextCleaner garbage-collects the old Dataset — unbounded growth for
+    per-micro-batch checkpoints (ADVICE r2). The analyzed plan of a
+    localCheckpoint'ed Dataset is a LogicalRDD wrapping the persisted RDD;
+    unpersisting THAT RDD frees the storage immediately.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a checkpoint scan (plan shape changed): nothing to free
 
 
 def quantize_distances(dist: np.ndarray) -> tuple[np.ndarray, float]:
@@ -709,3 +729,230 @@ def damds_blocks_from_points(
     packed.unpersist()
     bc.unpersist()  # executors re-fetch from the driver copy if ever recomputed
     return blocks
+
+
+# --- incremental distance-block state (streaming MDS) ----------------------
+
+PACKED_POINTS_SCHEMA = "blk int, start long, nrows int, mat array<double>"
+
+
+class IncrementalDistanceBlocks:
+    """Distributed incremental N×N quantized distance matrix.
+
+    The streaming counterpart of ``damds_blocks_from_points`` (VERDICT r2
+    ask #4): instead of rebuilding all O(N²) cells per micro-batch,
+    ``append`` extends the existing state with the b new points' stripes
+    only — steady-state distance work is O(N·b):
+
+    - every EXISTING row block gains b new columns via a narrow
+      ``mapInPandas`` over the checkpointed blocks (the block's own row
+      vectors come from the O(N·d) corpus broadcast that the append needs
+      anyway, so no join and no shuffle ever touches the O(N²) arrays);
+    - the new rows become fresh row blocks (ids append after all previous
+      rows, so block_id order stays start order — the invariant every
+      ordered gather relies on), computed against the same broadcast.
+
+    Quantization-scale changes (damds/DAMDSUtils.java:8-9 semantics: cells
+    store d/max·32767): the new cells' max is measured first; if it exceeds
+    the current scale every stored cell is stale, so the state REBUILDS
+    from the packed vectors — bitwise identical to a from-scratch
+    construction because scale = global max either way. On real corpora
+    the max stabilizes after the first batches, so steady state takes the
+    O(N·b) append path (``last_mode`` exposes which path ran; the
+    equality-vs-from-scratch property is pinned in tests/test_damds.py).
+
+    State (``packed`` vectors + ``blocks``) lives distributed and is
+    localCheckpoint'ed per batch to truncate lineage; the previous
+    generation's checkpoint RDDs are freed eagerly via
+    ``free_local_checkpoint`` (ADVICE r2: plain unpersist is a no-op for
+    checkpoint RDDs). The driver transiently holds the O(N·d) packed
+    matrix during the broadcast — the same order of data the anneal ships
+    every iteration — never the O(N²) matrix.
+    """
+
+    def __init__(self, spark: SparkSession, n_blocks_hint: int = 8):
+        self.spark = spark
+        self.n_blocks_hint = n_blocks_hint
+        self.packed: DataFrame | None = None
+        self.blocks: DataFrame | None = None
+        self.scale = 0.0
+        self.n = 0
+        self.n_blk = 0
+        self.last_mode: str | None = None
+
+    def _pack(self, ids_df: DataFrame, start: int, n_rows: int, n_sub: int) -> DataFrame:
+        """Pack (point_id, vec) rows with contiguous ids [start, start+n_rows)
+        into row-aligned (blk, start, nrows, mat) blocks, blk starting at
+        ``self.n_blk`` in row order."""
+        base_blk = self.n_blk
+        q, r = divmod(n_rows, n_sub)
+        boundary = r * (q + 1)
+        rel = F.col("point_id").cast("long") - F.lit(start)
+        sub = (
+            F.when(rel < boundary, (rel / (q + 1)).cast("int"))
+            .otherwise((F.lit(r) + (rel - boundary) / max(q, 1)).cast("int"))
+            if q > 0
+            else rel.cast("int")
+        )
+        pts = ids_df.select(
+            F.col("point_id").cast("long").alias("pid"),
+            F.col("vec").alias("vec"),
+            (sub + F.lit(base_blk)).alias("blk"),
+        )
+        starts = {
+            base_blk + b: (start + s, nr) for b, s, nr in split_rows(n_rows, n_sub)
+        }
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pid")
+            blk = int(pdf["blk"].iloc[0])
+            s, nr = starts[blk]
+            m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            assert len(m) == nr and int(pdf["pid"].iloc[0]) == s
+            return pd.DataFrame(
+                {"blk": [blk], "start": [s], "nrows": [nr], "mat": [m.ravel()]}
+            )
+
+        return pts.groupBy("blk").applyInPandas(pack, PACKED_POINTS_SCHEMA)
+
+    def _gather_pmat(self, extra: DataFrame | None) -> np.ndarray:
+        srcs = [s for s in (self.packed, extra) if s is not None]
+        rows = []
+        for s in srcs:
+            rows.extend(s.select("start", "nrows", "mat").collect())
+        rows.sort(key=lambda r: r["start"])
+        return np.vstack(
+            [np.asarray(r["mat"], dtype=np.float64).reshape(r["nrows"], -1) for r in rows]
+        )
+
+    @staticmethod
+    def _stripes(batches: Iterator[pd.DataFrame], pv: np.ndarray, sq: np.ndarray):
+        """(blk, start, nrows, float distance stripe) per packed block —
+        the identical arithmetic of damds_blocks_from_points.stripes."""
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                start, nrows = int(row.start), int(row.nrows)
+                ra = np.asarray(row.mat, dtype=np.float64).reshape(nrows, -1)
+                d2 = sq[start : start + nrows][:, None] - 2.0 * (ra @ pv.T) + sq[None, :]
+                yield int(row.blk), start, nrows, np.sqrt(np.maximum(d2, 0.0))
+
+    def append(self, ids_df: DataFrame, b: int) -> None:
+        """Absorb b new points (point_id = n .. n+b-1) into the state."""
+        spark = self.spark
+        n_old, n_new = self.n, self.n + b
+        n_sub = max(1, min(self.n_blocks_hint, b // 16))
+        new_packed = self._pack(ids_df, n_old, b, n_sub).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # the gather below is new_packed's first action → materializes the
+        # persist (no separate count() job needed)
+        pmat = self._gather_pmat(new_packed)  # O(N·d) transient gather
+        bc = spark.sparkContext.broadcast(pmat)
+        stripes = self._stripes
+
+        def new_stripe_max(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pv = bc.value
+            sq = (pv * pv).sum(1)
+            for _b, _s, _n, d in stripes(batches, pv, sq):
+                yield pd.DataFrame({"cmax": [float(d.max()) if d.size else 0.0]})
+
+        # the new rows' stripes contain every new cell (new×all; old×new is
+        # its transpose), so their max decides whether the scale grows
+        gmax_new = (
+            new_packed.mapInPandas(new_stripe_max, "cmax double")
+            .agg(F.max("cmax"))
+            .collect()[0][0]
+            or 0.0
+        )
+        scale = max(self.scale, float(gmax_new))
+
+        def quant_stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pv = bc.value
+            sq = (pv * pv).sum(1)
+            for blk, start, nrows, d in stripes(batches, pv, sq):
+                q = (
+                    np.round(d / scale * 32767.0).astype(np.int16)
+                    if scale > 0
+                    else d.astype(np.int16)
+                )
+                yield pd.DataFrame(
+                    {
+                        "block_id": [blk],
+                        "start": [start],
+                        "block_rows": [nrows],
+                        "n_points": [n_new],
+                        "dist": [q.ravel()],
+                        "weight": [None],
+                    }
+                )
+
+        # scale == 0 (all-identical corpus so far) also rebuilds: the append
+        # quantizer divides by scale, and the degenerate state is all-zero
+        # cells anyway
+        rebuild = self.blocks is None or scale > self.scale or scale <= 0.0
+        if rebuild:
+            packed_all = (
+                new_packed
+                if self.packed is None
+                else self.packed.unionByName(new_packed)
+            )
+            blocks_new = packed_all.mapInPandas(quant_stripes, DAMDS_BLOCK_SCHEMA)
+            self.last_mode = "rebuild"
+        else:
+
+            def extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                pv = bc.value
+                newv = pv[n_old:]
+                new_sq = (newv * newv).sum(1)
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        start, nrows = int(row.start), int(row.block_rows)
+                        ra = pv[start : start + nrows]
+                        d2 = (
+                            (pv * pv).sum(1)[start : start + nrows][:, None]
+                            - 2.0 * (ra @ newv.T)
+                            + new_sq[None, :]
+                        )
+                        d = np.sqrt(np.maximum(d2, 0.0))
+                        q_app = np.round(d / scale * 32767.0).astype(np.int16)
+                        old = np.asarray(row.dist, dtype=np.int16).reshape(nrows, n_old)
+                        yield pd.DataFrame(
+                            {
+                                "block_id": [int(row.block_id)],
+                                "start": [start],
+                                "block_rows": [nrows],
+                                "n_points": [n_new],
+                                "dist": [np.hstack([old, q_app]).ravel()],
+                                "weight": [None],
+                            }
+                        )
+
+            extended = self.blocks.mapInPandas(extend, DAMDS_BLOCK_SCHEMA)
+            fresh = new_packed.mapInPandas(quant_stripes, DAMDS_BLOCK_SCHEMA)
+            blocks_new = extended.unionByName(fresh)
+            self.last_mode = "append"
+
+        # bound the partition count before checkpointing: each generation's
+        # union would otherwise ADD the new mapInPandas output partitions
+        # (mostly empty) and every later pass would pay a Python-worker task
+        # per empty partition — measured 3× slower appends by generation 3.
+        # coalesce is narrow: no shuffle ever touches the O(N²) arrays.
+        cap = max(1, spark.sparkContext.defaultParallelism)
+        blocks_ck = blocks_new.coalesce(cap).localCheckpoint(eager=True)
+        packed_new = (
+            new_packed if self.packed is None else self.packed.unionByName(new_packed)
+        )
+        packed_ck = packed_new.coalesce(cap).localCheckpoint(eager=True)
+        # free the previous generation NOW (unpersist on a checkpointed
+        # Dataset is a no-op — see free_local_checkpoint)
+        if self.blocks is not None:
+            free_local_checkpoint(self.blocks)
+        if self.packed is not None:
+            free_local_checkpoint(self.packed)
+        new_packed.unpersist()
+        bc.destroy()  # both checkpoints are materialized; nothing recomputes
+        self.blocks = blocks_ck
+        self.packed = packed_ck
+        self.scale = scale
+        self.n = n_new
+        self.n_blk += n_sub

@@ -246,28 +246,33 @@ class IncrementalMDS:
 
     The streaming analogue of the reference's outer driver loop (SURVEY I3)
     for the MDS workload: each micro-batch appends its vectors to the
-    DISTRIBUTED corpus (a checkpointed (point_id, vec) DataFrame — the raw
-    vectors never accumulate on the driver and are never re-uploaded), the
-    distance blocks rebuild distributed, and the embedding refines with a
+    DISTRIBUTED incremental distance state
+    (``damds.IncrementalDistanceBlocks`` — packed corpus + quantized
+    blocks, both checkpointed DataFrames), and the embedding refines with a
     short anneal **warm-started from the previous embedding** — new points
     start random, old points keep their positions, so per-batch work is a
     refinement, not a re-solve. Driver state is O(N·out_dim): just the
-    embedding. The O(N²) distance matrix only ever exists distributed
-    (``damds_blocks_from_points``: pairwise GEMM cells + distributed
-    quantization scale per rebuild).
+    embedding.
+
+    Steady-state per-batch distance work is O(N·b) — only the new rows'
+    stripes and the b appended columns are computed; the O(N²) cells are
+    recomputed ONLY when the quantization scale grows (new global max
+    distance), which stabilizes after the first batches (VERDICT r2 ask
+    #4; the per-path costs are pinned in tests/test_damds.py and benched
+    as ``incremental_mds_append``).
 
     New rows get contiguous ids ``n .. n+b-1`` (append order, vec_id-sorted
     within the batch) via the same two-pass prefix count that
     ``pack_sequences`` uses — a per-batch global row_number window would
-    serialize the batch through one partition. ``localCheckpoint`` after
-    each union truncates the per-batch lineage growth.
+    serialize the batch through one partition. Old checkpoint generations
+    are freed eagerly (``damds.free_local_checkpoint``).
     """
 
     def __init__(self, dim: int = 2, stress_loops: int = 2, n_blocks: int = 8):
         self.dim = dim
         self.stress_loops = stress_loops
         self.n_blocks = n_blocks
-        self.src: DataFrame | None = None  # (point_id, vec), checkpointed
+        self.inc = None  # IncrementalDistanceBlocks, created on first batch
         self.n = 0
         self.points: np.ndarray | None = None
         self.stress_history: list[float] = []
@@ -317,7 +322,7 @@ class IncrementalMDS:
         return out, base - self.n, parts
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        from flink_mm_spark.algos.damds import damds, damds_blocks_from_points
+        from flink_mm_spark.algos.damds import IncrementalDistanceBlocks, damds
 
         spark = batch_df.sparkSession
         new_vecs = batch_df.select(
@@ -327,28 +332,20 @@ class IncrementalMDS:
         if b == 0:
             parts.unpersist()
             return
-        unioned = ids if self.src is None else self.src.unionByName(ids)
-        src = unioned.localCheckpoint(eager=True)  # truncate per-batch lineage
+        if self.inc is None:
+            self.inc = IncrementalDistanceBlocks(spark, n_blocks_hint=self.n_blocks)
+        self.inc.append(ids, b)  # eager: blocks/packed checkpoints materialize
         parts.unpersist()
-        if self.src is not None:
-            self.src.unpersist()
-        self.src = src
         self.n += b
 
-        blocks = damds_blocks_from_points(
-            spark, self.src, n_points=self.n, n_blocks=self.n_blocks
+        res = damds(
+            self.inc.blocks,
+            self.n,
+            dim=self.dim,
+            max_temp_loops=1,
+            max_stress_loops=self.stress_loops,
+            x0=self.points,
         )
-        try:
-            res = damds(
-                blocks,
-                self.n,
-                dim=self.dim,
-                max_temp_loops=1,
-                max_stress_loops=self.stress_loops,
-                x0=self.points,
-            )
-        finally:
-            blocks.unpersist()
         self.points = res.points
         self.stress_history.append(res.stress)
         self.batches += 1
