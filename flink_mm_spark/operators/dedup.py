@@ -774,15 +774,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the missing step between pair lists and actual deduplication:
     near-dup relations are not transitive, so production pipelines cluster
-    the pair graph and keep one doc per component. Implemented as iterative
-    min-label propagation — per round one shuffle join (labels ⋈ edges) and
-    one min-aggregate, converging in diameter(G) rounds, with a driver-side
-    fixpoint check (count of changed labels). Near-dup components are dense
-    (quasi-cliques), so diameters are tiny; at 100 TB with adversarial
-    chain-shaped graphs, swap the loop body for alternating large-star/
-    small-star (Kiveris et al.), which is the same join shape in O(log n)
-    rounds — the per-round plan (short-key equi-join, no broadcast of the
-    corpus) is already the scale shape. The DuckDB oracle computes the same
+    the pair graph and keep one doc per component. Implemented as
+    alternating large-star/small-star rounds (``connected_components``,
+    Kiveris et al.) — O(log n) rounds on ANY graph shape, so adversarial
+    chain-shaped dup graphs converge too (r2 the loop was min-label
+    propagation, diameter-bounded at 25 rounds — a landmine on chains).
+    Each half-round is a short-key equi-join + min-aggregate over id pairs;
+    the corpus is never broadcast. The DuckDB oracle computes the same
     components via recursive transitive closure + min — exact agreement,
     including singleton docs (their own component of size 1).
     """
@@ -796,37 +794,95 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50):
+    """(doc_id, label = component min) via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, including adversarial chains where
+    plain min-label propagation needs diameter rounds (VERDICT r2 ask #5;
+    rounds measured in tests/test_properties.py and SCALE.md).
+
+    ``edges``: (u, v) one row per undirected edge, any orientation;
+    ``docs``: (doc_id) — singletons label themselves. Returns
+    (labels DataFrame, rounds used). Each half-round is one short-key
+    equi-join + min-aggregate over id pairs — never a corpus broadcast —
+    and the edge set shrinks toward one star per component centered at the
+    component minimum. Convergence is detected EXACTLY (count equality +
+    empty anti-join), not by checksum.
+
+    - large-star: every node links its LARGER neighbors to its current
+      minimum m(u) = min(N(u) ∪ {u}) — output stays (big, small) oriented.
+    - small-star: every node links its smaller neighbors (and itself) to
+      its minimum — collapses chains of smalls onto the center.
+    """
+    from flink_mm_spark.algos.damds import free_local_checkpoint
+
+    # each round references the previous edge set several times (sym view,
+    # both stars, the fixpoint anti-join): without per-round lineage
+    # truncation the LOGICAL plan doubles repeatedly and analysis blows the
+    # driver heap within a few rounds (measured OOM at round 2 on a
+    # 255-edge chain). localCheckpoint collapses the plan to a scan of the
+    # materialized edges; the previous generation is freed eagerly.
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star over the symmetric view
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (big, small) orientation
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new, n_old = ss.count(), e.count()
+        done = n_new == n_old and ss.exceptAll(e).isEmpty()
+        free_local_checkpoint(e)
+        e = ss
+        if done:
+            break
+    # at the fixpoint every component is a star centered at its minimum:
+    # non-centers appear as u exactly once, centers/singletons not at all
+    labels = (
+        docs.join(
+            e.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("lbl")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("label"))
+    )
+    labels = labels.persist()
+    labels.count()
+    free_local_checkpoint(e)
+    return labels, rounds
+
+
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label) connected-component labels over the Jaccard ≥ 0.7
-    pair graph via min-label propagation (see ``dedup_components``)."""
-    pairs = jaccard_token_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    pair graph via large-star/small-star (see ``connected_components``)."""
+    pairs = jaccard_token_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-    labels.count()
-    for _round in range(25):  # cap ≫ any real near-dup diameter
-        nbr = edges.join(
-            labels.select(F.col("doc_id").alias("doc_b"), "label"), "doc_b"
-        ).select(F.col("doc_a").alias("doc_id"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels, _rounds = connected_components(pairs, docs)
     return labels
 
 

@@ -121,3 +121,58 @@ def test_pack_sequences_is_a_valid_packing(spark):
     for r in ordered:
         assert r["seq_id"] * SEQ_TOKEN_BUDGET + r["seq_off"] == pos, r
         pos += r["n_tok"]
+
+
+def _uf_labels(n, edges):
+    """Union-find oracle: component-min label per node."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Adversarial chain (diameter n−1): large-star/small-star must converge
+    in O(log n) rounds — the shape that broke the r2 min-label loop's
+    25-round diameter cap (VERDICT r2 ask #5). Measured: 1024-chain → 11
+    rounds (log₂ n = 10); the real sf0.01 near-dup graph → 3."""
+    from flink_mm_spark.operators.dedup import connected_components
+
+    n = 1024
+    edges = spark.range(n - 1).selectExpr("id AS u", "id + 1 AS v")
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    labels, rounds = connected_components(edges, docs)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 14, rounds  # O(log n), nowhere near diameter/25-cap land
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Mixed shapes (cliques + chains + singletons + random edges) agree
+    with a union-find oracle, including isolated docs labeling themselves."""
+    from flink_mm_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(11)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 200, size=(150, 2)) if a != b]
+    edges += [(200 + i, 200 + i + 1) for i in range(40)]  # a chain
+    edges += [(250 + i, 250 + j) for i in range(5) for j in range(i)]  # a clique
+    # docs 260..299 stay singletons
+    want = _uf_labels(n, edges)
+    edf = spark.createDataFrame(edges, "u long, v long")
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    labels, rounds = connected_components(edf, docs)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    labels.unpersist()
+    assert got == want
+    assert 1 <= rounds <= 14
