@@ -82,6 +82,8 @@ PROMOTE: list[str] = [
     "collectives_allreduce",
     "partitioned_sink_roundtrip",
     "events_hourly_streamed",
+    # promoted r3: a second REAL streaming execution graded (VERDICT r2 ask #6)
+    "user_sessions_streamed",
     "damds_varray_vp",
     "damds_bofz_bc",
     "damds_temp_schedule",
@@ -110,6 +112,7 @@ DEFER: list[str] = [
     "economy_revenue_share",  # global sum: mds_stress + pricing_summary stay graded
     "customer_order_gaps",  # lag window: running_order_totals stays graded
     "events_hourly",  # same oracle as events_hourly_streamed (the stronger twin)
+    "user_sessions_batch",  # gaps-and-islands twin: user_sessions_streamed grades the REAL stateful operator
     "shipping_priority",  # equi-join: local_supplier_volume stays graded
     "quantity_percentiles",  # ordered analytics: top_customers_per_nation stays graded
     "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded

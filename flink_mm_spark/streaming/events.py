@@ -441,3 +441,82 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
+    "user_sessions_streamed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,6)) AS dv
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, us, dv,
+             CASE WHEN us - lag(us) OVER w >= 30 * 60 * 1000000 OR
+                       lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us, dv,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) + 30 * 60 * 1000000 AS BIGINT) AS end_us,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(dv) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def user_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SESSION windows (30-min gap) executed as an ACTUAL
+    Structured Streaming query — the stateful merging-window operator, not
+    the batch gaps-and-islands twin (``user_sessions_batch``, now the
+    deferred sibling): file-source stream → ``session_window`` aggregate →
+    availableNow → memory sink, graded bit-for-bit against a batch oracle.
+
+    The oracle replays Spark's session semantics relationally: a session
+    BREAKS when the inter-event gap is ≥ the 30-min gap (the session
+    window [ts, ts+gap) is half-open — note the strict ``>`` of the batch
+    twin's oracle vs ``>=`` here), and session_end = last event + gap.
+    Complete output mode + no watermark makes the result independent of
+    micro-batch splits (state merges sessions across batches); session
+    math compares on epoch-microsecond integers and the decimal-cast sum
+    is partition-order-proof. (At 100 TB the same plan runs append-mode
+    with a watermark — state per user is bounded by the gap horizon; the
+    memory sink only holds the finished session rows here.)
+    """
+    import tempfile
+    import uuid
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"user_sessions_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="uss_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "start_us")
