@@ -55,5 +55,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # skew-join splitting must ride along wherever AQE does: the naive
+    # Jaccard posting self-join (and any hot-key equi-join) relies on it
+    # at scale (scripts/skew_experiment.py measures the effect)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

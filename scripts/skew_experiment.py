@@ -60,5 +60,77 @@ def main() -> None:
     print(f"reduction = {naive / max(filtered, 1):,.0f}x")
 
 
+def spark_skew_split() -> None:
+    """AQE skew-join ON vs OFF on the naive posting self-join (VERDICT r2
+    ask #7): a Zipfian corpus concentrates millions of candidate pairs on
+    a handful of hot token keys — one straggler partition per hot key.
+    With ``spark.sql.adaptive.skewJoin.enabled`` the hot partitions split
+    at runtime (the plan's SortMergeJoin gains ``skew=true`` and the
+    AQEShuffleRead fans the partition out); thresholds are lowered so the
+    local-scale experiment crosses the same trigger a 256MB-partition
+    would at 100 TB. Reports the skew markers, the join-side partition
+    fan-out, and wall clock for both settings.
+    """
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.session import get_spark
+
+    rng = np.random.RandomState(42)
+    n_docs, doc_len = 3_000, 40
+    rows = []
+    for d in range(n_docs):
+        toks = rng.zipf(ZIPF_S, doc_len * 2) - 1
+        toks = np.unique(toks[toks < VOCAB])[:doc_len]
+        rows.extend((d, int(t)) for t in toks)
+
+    # 512 shuffle partitions thin the median partition so the hot token's
+    # partition crosses the (scaled-down) skew trigger — the same RATIO a
+    # 256MB-threshold cluster sees when one key holds GBs of postings.
+    # Skew detection is on join-INPUT partition bytes: hot-key input rows
+    # must dominate their hash partition, so the median has to be thin.
+    spark = get_spark(
+        "skew-experiment",
+        shuffle_partitions=512,
+        extra_conf={
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the SMJ
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    posting = spark.createDataFrame(rows, "doc_id long, s long").persist()
+    posting.count()
+    import re
+
+    for flag in ("false", "true"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+        a, b = posting.alias("a"), posting.alias("b")
+        df = a.join(  # rebuilt per flag: a reused plan would reuse AQE decisions
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).groupBy().count()
+        t0 = time.perf_counter()
+        n = df.collect()[0][0]
+        dt = time.perf_counter() - t0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        skew_nodes = plan.count("skew=true")
+        fanout = re.findall(r"AQEShuffleRead[^\n]*", plan)
+        print(
+            f"skewJoin={flag}: candidates={n:,} wall={dt:.1f}s "
+            f"skew_marked_joins={skew_nodes} aqe_reads={[x[:80] for x in fanout]}"
+        )
+    posting.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
+    import sys as _sys
+
     main()
+    if "--spark" in _sys.argv:
+        spark_skew_split()

@@ -191,6 +191,36 @@ def test_emb_lsh_candidate_shuffles_are_id_only(spark):
         assert "ea#" not in l and "eb#" not in l, l
 
 
+def test_naive_jaccard_shuffled_join_under_aqe_skew_split(spark):
+    """The posting self-join (the hot-token risk at scale) must run as a
+    shuffled join under AQE with skew-join splitting armed — both in the
+    engine session factory AND through the driver's tune_session path.
+    The actual split is measured in scripts/skew_experiment.py --spark
+    (Zipfian corpus: 1 skew-marked SortMergeJoin, 55 extra split tasks,
+    wall 2.0→1.2 s; recorded in SCALE.md)."""
+    from flink_mm_spark.session import tune_session
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    tune_session(spark)  # idempotent; the driver-harness path sets it too
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    # at sf0.001 AQE rightly broadcasts the tiny posting side; disable the
+    # broadcast path to reveal the AT-SCALE shape (posting tables beyond
+    # the threshold): a shuffled join — the skew-splittable kind
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.QUERIES["jaccard_token_pairs"].fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "AdaptiveSparkPlan" in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin")
+    ), plan[:2000]
+
+
 def test_knn_per_label_uses_cogrouped_gemm(spark):
     """knn_per_label must score via the cogrouped numpy-GEMM kernel (one
     FlatMapCoGroupsInPandas on the label cell), never the per-pair
