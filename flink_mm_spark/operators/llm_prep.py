@@ -436,6 +436,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = spark.sparkContext.defaultParallelism
     while _PACK_CACHE:
         _PACK_CACHE.pop().unpersist()
+    # INVARIANT (ADVICE r2): the offset map collected below is keyed by the
+    # partition ids of THIS persisted layout. If cached partitions are
+    # evicted between the totals collect() and the mapInPandas pass, the
+    # recompute re-runs repartitionByRange on the same input with the same
+    # (n_parts, keys) — deterministic range boundaries and sort → identical
+    # pid assignment, so the map stays valid. Deterministic input is the
+    # load-bearing assumption: a non-deterministic upstream (e.g. a sample)
+    # would need a checkpoint here instead of a persist.
     parts = (
         docs.repartitionByRange(n_parts, "shuffle_key", "doc_id")
         .sortWithinPartitions("shuffle_key", "doc_id")
