@@ -109,7 +109,12 @@ def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
             F.col("embedding").cast("array<double>").alias("vec"),
         )
     )
-    blocks = damds_blocks_from_points(spark, pts, n_points=n, n_blocks=32)
+    # block sizing: ~31 rows/block at N=500. The anneal pays one barrier of
+    # n_blocks tasks per kernel (~80 jobs per run): 32 one-row-heavy tasks
+    # measured 14.4-16.8 s vs 12.7 s at 16 — schedule cost, not compute.
+    # At cluster N the same rule (rows/block >> 1, blocks ≈ a few per core)
+    # holds; block count is a constructor knob, not a semantic change.
+    blocks = damds_blocks_from_points(spark, pts, n_points=n, n_blocks=16)
     try:
         damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
     finally:
