@@ -92,6 +92,9 @@ PROMOTE: list[str] = [
     "dedup_components",
     # promoted r3 to prove the cogrouped-GEMM rewrite (VERDICT r2 ask #3)
     "knn_per_label",
+    # promoted r3: new first-class operator family — distributed BPE
+    # tokenizer training, exactly graded (merge table vs 6-stage SQL replay)
+    "bpe_merges",
 ]
 
 DEFER: list[str] = [
@@ -101,7 +104,9 @@ DEFER: list[str] = [
     "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k
     "order_price_unpivot",  # pivot family: event_type_pivot stays graded
-    "monthly_revenue_trend",  # trend window: running_order_totals stays graded
+    "monthly_revenue_trend",  # trend window: top_customers_per_nation keeps windows graded
+    "running_order_totals",  # cumulative window: top_customers_per_nation keeps §2.5 windows graded (slot freed for bpe_merges)
+    "chunk_dedup",  # sub-document span dedup: oracle-bearing, medium-tested; dedup family keeps 3 graded reps in-window
     "customers_without_orders",  # anti-join (0 rows at sf0.01)
     "suppliers_with_large_lineitems",  # semi-join variant
     "events_json_props",  # JSON extraction demo
@@ -154,6 +159,7 @@ def load_all() -> None:
     import flink_mm_spark.operators.dedup  # noqa: F401
     import flink_mm_spark.operators.similarity  # noqa: F401
     import flink_mm_spark.operators.text  # noqa: F401
+    import flink_mm_spark.operators.tokenizer  # noqa: F401
     import flink_mm_spark.operators.multimodal  # noqa: F401
     import flink_mm_spark.operators.llm_prep  # noqa: F401
     import flink_mm_spark.sources.binary_matrix  # noqa: F401

@@ -253,3 +253,15 @@ def test_pack_sequences_single_wide_exchange(spark):
     assert "rangepartitioning" in plan.lower(), plan
     # no window operator anywhere (the prefix sum is mapInPandas)
     assert "Window" not in plan, plan
+
+
+def test_chunk_dedup_is_jvm_chunking_one_window_exchange(spark):
+    """Sub-document chunking must stay a JVM higher-order expression (no
+    Python workers) and the only wide exchange is the keep-first window on
+    the chunk key (+ the per-doc rollup riding hash partitioning)."""
+    df = registry.QUERIES["chunk_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the keep-first rule

@@ -61,7 +61,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "orders_by_priority": "pricing_summary",
         "top_orders_by_price": "top_customers_per_nation",
         "order_price_unpivot": "event_type_pivot",
-        "monthly_revenue_trend": "running_order_totals",
+        "monthly_revenue_trend": "top_customers_per_nation",
         "customers_without_orders": "nation_set_ops",
         "suppliers_with_large_lineitems": "local_supplier_volume",
         "events_json_props": "events_hourly_streamed",
@@ -70,7 +70,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "cube_order_stats": "rollup_sales",
         "salted_event_totals": "events_hourly_streamed",
         "economy_revenue_share": "pricing_summary",
-        "customer_order_gaps": "running_order_totals",
+        "customer_order_gaps": "top_customers_per_nation",
         "events_hourly": "events_hourly_streamed",
         "shipping_priority": "local_supplier_volume",
         "quantity_percentiles": "top_customers_per_nation",
@@ -82,10 +82,15 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "gopher_quality_flags": "text_quality_by_lang",
         "benchmark_contamination": "jaccard_prefix_filtered",
         "stratified_sample": "dedup_exact",
-        "knn_per_label": "cosine_topk",
-        "vocab_top_terms": "token_counts",
+                "vocab_top_terms": "token_counts",
         "jaccard_shingle_pairs": "jaccard_prefix_filtered",
         "quality_logit_score": "text_quality_by_lang",
+        "running_order_totals": "top_customers_per_nation",
+        "chunk_dedup": "dedup_exact",
+        "rolling_fingerprints": "doc_fingerprints",
+        "user_sessions_batch": "user_sessions_streamed",
+        "kmeans_full_demo": "kmeans_full",
+        "damds_embed_demo": "damds_embed",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
@@ -96,7 +101,8 @@ def test_window_oracle_density():
     """The graded window should be dominated by hash-checked oracle queries."""
     w = window()
     with_oracle = [n for n in w if registry.QUERIES[n].oracle is not None]
-    # only kmeans_full and damds_embed (genuinely iterative) lack oracles
-    assert len(w) - len(with_oracle) <= 2, [
+    # r3: EVERY window entry is oracle-bearing — the iterative loops
+    # (kmeans_full, damds_embed) got exact-replay oracles this round
+    assert len(w) == len(with_oracle), [
         n for n in w if registry.QUERIES[n].oracle is None
     ]
