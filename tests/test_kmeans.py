@@ -3,8 +3,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from flink_mm_spark.algos.kmeans import assign_clusters, kmeans, kmeans_numpy_oracle
+from tests.conftest import SF_DIR
 
 
 def _points_df(spark, data):
@@ -88,3 +90,49 @@ def test_kmeans_higher_dims(spark):
     got = kmeans(df, init, n_iters=4)
     want = kmeans_numpy_oracle(pts, init, n_iters=4)
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        SF_DIR,
+        pytest.param("/root/testdata/sf0.01", marks=pytest.mark.medium),
+    ],
+)
+def test_kmeans_full_argmin_margins_safe(sf_dir):
+    """Canary for the oracle-graded kmeans_full: its exactness rests on the
+    float32 assignment kernel agreeing with the oracle's float64 argmin,
+    which holds while the min nonzero per-pass margin (second-best d² −
+    best d²) stays ≫ the kernel's worst-case float32 rounding (~2e-4 at
+    these magnitudes). If a testdata regeneration ever shrinks the margin,
+    THIS fails loudly instead of the driver grade flaking. Exact ties
+    (margin 0) are fine — integer pass-1 centroids tie identically in both
+    engines and break to the lowest cluster id."""
+    import duckdb
+
+    from flink_mm_spark.algos.queries import _KF_INIT, _KF_PASSES
+    from flink_mm_spark.algos.kmeans import _argmin_f32
+
+    data = (
+        duckdb.sql(
+            f"SELECT CAST(user_id % 13 AS DOUBLE) x0, CAST(event_id % 17 AS DOUBLE) x1 "
+            f"FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        .df()
+        .to_numpy(dtype=np.float64)
+    )
+    cents = np.array(_KF_INIT)
+    for p in range(_KF_PASSES):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+        srt = np.sort(d2, axis=1)
+        margins = srt[:, 1] - srt[:, 0]
+        nonzero = margins[margins > 0]
+        assert nonzero.min() > 2e-3, (p, float(nonzero.min()))
+        cents32 = cents.astype(np.float32)
+        a = _argmin_f32(data, cents32, (cents32 * cents32).sum(1)[None, :])
+        new = np.zeros_like(cents)
+        for c in range(len(cents)):
+            m = a == c
+            if m.any():
+                new[c] = data[m].mean(axis=0)
+        cents = new
