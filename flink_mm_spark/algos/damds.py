@@ -904,12 +904,13 @@ class IncrementalDistanceBlocks:
                 pv = bc.value
                 newv = pv[n_old:]
                 new_sq = (newv * newv).sum(1)
+                sq = (pv * pv).sum(1)  # once per task, not per block row
                 for pdf in batches:
                     for row in pdf.itertuples(index=False):
                         start, nrows = int(row.start), int(row.block_rows)
                         ra = pv[start : start + nrows]
                         d2 = (
-                            (pv * pv).sum(1)[start : start + nrows][:, None]
+                            sq[start : start + nrows][:, None]
                             - 2.0 * (ra @ newv.T)
                             + new_sq[None, :]
                         )
