@@ -64,6 +64,8 @@ GRADE_WINDOW = 50
 PROMOTE: list[str] = [
     "binary_f64_scan",
     "binary_i16_scan",
+    # promoted r3: S12 generators get their own graded row (45/45 families)
+    "matrix_generators_roundtrip",
     "text_points_scan",
     "centroid_lines_scan",
     "damds_sidefile_scan",
@@ -103,7 +105,8 @@ DEFER: list[str] = [
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
     "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k
-    "order_price_unpivot",  # pivot family: event_type_pivot stays graded
+    "order_price_unpivot",  # pivot family: rollup_sales/nation_set_ops keep §2.5 graded
+    "event_type_pivot",  # pivot twin: rollup_sales keeps multi-dim aggregation graded (slot freed for the S12 generators row)
     "monthly_revenue_trend",  # trend window: top_customers_per_nation keeps windows graded
     "running_order_totals",  # cumulative window: top_customers_per_nation keeps §2.5 windows graded (slot freed for bpe_merges)
     "chunk_dedup",  # sub-document span dedup: oracle-bearing, medium-tested; dedup family keeps 3 graded reps in-window

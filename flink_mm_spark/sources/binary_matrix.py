@@ -226,3 +226,53 @@ def binary_i16_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+@register(
+    "matrix_generators_roundtrip",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'f64_little' AS kind,
+             CAST(SUM(k % 997) AS BIGINT) AS sum_q,
+             CAST(COUNT(*) AS BIGINT) AS n_valid,
+             CAST(0 AS BIGINT) AS n_missing
+      FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
+      UNION ALL
+      SELECT 'i16_big',
+             CAST(SUM(CASE WHEN s >= 0 THEN s ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT unnest(range(0, {_R} * {_C})) * 37 % 40000 - 7233 AS s)
+    ) ORDER BY kind
+    """,
+)
+def matrix_generators_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — the driver-side matrix FILE GENERATORS as their own graded row
+    (mm/MatrixFileGenerator.java:55-197, kmeans/utils/KMeansDataGenerator.java:
+    67-148 parity): ``write_matrix_file`` produces fresh float64-LITTLE and
+    int16-BIG formula files — exactly the dtype×byte-order combos the scan
+    entries (S1 f64-big, S2 i16-little, S7 i16-big-paired) do NOT cover —
+    and the real block scanner reads them back into whole-matrix integer
+    rollups the oracle reconstructs from range() arithmetic. A wrong stride,
+    byte order, or truncated tail in the WRITER (not just the reader) breaks
+    the hash. Negative int16 cells decode as missing and are counted.
+    """
+    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
+
+    f64 = ensure_fixture(_R, _C, "float64", "little")
+    i16 = ensure_fixture(_R, _C, "int16", "big")
+    c64 = blocks_to_cells(read_matrix_blocks(spark, f64, _R, _C, "float64", "little", n_blocks=8))
+    ci16 = blocks_to_cells(read_matrix_blocks(spark, i16, _R, _C, "int16", "big", n_blocks=8))
+    r64 = c64.agg(
+        F.lit("f64_little").alias("kind"),
+        F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
+        F.count("*").alias("n_valid"),
+        F.lit(0).cast("long").alias("n_missing"),
+    )
+    r16 = ci16.agg(
+        F.lit("i16_big").alias("kind"),
+        F.sum(F.coalesce(F.round(F.col("value") * 32767), F.lit(0)).cast("long")).alias("sum_q"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+    )
+    return r64.unionByName(r16).orderBy("kind")

@@ -60,7 +60,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "jaccard_token_pairs": "jaccard_prefix_filtered",
         "orders_by_priority": "pricing_summary",
         "top_orders_by_price": "top_customers_per_nation",
-        "order_price_unpivot": "event_type_pivot",
+        "order_price_unpivot": "rollup_sales",
         "monthly_revenue_trend": "top_customers_per_nation",
         "customers_without_orders": "nation_set_ops",
         "suppliers_with_large_lineitems": "local_supplier_volume",
@@ -82,9 +82,10 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "gopher_quality_flags": "text_quality_by_lang",
         "benchmark_contamination": "jaccard_prefix_filtered",
         "stratified_sample": "dedup_exact",
-                "vocab_top_terms": "token_counts",
+        "vocab_top_terms": "token_counts",
         "jaccard_shingle_pairs": "jaccard_prefix_filtered",
         "quality_logit_score": "text_quality_by_lang",
+        "event_type_pivot": "rollup_sales",
         "running_order_totals": "top_customers_per_nation",
         "chunk_dedup": "dedup_exact",
         "rolling_fingerprints": "doc_fingerprints",
