@@ -97,11 +97,22 @@ PROMOTE: list[str] = [
     # promoted r3: new first-class operator family — distributed BPE
     # tokenizer training, exactly graded (merge table vs 6-stage SQL replay)
     "bpe_merges",
+    # promoted r3: the published curation stages (operators/curation.py) —
+    # Gopher repetition, CCNet perplexity filter, DSIR importance weights,
+    # SemDeDup within-cluster near-dup — each with an exact oracle.
+    "repetition_signals",
+    "unigram_logprob",
+    "dsir_importance",
+    "semantic_dedup",
 ]
 
 DEFER: list[str] = [
     # oracle-bearing twins of queries that stay graded
     "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
+    "event_followups_range_join",  # interval-join twin: asof_click_purchase stays graded (slot freed for repetition_signals)
+    "cosine_topk",  # knn_per_label grades the cogrouped cosine top-k kernel (slot freed for unigram_logprob)
+    "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation keep §2.5 graded (slot freed for dsir_importance)
+    "text_quality_by_lang",  # quality-ratio family: unigram_logprob grades the model-based quality scorer (slot freed for semantic_dedup)
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
     "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k
@@ -165,6 +176,7 @@ def load_all() -> None:
     import flink_mm_spark.operators.tokenizer  # noqa: F401
     import flink_mm_spark.operators.multimodal  # noqa: F401
     import flink_mm_spark.operators.llm_prep  # noqa: F401
+    import flink_mm_spark.operators.curation  # noqa: F401
     import flink_mm_spark.sources.binary_matrix  # noqa: F401
     import flink_mm_spark.sources.text_points  # noqa: F401
     import flink_mm_spark.operators.udf_surface  # noqa: F401

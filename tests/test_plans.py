@@ -265,3 +265,41 @@ def test_chunk_dedup_is_jvm_chunking_one_window_exchange(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # the keep-first rule
+
+
+def test_repetition_signals_all_jvm_two_aggregates(spark):
+    """Gopher repetition must be pure JVM (explode + hash aggregates): no
+    Python workers, no joins — two partial+final aggregate chains."""
+    plan = _plan(spark, "repetition_signals")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4, plan[:2000]  # 2x (partial+final)
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The corpus-LM vocab (and its 1-row total) must broadcast back onto
+    the token stream — no sort-merge join of the exploded corpus."""
+    plan = _plan(spark, "unigram_logprob")
+    assert "Python" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_importance_broadcasts_weight_table(spark):
+    """DSIR's per-feature weight table joins the feature stream by
+    broadcast; the corpus-sized side is never shuffled for the join."""
+    plan = _plan(spark, "dsir_importance")
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cross_cluster_pairs(spark):
+    """SemDeDup's pair generation must ride the cluster-keyed block-pair
+    GEMM (applyInPandas pack + mapInPandas score) — no cartesian product,
+    and the block-pair join keys include the cluster column."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the pack stage
+    # the pair-keys self-join carries the cluster equality
+    assert "cluster" in plan

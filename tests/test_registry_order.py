@@ -62,10 +62,10 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "top_orders_by_price": "top_customers_per_nation",
         "order_price_unpivot": "rollup_sales",
         "monthly_revenue_trend": "top_customers_per_nation",
-        "customers_without_orders": "nation_set_ops",
+        "customers_without_orders": "local_supplier_volume",
         "suppliers_with_large_lineitems": "local_supplier_volume",
         "events_json_props": "events_hourly_streamed",
-        "distinct_part_types": "nation_set_ops",
+        "distinct_part_types": "dedup_exact",
         "media_resize_estimate": "media_decode_features",
         "cube_order_stats": "rollup_sales",
         "salted_event_totals": "events_hourly_streamed",
@@ -79,12 +79,12 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "media_frame_sample": "media_decode_features",
         "corpus_prep_pipeline": "dedup_components",
         "orders_with_returns": "local_supplier_volume",
-        "gopher_quality_flags": "text_quality_by_lang",
+        "gopher_quality_flags": "unigram_logprob",
         "benchmark_contamination": "jaccard_prefix_filtered",
         "stratified_sample": "dedup_exact",
         "vocab_top_terms": "token_counts",
         "jaccard_shingle_pairs": "jaccard_prefix_filtered",
-        "quality_logit_score": "text_quality_by_lang",
+        "quality_logit_score": "unigram_logprob",
         "event_type_pivot": "rollup_sales",
         "running_order_totals": "top_customers_per_nation",
         "chunk_dedup": "dedup_exact",
@@ -92,6 +92,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "user_sessions_batch": "user_sessions_streamed",
         "kmeans_full_demo": "kmeans_full",
         "damds_embed_demo": "damds_embed",
+        # r3 window swaps for the curation family (see registry.DEFER notes)
+        "event_followups_range_join": "asof_click_purchase",
+        "cosine_topk": "knn_per_label",
+        "nation_set_ops": "rollup_sales",
+        "text_quality_by_lang": "unigram_logprob",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
