@@ -308,6 +308,127 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span coverage (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 5  # span width in tokens (Lee et al. use 50 on web-scale docs)
+
+
+@register(
+    "dup_span_coverage",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, s.s AS s, s.g AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {DUP_SPAN_K} + 2),
+                                     i -> struct_pack(s := i,
+                                          g := array_to_string(a[i : i + {DUP_SPAN_K} - 1], ' ')))) AS s
+        FROM t WHERE len(a) >= {DUP_SPAN_K}
+      )
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    hits AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gram)),
+    covered AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS covered_tokens FROM (
+        SELECT doc_id, unnest(range(s, s + {DUP_SPAN_K})) AS p FROM hits
+      ) GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             len(t.a) AS n_tokens,
+             GREATEST(len(t.a) - {DUP_SPAN_K} + 1, 0) AS n_grams,
+             (SELECT COUNT(*) FROM hits h WHERE h.doc_id = t.doc_id) AS n_dup_grams
+      FROM t
+    )
+    SELECT p.doc_id,
+           CAST(p.n_tokens AS INTEGER) AS n_tokens,
+           CAST(p.n_grams AS INTEGER) AS n_grams,
+           CAST(p.n_dup_grams AS INTEGER) AS n_dup_grams,
+           CAST(COALESCE(c.covered_tokens, 0) AS INTEGER) AS covered_tokens,
+           ROUND(CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / p.n_tokens, 6) AS dup_coverage
+    FROM per_doc p LEFT JOIN covered c USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (Lee et al. 2022).
+
+    "Deduplicating Training Data Makes Language Models Better" measures how
+    much of each document is covered by token spans that also occur
+    elsewhere in the corpus — the substring-dedup / memorization signal
+    that exact-document dedup misses. Exact variant over
+    ``DUP_SPAN_K``-token spans: a span is duplicated if it occurs more
+    than once corpus-wide; coverage is the fraction of a document's token
+    positions lying inside at least one duplicated span.
+
+    Plan: spans are a JVM higher-order expression with their start offset
+    (posexplode — no Python); the duplicated-span set is one partial+final
+    count on the span key; re-attaching it to the span stream is an
+    equi-join on that key (Catalyst/AQE picks broadcast while the dup set
+    fits, sort-merge beyond — both correct); covered positions explode
+    ``K`` rows per hit and dedup on (doc_id, position) with map-side
+    combine. Every exchange is keyed by span text or doc_id — never a
+    pairwise doc join, which is how this metric stays feasible where the
+    naive "find all duplicated substrings" suffix-array pass would need a
+    dedicated external build at 100 TB.
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = d.select("doc_id", tokens_expr().alias("a"))
+    n = F.size("a")
+    spans = F.when(
+        n >= DUP_SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (DUP_SPAN_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("a", i, DUP_SPAN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select(
+        "doc_id", F.posexplode(spans).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "s")
+    covered = (
+        hits.select(
+            "doc_id", F.explode(F.sequence("s", F.col("s") + (DUP_SPAN_K - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    n_dup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    per_doc = t.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.greatest(n - (DUP_SPAN_K - 1), F.lit(0)).cast("int").alias("n_grams"),
+    )
+    return (
+        per_doc.join(n_dup, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .na.fill({"n_dup_grams": 0, "covered_tokens": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.col("n_dup_grams").cast("int").alias("n_dup_grams"),
+            F.col("covered_tokens").cast("int").alias("covered_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: cluster, then exact near-dup within cluster
 # ---------------------------------------------------------------------------
 

@@ -303,3 +303,11 @@ def test_semantic_dedup_no_cross_cluster_pairs(spark):
     assert "FlatMapGroupsInPandas" in plan  # the pack stage
     # the pair-keys self-join carries the cluster equality
     assert "cluster" in plan
+
+
+def test_dup_span_coverage_keyed_joins_only(spark):
+    """Duplicated-span coverage must never generate a doc-pair join: spans
+    are JVM expressions, every join is keyed (span text or doc_id)."""
+    plan = _plan(spark, "dup_span_coverage")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

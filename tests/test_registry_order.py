@@ -97,6 +97,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "cosine_topk": "knn_per_label",
         "nation_set_ops": "rollup_sales",
         "text_quality_by_lang": "unigram_logprob",
+        "lang_id_heuristic": "token_counts",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
