@@ -83,22 +83,11 @@ _BPE_ORACLE = (
 )
 
 
-@register("bpe_merges", oracle=_BPE_ORACLE)
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training: the first ``N_MERGES`` merge
-    rounds over the documents corpus, graded EXACTLY.
-
-    Shape (the part that matters at 100 TB): the corpus is touched ONCE —
-    an explode + hash-shuffle word count. Every merge round then runs on
-    the word-frequency table (O(|vocab|) rows, distributed) and collects
-    exactly one row (the argmax pair) to the driver, which owns the merge
-    table — the reference's I3 outer-driver-loop shape applied to
-    tokenizer training. Pair counts are exact integers (frequency-weighted
-    sums), the argmax tie-breaks (count DESC, pair ASC) in both engines,
-    and the merge applies via the same padded left-to-right
-    non-overlapping ``replace`` — so the merge TABLE, not just counts,
-    hash-matches the oracle's 6-stage replay.
-    """
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the ``N_MERGES``-round distributed BPE training loop and return
+    the merge table rows ``(round, left, right, merged, pair_freq)``.
+    Shared by ``bpe_merges`` (returns the table) and ``bpe_encode``
+    (applies the merges). See ``bpe_merges`` for the scale argument."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
@@ -116,44 +105,135 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.array_join(F.regexp_extract_all("w", F.lit("."), 0), " ").alias("seq"),
     )
-    out = []
-    for rnd in range(1, N_MERGES + 1):
-        syms = seqs.select("freq", F.split("seq", " ").alias("l"))
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                F.zip_with(
-                    F.slice("l", 1, F.size("l") - 1),
-                    F.slice("l", 2, F.size("l") - 1),
-                    lambda x, y: F.concat(x, F.lit(" "), y),
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy("p")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("p").asc())
-            .limit(1)
-            .collect()
-        )[0]
-        pair, cnt = best["p"], int(best["cnt"])
-        left, right = pair.split(" ")
-        merged = left + right
-        out.append((rnd, left, right, merged, cnt))
-        seqs = seqs.select(
-            "w",
-            "freq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("seq"),
-        )
-    words.unpersist()
+    out: list[tuple] = []
+    try:
+        for rnd in range(1, N_MERGES + 1):
+            syms = seqs.select("freq", F.split("seq", " ").alias("l"))
+            pairs = syms.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("l", 1, F.size("l") - 1),
+                        F.slice("l", 2, F.size("l") - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p").asc())
+                .limit(1)
+                .collect()
+            )[0]
+            pair, cnt = best["p"], int(best["cnt"])
+            left, right = pair.split(" ")
+            merged = left + right
+            out.append((rnd, left, right, merged, cnt))
+            seqs = seqs.select(
+                "w",
+                "freq",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.lit(f" {pair} "),
+                        F.lit(f" {merged} "),
+                    )
+                ).alias("seq"),
+            )
+    finally:
+        words.unpersist()
+    return out
+
+
+@register("bpe_merges", oracle=_BPE_ORACLE)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first ``N_MERGES`` merge
+    rounds over the documents corpus, graded EXACTLY.
+
+    Shape (the part that matters at 100 TB): the corpus is touched ONCE —
+    an explode + hash-shuffle word count. Every merge round then runs on
+    the word-frequency table (O(|vocab|) rows, distributed) and collects
+    exactly one row (the argmax pair) to the driver, which owns the merge
+    table — the reference's I3 outer-driver-loop shape applied to
+    tokenizer training. Pair counts are exact integers (frequency-weighted
+    sums), the argmax tie-breaks (count DESC, pair ASC) in both engines,
+    and the merge applies via the same padded left-to-right
+    non-overlapping ``replace`` — so the merge TABLE, not just counts,
+    hash-matches the oracle's 6-stage replay.
+    """
+    out = _train_merges(spark, sf_dir)
     return spark.createDataFrame(
         out, "round int, left_sym string, right_sym string, merged string, pair_freq bigint"
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_ORACLE.split("SELECT * FROM (")[0]
+    + f"""
+    , enc AS (SELECT w, len(string_split(seq, ' ')) AS n_sub FROM w{N_MERGES}),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '{WORD_REGEX}')) AS w
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_words,
+           CAST(SUM(e.n_sub) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(e.n_sub) AS DOUBLE) / COUNT(*), 6) AS bpe_per_word
+    FROM dw JOIN enc e USING (w)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """
+)
+
+
+@register("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: encode every document with the merges trained
+    by ``bpe_merges`` and report per-document subword counts.
+
+    The deploy-side half of the tokenizer lifecycle (train → encode →
+    ``pack_sequences``). Encoding replays the trained merge list in order
+    on each word's character sequence — for replace-based greedy-left BPE
+    this reproduces the training segmentation exactly, so the oracle can
+    read the segmentation straight off its own stage-``N_MERGES`` word
+    table.
+
+    Scale shape: the corpus is never encoded word-by-word in Python — the
+    DISTINCT word table (vocab-sized) is encoded once with a chain of
+    ``N_MERGES`` JVM ``replace`` expressions (merges are literals by the
+    time the plan is built), and the encoded vocab broadcast-joins back
+    onto the exploded word stream; per-doc rollups are integer sums. At
+    100 TB: train once (one corpus shuffle — see ``bpe_merges``), encode
+    via a vocab-sized broadcast, never a per-row Python tokenizer.
+    """
+    merges = _train_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),
+    ).select("doc_id", F.lower(F.trim(F.col("w0"))).alias("w"))
+    seq = F.array_join(F.regexp_extract_all("w", F.lit("."), 0), " ")
+    for _, left, right, merged, _cnt in merges:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    enc = dw.select("w").distinct().select("w", F.size(F.split(seq, " ")).alias("n_sub"))
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.round(F.sum("n_sub").cast("double") / F.count("*"), 6).alias(
+                "bpe_per_word"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -98,6 +98,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "nation_set_ops": "rollup_sales",
         "text_quality_by_lang": "unigram_logprob",
         "lang_id_heuristic": "token_counts",
+        "bpe_encode": "bpe_merges",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
