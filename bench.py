@@ -116,7 +116,10 @@ def bench_damds(spark, sf_dir: str, n: int = 500) -> None:
     # holds; block count is a constructor knob, not a semantic change.
     blocks = damds_blocks_from_points(spark, pts, n_points=n, n_blocks=16)
     try:
-        damds(blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8)
+        damds(
+            blocks, n, dim=3, max_temp_loops=4, max_stress_loops=2, cg_iters=8,
+            uniform_weights=True,  # from-points blocks: closed-form CG multiply
+        )
     finally:
         blocks.unpersist()
 

@@ -404,6 +404,24 @@ def v_multiply(blocks: DataFrame, v, p: np.ndarray, wt=None) -> np.ndarray:
     return out
 
 
+def v_multiply_uniform(n_points: int, p: np.ndarray) -> np.ndarray:
+    """Closed-form V×p for the UNIFORM-weight case (w ≡ 1, every pair
+    observed — the ``damds_blocks_from_points`` / streaming shape).
+
+    With uniform weights the SMACOF V matrix is fully structured:
+    v_ii = 1 + (N−1) = N (``v_array``'s +1 regularization included),
+    v_ij = −1, so (V·p)_i = (N+1)·p_i − Σ_j p_j — exact math, not an
+    approximation. Detecting this case turns the distributed multiply
+    inside every CG iteration (one cluster barrier + an O(N²)-weight
+    block pass in the general case) into O(N·dim) driver arithmetic:
+    **zero distributed jobs for the entire CG solve**. The weighted /
+    Sammon paths (side-file fixtures, ``damds_embed``) are untouched —
+    they still need the real V and take ``v_multiply``.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    return (n_points + 1.0) * p - p.sum(axis=0, keepdims=True)
+
+
 def cg_solve(
     blocks: DataFrame,
     v,  # np.ndarray or Broadcast[np.ndarray] (see v_multiply)
@@ -412,20 +430,29 @@ def cg_solve(
     cg_iters: int = 20,
     cg_threshold: float = 1e-5,
     wt: WeightTransform | None = None,
+    uniform_n: int | None = None,
 ) -> tuple[np.ndarray, int]:
     """Conjugate gradient for V·X = BC (damds/CG.java:78-142, F9/I2).
 
     X, r, p are (N, dim)-tiny driver arrays; the distributed step per
-    iteration is the single V×p multiply. Returns (X, iterations used).
+    iteration is the single V×p multiply — or, when ``uniform_n`` marks
+    the uniform-weight case, the ``v_multiply_uniform`` closed form with
+    no distributed work at all. Returns (X, iterations used).
     """
+
+    def mult(vec: np.ndarray) -> np.ndarray:
+        if uniform_n is not None:
+            return v_multiply_uniform(uniform_n, vec)
+        return v_multiply(blocks, v, vec, wt)
+
     x = np.asarray(x0, dtype=np.float64).copy()
-    r = bc_target - v_multiply(blocks, v, x, wt)
+    r = bc_target - mult(x)
     p = r.copy()
     r_tr = float((r * r).sum())
     test_end = r_tr * cg_threshold
     it = 0
     while it < cg_iters and r_tr > test_end:
-        ap = v_multiply(blocks, v, p, wt)
+        ap = mult(p)
         alpha = r_tr / float((p * ap).sum())
         x += alpha * p
         r -= alpha * ap
@@ -459,6 +486,7 @@ def damds(
     seed: int = 42,
     sammon_factor: float | None = None,
     x0: np.ndarray | None = None,
+    uniform_weights: bool = False,
 ) -> DamdsResult:
     """Full deterministic-annealing SMACOF driver loop (SURVEY I3/F10).
 
@@ -495,10 +523,18 @@ def damds(
         # rows, keep random init for rows beyond x0
         k = min(len(x0), n_points)
         x[:k] = np.asarray(x0, dtype=np.float64)[:k, :dim]
-    v = v_array(blocks, wt)
-    # v never changes across the anneal — one broadcast serves every CG
-    # iteration of every stress loop (was: one broadcast per V×p multiply).
-    v_bc = blocks.sparkSession.sparkContext.broadcast(v)
+    # Uniform-weight blocks (from_points / streaming): V is fully
+    # structured, so the CG multiply collapses to v_multiply_uniform —
+    # skip building AND broadcasting v entirely (zero CG barriers).
+    if uniform_weights and sammon_factor is None:
+        uniform_n: int | None = n_points
+        v_bc = None
+    else:
+        uniform_n = None
+        v = v_array(blocks, wt)
+        # v never changes across the anneal — one broadcast serves every CG
+        # iteration of every stress loop (was: one broadcast per V×p multiply).
+        v_bc = blocks.sparkSession.sparkContext.broadcast(v)
 
     total_stress_iters = 0
     temp_loops = 0
@@ -516,7 +552,9 @@ def damds(
             for _ in range(max_stress_loops):
                 bc = pending_bc if pending_bc is not None else bofz_bc(blocks, x, t_cur, wt)
                 pending_bc = None
-                x, _ = cg_solve(blocks, v_bc, bc, x, cg_iters, cg_threshold, wt)
+                x, _ = cg_solve(
+                    blocks, v_bc, bc, x, cg_iters, cg_threshold, wt, uniform_n=uniform_n
+                )
                 new_sig, pending_bc = stress_bofz(blocks, x, t_cur, inv_sum_dsq, wt)
                 total_stress_iters += 1
                 if sig > 0 and abs(sig - new_sig) / max(new_sig, 1e-30) < stress_threshold:
@@ -531,7 +569,8 @@ def damds(
                 t_cur = 0.0
             pending_bc = None  # t changed → the speculative BofZ is stale
     finally:
-        v_bc.destroy()
+        if v_bc is not None:
+            v_bc.destroy()
     return DamdsResult(points=x, stress=sig, temp_loops=temp_loops, stress_iters=total_stress_iters)
 
 

@@ -532,7 +532,8 @@ def damds_embed_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = damds_mod.damds_blocks_from_points(spark, pts_df, n_points=n, n_blocks=8)
     try:
         res = damds_mod.damds(
-            blocks, n_points=n, max_temp_loops=2, max_stress_loops=4, cg_iters=8
+            blocks, n_points=n, max_temp_loops=2, max_stress_loops=4, cg_iters=8,
+            uniform_weights=True,
         )
     finally:
         blocks.unpersist()

@@ -345,6 +345,7 @@ class IncrementalMDS:
             max_temp_loops=1,
             max_stress_loops=self.stress_loops,
             x0=self.points,
+            uniform_weights=True,  # from-points blocks: closed-form CG multiply
         )
         self.points = res.points
         self.stress_history.append(res.stress)

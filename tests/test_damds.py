@@ -391,3 +391,33 @@ def test_incremental_blocks_free_old_generations(spark):
         assert not (prev_ids & live), "old checkpoint generation still cached"
         prev_ids = {rdd_id(inc.blocks), rdd_id(inc.packed)}
         assert prev_ids <= live  # the current generation IS materialized
+
+
+def test_v_multiply_uniform_matches_distributed(spark):
+    """The closed-form uniform V×p (r3: zero CG barriers on from-points
+    blocks) must agree with the distributed v_multiply on the same
+    uniform-weight block table — same math, different summation order."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 23
+    pts = rng.standard_normal((n, 4))
+    pdf = pd.DataFrame({"point_id": np.arange(n, dtype=np.int64), "vec": list(pts)})
+    pts_df = spark.createDataFrame(pdf, "point_id long, vec array<double>")
+    fb = D.damds_blocks_from_points(spark, pts_df, n_points=n, n_blocks=3)
+    try:
+        v = D.v_array(fb)
+        np.testing.assert_allclose(v, np.full(n, float(n)), rtol=0, atol=0)
+        p = rng.standard_normal((n, 2))
+        got = D.v_multiply_uniform(n, p)
+        want = D.v_multiply(fb, v, p)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        # the full anneal on the uniform fast path agrees with the
+        # distributed-multiply anneal to float-reordering precision
+        r_fast = D.damds(fb, n, dim=2, max_temp_loops=1, max_stress_loops=2,
+                         uniform_weights=True)
+        r_dist = D.damds(fb, n, dim=2, max_temp_loops=1, max_stress_loops=2)
+        np.testing.assert_allclose(r_fast.stress, r_dist.stress, rtol=1e-8)
+        np.testing.assert_allclose(r_fast.points, r_dist.points, atol=1e-6)
+    finally:
+        fb.unpersist()
