@@ -1,0 +1,92 @@
+"""Semantic invariants for the curation-filter family (operators/curation.py).
+
+The oracle tests (test_queries.py) prove engine parity; these pin the
+*meaning* of each metric — the properties a pipeline author relies on when
+thresholding them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_mm_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _rows(spark, name):
+    return registry.QUERIES[name].fn(spark, SF_DIR).collect()
+
+
+def test_repetition_signals_fractions_bounded(spark):
+    rows = _rows(spark, "repetition_signals")
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        for c in ("dup_unigram_frac", "top_bigram_frac", "dup_trigram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+        # the modal bigram covers at least its 1/n share
+        n_bigrams = r["n_tokens"] - 1
+        # (1e-6 slack: the frac is rounded to 6 decimals)
+        assert r["top_bigram_frac"] >= 1.0 / n_bigrams - 1e-6
+
+
+def test_unigram_logprob_bounds(spark):
+    """Cross-entropy under the corpus unigram LM is positive and cannot
+    exceed -ln(p_min) = ln(total/min_count) <= ln(total)."""
+    rows = _rows(spark, "unigram_logprob")
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0.0 < r["xent"] <= np.log(total) + 1e-6
+
+
+def test_dsir_importance_prefers_target_slice(spark):
+    """DSIR's defining property: documents from the target slice (lang='en')
+    score higher mean log importance weight than the rest of the corpus."""
+    rows = _rows(spark, "dsir_importance")
+    en = [r["log_weight"] for r in rows if r["lang"] == "en"]
+    rest = [r["log_weight"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert np.mean(en) > np.mean(rest)
+
+
+def test_semantic_dedup_subset_of_exact_near_dup(spark):
+    """SemDeDup pairs are exactly the near-dup pairs whose endpoints share a
+    cluster: every emitted pair appears in embedding_near_dup with the same
+    cosine (clustering only *removes* cross-cluster pairs)."""
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _rows(spark, "semantic_dedup")
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _rows(spark, "embedding_near_dup")
+    }
+    assert sem, "no within-cluster near-dup pairs at this SF"
+    for pair, cos in sem.items():
+        assert pair in exact and abs(exact[pair] - cos) < 1e-12
+
+
+def test_dup_span_coverage_bounds(spark):
+    rows = _rows(spark, "dup_span_coverage")
+    assert rows
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_coverage"] <= 1.0
+        # a duplicated span covers at least K tokens
+        if r["n_dup_grams"] > 0:
+            from flink_mm_spark.operators.curation import DUP_SPAN_K
+
+            assert r["covered_tokens"] >= DUP_SPAN_K
+
+
+def test_bpe_encode_token_bounds(spark):
+    """Every word encodes to >= 1 subword and <= its character count."""
+    rows = _rows(spark, "bpe_encode")
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["bpe_per_word"] >= 1.0
