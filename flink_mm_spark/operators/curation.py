@@ -429,6 +429,109 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed curation funnel
+# ---------------------------------------------------------------------------
+
+# Data-informed thresholds (sf0.01 quantiles recorded in the docstring):
+# compared on the 6-decimal-ROUNDED metrics, which hash-match across
+# engines, so threshold comparisons cannot disagree at float boundaries.
+FUNNEL_MAX_DUP_UNIGRAM = 0.9
+FUNNEL_MAX_XENT = 3.402
+FUNNEL_MIN_LOG_WEIGHT = 0.0
+
+
+def _curation_funnel_oracle() -> str:
+    from flink_mm_spark.registry import QUERIES
+
+    rep = QUERIES["repetition_signals"].oracle
+    xent = QUERIES["unigram_logprob"].oracle
+    dsir = QUERIES["dsir_importance"].oracle
+    return f"""
+    WITH rep AS (SELECT doc_id, dup_unigram_frac AS d1 FROM ({rep})),
+    xq AS (SELECT doc_id, xent FROM ({xent})),
+    wq AS (SELECT doc_id, log_weight AS lw FROM ({dsir})),
+    k AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep
+      FROM documents
+    ),
+    j AS (
+      SELECT k.doc_id, k.keep, rep.d1, xq.xent, wq.lw
+      FROM k JOIN rep USING (doc_id) JOIN xq USING (doc_id) JOIN wq USING (doc_id)
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j
+      UNION ALL
+      SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM j WHERE keep
+      UNION ALL
+      SELECT 2, 'repetition', CAST(COUNT(*) AS BIGINT) FROM j
+      WHERE keep AND d1 <= {FUNNEL_MAX_DUP_UNIGRAM}
+      UNION ALL
+      SELECT 3, 'perplexity', CAST(COUNT(*) AS BIGINT) FROM j
+      WHERE keep AND d1 <= {FUNNEL_MAX_DUP_UNIGRAM} AND xent <= {FUNNEL_MAX_XENT}
+      UNION ALL
+      SELECT 4, 'dsir', CAST(COUNT(*) AS BIGINT) FROM j
+      WHERE keep AND d1 <= {FUNNEL_MAX_DUP_UNIGRAM} AND xent <= {FUNNEL_MAX_XENT}
+            AND lw > {FUNNEL_MIN_LOG_WEIGHT}
+    ) ORDER BY stage_idx
+    """
+
+
+@register("curation_funnel", oracle=_curation_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: survivor counts after each filter stage.
+
+    Composes the graded stages in production order — exact dedup
+    (keep-lowest-doc_id), Gopher repetition (`dup_unigram_frac` ≤ 0.9;
+    sf0.01 deciles 0.46/0.83/0.95), corpus-LM perplexity
+    (`xent` ≤ 3.402; deciles 3.396/3.402/3.410), DSIR importance
+    (`log_weight` > 0) — and reports the monotone survivor-count funnel a
+    pipeline dashboard shows. All thresholds compare the 6-decimal-rounded
+    metrics (which hash-match across engines), so stage membership is
+    engine-exact; the oracle embeds the component queries' own SQL as
+    CTEs, so the composition can never drift from the graded parts.
+
+    Plan: the three metric subplans run as written (their scale arguments
+    apply unchanged); the funnel adds one doc_id equi-join chain and a
+    single-row conditional aggregate — at 100 TB the join keys are doc_id
+    everywhere and the output is 5 rows.
+    """
+    rep = repetition_signals(spark, sf_dir).select("doc_id", "dup_unigram_frac")
+    xq = unigram_logprob(spark, sf_dir).select("doc_id", "xent")
+    wq = dsir_importance(spark, sf_dir).select("doc_id", "log_weight")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql.window import Window
+
+    k = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+            )
+        ).alias("keep"),
+    )
+    j = k.join(rep, "doc_id").join(xq, "doc_id").join(wq, "doc_id")
+    keep = F.col("keep")
+    s2 = keep & (F.col("dup_unigram_frac") <= FUNNEL_MAX_DUP_UNIGRAM)
+    s3 = s2 & (F.col("xent") <= FUNNEL_MAX_XENT)
+    s4 = s3 & (F.col("log_weight") > FUNNEL_MIN_LOG_WEIGHT)
+    agg = j.agg(
+        F.count("*").alias("n0"),
+        F.sum(keep.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'all', n0, 1, 'exact_dedup', n1, 2, 'repetition', n2,"
+            " 3, 'perplexity', n3, 4, 'dsir', n4) AS (stage_idx, stage, n_docs)"
+        )
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: cluster, then exact near-dup within cluster
 # ---------------------------------------------------------------------------
 

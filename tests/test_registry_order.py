@@ -99,6 +99,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "text_quality_by_lang": "unigram_logprob",
         "lang_id_heuristic": "token_counts",
         "bpe_encode": "bpe_merges",
+        "curation_funnel": "unigram_logprob",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
