@@ -606,6 +606,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm = np.vstack(cent["emb"].to_numpy()).astype(np.float64)
     cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    return _assign_and_pair(e, cm)
+
+
+def _assign_and_pair(e: DataFrame, cm: np.ndarray) -> DataFrame:
+    """Shared SemDeDup tail: cosine-assign to the (k, d) centroid matrix
+    ``cm`` (pre-normalized), then within-cluster block-pair GEMM.
+
+    np.argmax returns the FIRST maximum → lowest centroid id on rounded
+    ties, matching the oracle's (cs DESC, c_id ASC) row_number."""
 
     def assign(batches):
         for pdf in batches:
@@ -614,8 +623,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             cos = np.round(mn @ cm.T, 6)
-            # argmax returns the FIRST maximum -> lowest centroid id on ties,
-            # matching the oracle's (cs DESC, c_id ASC) row_number.
             cl = np.argmax(cos, axis=1).astype(np.int64)
             yield pd.DataFrame(
                 {"cluster": cl, "vec_id": pdf["vec_id"], "emb": pdf["emb"]}
@@ -630,3 +637,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("cluster", "vec_a", "vec_b", "cos_sim").orderBy(
         "cluster", "vec_a", "vec_b"
     )
+
+
+@register("semantic_dedup_kmeans", oracle=None)  # trained centroids → rows-only
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED centroids — the production configuration.
+
+    Identical pipeline to ``semantic_dedup`` but the cluster centers come
+    from 5 distributed Lloyd passes (``algos.kmeans`` — the graded
+    ``kmeans_full`` kernel) seeded with the ``SEMDEDUP_K`` lowest vec_ids,
+    which is exactly how Abbas et al. run it. Deterministic end-to-end
+    (seeded init, bit-stable assignment kernel) but float k-means is not
+    SQL-replayable, so this entry is rows-only; its semantics are pinned
+    by tests instead: pairs ⊆ ``embedding_near_dup`` with equal cosines
+    (clustering only removes cross-cluster pairs), and run-to-run
+    determinism. The fixed-centroid twin ``semantic_dedup`` grades the
+    assignment + within-cluster pairing machinery exactly.
+
+    Scale: training is the k-means plan (zero shuffles per pass, O(k·d)
+    driver state); everything after is ``semantic_dedup``'s plan.
+    """
+    from flink_mm_spark.algos.kmeans import kmeans
+    from flink_mm_spark.operators.similarity import embeddings64
+
+    e = embeddings64(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").select("emb").toPandas()
+    )
+    init = np.vstack(cent["emb"].to_numpy()).astype(np.float64)
+    trained = kmeans(e.select(F.col("emb").alias("features")), init, n_iters=5)
+    cm = trained / np.linalg.norm(trained, axis=1, keepdims=True)
+    return _assign_and_pair(e, cm)

@@ -161,6 +161,7 @@ DEFER: list[str] = [
     "ann_lsh_topk",
     "ivf_topk",
     "embedding_near_dup_lsh",
+    "semantic_dedup_kmeans",  # trained-centroid production twin of semantic_dedup
 ]
 
 

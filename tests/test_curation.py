@@ -90,3 +90,20 @@ def test_bpe_encode_token_bounds(spark):
     for r in rows:
         assert r["n_bpe_tokens"] >= r["n_words"]
         assert r["bpe_per_word"] >= 1.0
+
+
+def test_semantic_dedup_kmeans_subset_and_deterministic(spark):
+    """The trained-centroid production variant keeps the SemDeDup contract:
+    pairs ⊆ exact near-dup pairs with equal cosines, and the end-to-end
+    run is deterministic (seeded init, bit-stable kernels)."""
+    a = _rows(spark, "semantic_dedup_kmeans")
+    b = _rows(spark, "semantic_dedup_kmeans")
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _rows(spark, "embedding_near_dup")
+    }
+    assert a, "no within-cluster pairs at this SF"
+    for r in a:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in exact and abs(exact[key] - r["cos_sim"]) < 1e-12
