@@ -51,6 +51,8 @@ HEADLINE = [
     "pii_scrub",                # regex redaction chain (codegen scan)
     "benchmark_contamination",  # eval-shingle broadcast decontamination
     "pack_sequences",           # two-pass distributed prefix-sum packing
+    "repetition_signals",       # r3 curation: explode + double hash agg (pure JVM)
+    "semantic_dedup",           # r3 curation: assign + cluster-keyed block-pair GEMM
 ]
 
 
