@@ -107,3 +107,51 @@ def test_semantic_dedup_kmeans_subset_and_deterministic(spark):
     for r in a:
         key = (r["vec_a"], r["vec_b"])
         assert key in exact and abs(exact[key] - r["cos_sim"]) < 1e-12
+
+
+def test_block_pair_cosine_matches_bruteforce_keyed(spark):
+    """The shared block-pair GEMM (dedup.block_pair_cosine) must emit
+    exactly the brute-force within-key pairs — including across block
+    boundaries (ids straddle EMB_BLOCK_ROWS multiples via offset) and
+    never across keys."""
+    import pandas as pd
+    from flink_mm_spark.operators import dedup as DD
+
+    rng = np.random.RandomState(3)
+    n, d = 90, 8
+    # offset ids so vectors land in two different blk values
+    ids = np.arange(n, dtype=np.int64) + DD.EMB_BLOCK_ROWS - n // 2
+    vecs = rng.standard_normal((n, d))
+    keys = (np.arange(n) % 3).astype(np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "emb": list(vecs), "grp": keys})
+    df = spark.createDataFrame(pdf, "vec_id long, emb array<double>, grp long")
+    got = {
+        (r["grp"], r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in DD.block_pair_cosine(df, keyed=[("grp", "long")], threshold=0.2).collect()
+    }
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.round(vn @ vn.T, 6)
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if keys[a] == keys[b] and cos[a, b] >= 0.2:
+                want[(keys[a], min(ids[a], ids[b]), max(ids[a], ids[b]))] = cos[a, b]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ngrams_raw_guard_short_docs(spark):
+    """_ngrams_raw must yield an EMPTY array (not sequence(1,0) junk) for
+    documents shorter than k tokens."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flink_mm_spark.operators.curation import _ngrams_raw
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["one two", "a", "x y z w"]}), "text string"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    out = df.select(_ngrams_raw(toks, 3).alias("g")).collect()
+    assert [len(r["g"]) for r in out] == [0, 0, 2]
+    assert out[2]["g"] == ["x y z", "y z w"]
