@@ -521,3 +521,63 @@ def user_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "start_us")
+
+
+@register(
+    "events_enriched_streamed",
+    oracle="""
+    SELECT n.n_name AS nation,
+           e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–STATIC dimension enrichment executed as a real Structured
+    Streaming query: the events stream joins the static customer→nation
+    dimension chain per micro-batch (broadcast hash join — Spark plans
+    the static side once and reuses it every trigger), then aggregates
+    spend per (nation, event_type) in complete mode.
+
+    The one §2.8 join shape the stream-stream interval join doesn't cover:
+    enrichment against a slowly-changing dimension, the standard first
+    stage of any production event pipeline. Complete output mode + the
+    decimal-cast sum make the result independent of micro-batch splits and
+    row order, so the STREAMED execution grades bit-for-bit against the
+    batch SQL oracle. At 100 TB the dims broadcast (they are MBs against
+    TBs of events) and the only wide exchange is the final (nation, type)
+    aggregate — the same plan AQE picks for the batch twin.
+    """
+    import tempfile
+    import uuid
+
+    from flink_mm_spark.sources.tables import table as _table
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"events_enriched_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ees_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("nation", "event_type")

@@ -100,6 +100,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "lang_id_heuristic": "token_counts",
         "bpe_encode": "bpe_merges",
         "curation_funnel": "unigram_logprob",
+        "events_enriched_streamed": "events_hourly_streamed",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
