@@ -352,6 +352,162 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exactly-graded MinHash twin -------------------------------------------
+
+# SQL-replayable MinHash: the base hash is the first 15 hex digits of
+# md5(shingle) (60 bits — both engines parse it identically), folded to 32
+# bits so the permutation (a·x + b) mod (2^61−1) never overflows a signed
+# 64-bit intermediate (a < 2^29, x < 2^32 → a·x < 2^61). Constants are
+# seed-fixed and embedded as literals in BOTH the Spark expressions and the
+# generated oracle SQL.
+MHX_PERM = 32
+MHX_BANDS = 8  # 8 bands × 4 rows
+_mhx_rng = np.random.RandomState(271828)
+_MHX_A = _mhx_rng.randint(1, 1 << 29, size=MHX_PERM).astype(np.int64)
+_MHX_B = _mhx_rng.randint(0, 1 << 29, size=MHX_PERM).astype(np.int64)
+MHX_THRESHOLD = 0.25
+
+
+def _mhx_oracle() -> str:
+    a_list = ", ".join(str(int(a)) for a in _MHX_A)
+    b_list = ", ".join(str(int(b)) for b in _MHX_B)
+    rows_per_band = MHX_PERM // MHX_BANDS
+    return f"""
+    WITH sets AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    base AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) & 4294967295 AS x
+      FROM sets
+    ),
+    perms AS (
+      SELECT i, ([{a_list}])[i + 1] AS a, ([{b_list}])[i + 1] AS b
+      FROM (SELECT unnest(range(0, {MHX_PERM})) AS i)
+    ),
+    mins AS (
+      SELECT base.doc_id, perms.i, MIN((perms.a * base.x + perms.b) % 2305843009213693951) AS h
+      FROM base, perms
+      GROUP BY base.doc_id, perms.i
+    ),
+    sigs AS MATERIALIZED (
+      SELECT m.doc_id, ANY_VALUE(s.source) AS source, list(m.h ORDER BY m.i) AS sig
+      FROM mins m JOIN sets s ON m.doc_id = s.doc_id
+      GROUP BY m.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, source, sig, b AS band_id,
+             array_to_string(sig[b * {rows_per_band} + 1 : (b + 1) * {rows_per_band}], '_') AS band_key
+      FROM sigs, (SELECT unnest(range(0, {MHX_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           list_sum(list_transform(range(1, {MHX_PERM} + 1),
+                                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+           / {MHX_PERM}.0 AS est_jaccard
+    FROM cand
+    WHERE list_sum(list_transform(range(1, {MHX_PERM} + 1),
+                                  i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+          / {MHX_PERM}.0 >= {MHX_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("minhash_lsh_exact", oracle=_mhx_oracle())
+def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, EXACTLY graded against a full SQL replay.
+
+    Same algorithm as ``minhash_lsh_pairs`` (signatures → bands →
+    equi-join on (source, band, band-key) → slot-match Jaccard estimate)
+    but with an engine-portable hash family — md5-derived 60-bit base hash
+    folded to 32 bits, permutations (a·x+b) mod (2^61−1) with literal
+    seed-fixed constants — so DuckDB replays every signature bit and the
+    driver value-hash must match. This upgrades the sketch-dedup family
+    from rows-only to oracle-graded; the xxhash64 twin remains the
+    throughput path (codegen'd base hash + one vectorized numpy min per
+    doc vs. 32 interpreted array_min folds here — both are one projection
+    per document, and the join shapes are identical).
+
+    Scale: identical to ``minhash_lsh_pairs`` — the candidate shuffle is
+    keyed on (source, band, 4-slot band key), never |docs|²; signatures
+    are 32×8 bytes/doc. Estimates are exact multiples of 1/32 (dyadic →
+    no float rounding hazard).
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    sh = shingles_expr(3)
+    base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
+    x = lambda s: (  # noqa: E731 — 32-bit-folded md5 base hash
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        .bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
+    def perm_min(a: int, b: int):
+        # factory closure: PySpark derives HOF arity from the lambda's
+        # parameter count, so constants must be captured, not defaulted
+        return F.array_min(
+            F.transform("xs", lambda v: (F.lit(a) * v + F.lit(b)) % F.lit((1 << 61) - 1))
+        )
+
+    sig = F.array(*[perm_min(int(a), int(b)) for a, b in zip(_MHX_A, _MHX_B)])
+    sigs = hs.select("doc_id", "source", sig.alias("sig"))
+    rows_per_band = MHX_PERM // MHX_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "source",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MHX_BANDS - 1)),
+                lambda b: F.concat_ws(
+                    "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda m: m))
+        .cast("double")
+        / F.lit(float(MHX_PERM))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= MHX_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (near-dup fingerprinting)
 # ---------------------------------------------------------------------------
