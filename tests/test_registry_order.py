@@ -102,6 +102,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "curation_funnel": "unigram_logprob",
         "events_enriched_streamed": "events_hourly_streamed",
         "minhash_lsh_exact": "jaccard_prefix_filtered",
+        "simhash_exact": "jaccard_prefix_filtered",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
