@@ -113,11 +113,19 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokens_expr()
     t = d.select("doc_id", toks.alias("toks"))
-    grams = None
-    for k in (1, 2, 3):
+
+    # ONE scan + ONE explode: the three gram streams are tagged structs
+    # concatenated per row (a unionAll of per-k branches re-reads and
+    # re-tokenizes the corpus once per k — measured 3 scans in the plan).
+    def tagged(k: int):
         arr = F.col("toks") if k == 1 else _ngrams_raw(F.col("toks"), k)
-        part = t.select("doc_id", F.lit(k).alias("n"), F.explode(arr).alias("gram"))
-        grams = part if grams is None else grams.unionAll(part)
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram"))
+        )
+
+    grams = t.select(
+        "doc_id", F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     c = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
     n1 = F.sum(F.when(F.col("n") == 1, F.col("cnt")).otherwise(F.lit(0)))
     n2 = F.sum(F.when(F.col("n") == 2, F.col("cnt")).otherwise(F.lit(0)))

@@ -311,3 +311,20 @@ def test_dup_span_coverage_keyed_joins_only(spark):
     plan = _plan(spark, "dup_span_coverage")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_sketch_twins_keyed_joins_only(spark):
+    """The SQL-replayable MinHash/SimHash twins must keep the banded
+    equi-join shape: no cartesian product, no Python workers (hashing is
+    md5/conv/bit arithmetic in JVM expressions)."""
+    for name in ("minhash_lsh_exact", "simhash_exact"):
+        plan = _plan(spark, name)
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_repetition_signals_single_scan(spark):
+    """The fused tagged-gram explode must read the corpus ONCE (the
+    per-k unionAll shape scans it three times)."""
+    plan = _plan(spark, "repetition_signals")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
