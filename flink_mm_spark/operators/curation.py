@@ -284,11 +284,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = d.select(
         "doc_id", "lang", F.explode(_ngrams_raw(toks, 2)).alias("gram")
     )
-    raw = f.groupBy("gram").agg(F.count("*").alias("r_cnt"))
-    tgt = f.filter(F.col("lang") == "en").groupBy("gram").agg(
-        F.count("*").alias("t_cnt")
+    # raw and target counts in ONE aggregate (one corpus shuffle, no
+    # raw⋈target join): t_cnt is a conditional sum over the same groups
+    counts = f.groupBy("gram").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
     )
-    counts = raw.join(tgt, "gram", "left").na.fill({"t_cnt": 0})
     totals = counts.agg(
         F.sum("t_cnt").cast("bigint").alias("t_tot"),
         F.sum("r_cnt").cast("bigint").alias("r_tot"),
@@ -404,23 +405,28 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     hits = g.join(dup, "gram").select("doc_id", "s")
-    covered = (
+    # one aggregation yields BOTH metrics: positions explode per hit while
+    # keeping the start offset, then count(distinct p) = covered tokens and
+    # count(distinct s) = duplicated spans (starts are unique per doc)
+    cov = (
         hits.select(
-            "doc_id", F.explode(F.sequence("s", F.col("s") + (DUP_SPAN_K - 1))).alias("p")
+            "doc_id",
+            "s",
+            F.explode(F.sequence("s", F.col("s") + (DUP_SPAN_K - 1))).alias("p"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("covered_tokens"))
+        .agg(
+            F.count_distinct("p").alias("covered_tokens"),
+            F.count_distinct("s").alias("n_dup_grams"),
+        )
     )
-    n_dup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
     per_doc = t.select(
         "doc_id",
         n.cast("int").alias("n_tokens"),
         F.greatest(n - (DUP_SPAN_K - 1), F.lit(0)).cast("int").alias("n_grams"),
     )
     return (
-        per_doc.join(n_dup, "doc_id", "left")
-        .join(covered, "doc_id", "left")
+        per_doc.join(cov, "doc_id", "left")
         .na.fill({"n_dup_grams": 0, "covered_tokens": 0})
         .select(
             "doc_id",
