@@ -310,3 +310,109 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(probe_udf("emb")).alias("cell"),
     )
     return _cogroup_cell_topk(members, probers, k=3)
+
+
+# ---------------------------------------------------------------------------
+# ANN: exactly-graded hyperplane-LSH twin
+# ---------------------------------------------------------------------------
+
+# ±1 hyperplanes as seed-fixed literals shared verbatim by the Spark
+# expressions and the generated oracle SQL. The per-plane dot is rounded at
+# 6 decimals before the sign test, so a last-ulp summation-order difference
+# between the engines cannot flip a bucket bit away from the boundary.
+ALX_PLANES = 6  # 64 buckets; probes = self + 6 one-bit flips
+_ALX_S = np.random.RandomState(2718).choice(np.array([-1, 1], dtype=np.int64), (ALX_PLANES, EMB_DIM))
+ALX_K = 3
+
+
+def _alx_oracle() -> str:
+    planes_sql = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in _ALX_S
+    ) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (
+      SELECT vec_id, emb,
+             sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) AS nrm
+      FROM e
+    ),
+    dots AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(range(1, len(emb) + 1),
+                                     i -> emb[i] * ({planes_sql})[p + 1][i])) AS dot
+      FROM e, (SELECT unnest(range(0, {ALX_PLANES})) AS p)
+    ),
+    buck AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN ROUND(dot, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS qid, bucket AS cell FROM buck
+      UNION ALL
+      SELECT vec_id, xor(bucket, (1::BIGINT << p))
+      FROM buck, (SELECT unnest(range(0, {ALX_PLANES})) AS p)
+    ),
+    cand AS (
+      SELECT DISTINCT pr.qid, m.vec_id
+      FROM probes pr JOIN buck m ON m.bucket = pr.cell AND m.vec_id <> pr.qid
+    ),
+    scored AS (
+      SELECT cand.qid AS vec_a, cand.vec_id AS vec_b,
+             ROUND(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT vec_a, vec_b, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {ALX_K}
+    ORDER BY vec_a, rnk
+    """
+
+
+@register("ann_lsh_exact", oracle=_alx_oracle())
+def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN, EXACTLY graded against a SQL replay.
+
+    Same pipeline as ``ann_lsh_topk`` (sign buckets → self + one-bit-flip
+    probes → cogrouped GEMM top-k) with an engine-portable geometry: the
+    hyperplanes are seed-fixed ±1 literals and each bucket bit is the sign
+    of the 6-decimal-rounded plane dot, so DuckDB reproduces every bucket,
+    every probe, every candidate, and the exact (cos DESC, vec_id) top-3 —
+    the driver value-hash grades the complete ANN pipeline. Completes the
+    r3 exact-twin set: every sketch/ANN family now has an oracle-graded
+    representative (MinHash, SimHash, hyperplane LSH); the float-plane
+    xxhash-free twin ``ann_lsh_topk`` remains the recall-tuned path.
+
+    Plan: bucket bits are JVM higher-order folds (once per row), the probe
+    fan-out is an explode, candidates join on the bucket key only, and
+    scoring reuses ``_cogroup_cell_topk`` (numpy GEMM per cell). Never a
+    pairwise similarity predicate; identical scale shape to the twin.
+    """
+    e = embeddings64(spark, sf_dir)
+
+    def plane_dot(row: np.ndarray):
+        weights = F.array(*[F.lit(float(v)) for v in row])
+        prod = F.zip_with("emb", weights, lambda x, w: x * w)
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(ALX_PLANES):
+        bit = F.when(F.round(plane_dot(_ALX_S[p]), 6) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = e.select("vec_id", "emb", bucket.cast("long").alias("bucket"))
+    members = bucketed.select("vec_id", "emb", F.col("bucket").alias("cell"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(ALX_PLANES)],
+    )
+    probers = bucketed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.explode(probes).alias("cell"),
+    )
+    return _cogroup_cell_topk(members, probers, k=ALX_K)

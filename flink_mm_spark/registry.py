@@ -122,6 +122,7 @@ DEFER: list[str] = [
     "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
     "minhash_lsh_exact",  # SQL-replayable-hash MinHash twin (upgrades sketch dedup to oracle-graded)
     "simhash_exact",  # SQL-replayable-hash SimHash twin (integer bit votes, exact oracle)
+    "ann_lsh_exact",  # portable ±1-hyperplane ANN twin (full pipeline SQL-replayed)
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
     "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k

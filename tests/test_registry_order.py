@@ -103,6 +103,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_enriched_streamed": "events_hourly_streamed",
         "minhash_lsh_exact": "jaccard_prefix_filtered",
         "simhash_exact": "jaccard_prefix_filtered",
+        "ann_lsh_exact": "knn_per_label",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
