@@ -143,6 +143,7 @@ DEFER: list[str] = [
     "events_hourly",  # same oracle as events_hourly_streamed (the stronger twin)
     "user_sessions_batch",  # gaps-and-islands twin: user_sessions_streamed grades the REAL stateful operator
     "shipping_priority",  # equi-join: local_supplier_volume stays graded
+    "bucketed_fact_join",  # at-rest co-located join: local_supplier_volume keeps joins graded
     "quantity_percentiles",  # ordered analytics: top_customers_per_nation stays graded
     "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded
     "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns

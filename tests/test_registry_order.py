@@ -104,6 +104,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "minhash_lsh_exact": "jaccard_prefix_filtered",
         "simhash_exact": "jaccard_prefix_filtered",
         "ann_lsh_exact": "knn_per_label",
+        "bucketed_fact_join": "local_supplier_volume",
     }
     for deferred, sibling in siblings.items():
         if deferred in registry.QUERIES:
