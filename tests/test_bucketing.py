@@ -34,3 +34,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_bucketed_overwrites_stale_uncataloged_location(spark):
+    """A leftover warehouse dir whose table the catalog does NOT know (fresh
+    session after a crash / another session's write) must not fail the write
+    with LOCATION_ALREADY_EXISTS — write_bucketed clears both."""
+    import os
+    from urllib.parse import urlparse
+
+    name = "b_stale_location_test"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, name)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        os.makedirs(loc, exist_ok=True)  # stale dir, no catalog entry
+        with open(os.path.join(loc, "junk"), "w") as f:
+            f.write("stale")
+        df = spark.range(100).withColumnRenamed("id", "k")
+        write_bucketed(df, name, "k", n_buckets=4)
+        assert spark.table(name).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
