@@ -974,6 +974,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic for a given input (hash-based, no RNG) but implementation
     -specific, so it is rows-only checked; the ≤2% relative-error contract
     vs the exact count is asserted in tests/test_relational_extra.py.
+    The sketch *algorithm* is exactly value-graded by its portable twin
+    ``hll_distinct_exact`` below.
     """
     e = table(spark, sf_dir, "events")
     return (
@@ -981,6 +983,119 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- exactly-graded HyperLogLog twin ---------------------------------------
+
+# SQL-replayable HLL: the sketch math is re-expressed so every intermediate
+# is an integer (exact in any engine) and the single float step is one IEEE
+# multiply+divide on identical inputs (bit-deterministic):
+#
+# - base hash: first 15 hex digits of md5(user_id) → 60 bits, parsed
+#   identically by Spark (conv(_,16,10)) and DuckDB (CAST('0x…' AS BIGINT)).
+# - register index = h & (m-1); the remaining w = h >> p bits feed the
+#   geometric variable rho = trailing_zeros(w)+1. Instead of materializing
+#   rho (log2 on arbitrary ints is float-fragile), each element keeps
+#   lowbit = w & -w — a power of two MONOTONE in rho — so the register
+#   aggregate is MAX(lowbit), pure int64 math.
+# - the harmonic denominator Σ 2^-rho_j is scaled by 2^(p+51)=2^56 so each
+#   register contributes the exact integer 2^55 / maxv (integer division of
+#   powers of two) and each empty register contributes 2^56; the scaled sum
+#   fits int64 (≤ 32·2^56 = 2^61).
+# - estimate = alpha_32 · m² · 2^56 / harmonic_scaled = (0.697 · 2^66) /
+#   harmonic — two IEEE double ops on bit-identical operands, so even the
+#   DOUBLE column hashes identically cross-engine.
+HLL_P = 5
+HLL_M = 1 << HLL_P  # 32 registers: raw-HLL regime for n ≳ 2.5m = 80
+_HLL_LOW = 1 << (60 - HLL_P)  # 2^55: lowbit stand-in for the w == 0 case
+_HLL_EMPTY = 1 << (61 - HLL_P)  # 2^56: scaled 2^-0 of an empty register
+_HLL_ALPHA = 0.697  # Flajolet et al. alpha_32
+_HLL_NUM = float(1 << 66)  # m² · 2^56 = 2^66, exactly representable
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+b AS (
+  SELECT event_type, h & {HLL_M - 1} AS idx,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_LOW}
+              ELSE (h >> {HLL_P}) & -(h >> {HLL_P}) END AS v
+  FROM h
+),
+regs AS (SELECT event_type, idx, MAX(v) AS maxv FROM b GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS registers_used,
+         SUM({_HLL_LOW} // maxv) AS hp
+  FROM regs GROUP BY 1
+),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+SELECT a.event_type,
+       CAST(a.registers_used AS BIGINT) AS registers_used,
+       CAST(a.hp + ({HLL_M} - a.registers_used) * {_HLL_EMPTY} AS BIGINT) AS harmonic_scaled,
+       ROUND(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_NUM!r}
+             / CAST(a.hp + ({HLL_M} - a.registers_used) * {_HLL_EMPTY} AS DOUBLE), 4) AS est_users,
+       ex.exact_users AS exact_users
+FROM agg a JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
+@register("hll_distinct_exact", oracle=_HLL_ORACLE)
+def hll_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete HyperLogLog sketch, exactly graded (the twin that upgrades
+    ``approx_distinct_users`` from rows-only to a value-hashed oracle).
+
+    Same register/estimator math as approx_count_distinct (HyperLogLog,
+    Flajolet et al. 2007) over a portable md5-derived hash family that DuckDB
+    replays bit-for-bit — see the constants block above for how every sketch
+    intermediate is kept integer-exact. The plan is the production sketch
+    shape: one partial+final aggregate to (event_type, register) — m=32
+    fixed-size state per group — then an m-row rollup per key; at 100 TB the
+    shuffle carries ≤ keys·m 16-byte rows, exactly like the built-in HLL++.
+    The production path stays ``approx_count_distinct`` (bias-corrected,
+    dense/sparse encodings); this twin grades the algorithm family. Raw-HLL
+    regime (no linear-counting branch): valid for n ≳ 2.5·m = 80, satisfied
+    by every event_type at the grading scale (n = 150/type at sf0.01).
+    """
+    e = table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    base = e.select(F.col("event_type"), h.alias("h")).select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    v = F.when(F.col("w") == 0, F.lit(_HLL_LOW)).otherwise(
+        F.col("w").bitwiseAND(-F.col("w"))
+    )
+    regs = (
+        base.select("event_type", "idx", v.alias("v"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("v").alias("maxv"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        F.sum(F.expr(f"{_HLL_LOW} DIV maxv")).alias("hp"),
+    )
+    harm = F.col("hp") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(_HLL_EMPTY)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("registers_used").cast("long").alias("registers_used"),
+            harm.cast("long").alias("harmonic_scaled"),
+            F.round(F.lit(_HLL_ALPHA) * F.lit(_HLL_NUM) / harm.cast("double"), 4).alias(
+                "est_users"
+            ),
+            "exact_users",
         )
         .orderBy("event_type")
     )

@@ -120,9 +120,11 @@ DEFER: list[str] = [
     "bpe_encode",  # tokenizer apply: bpe_merges grades the family's exact merge replay
     "curation_funnel",  # composition of graded curation stages (oracle embeds their SQL)
     "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
+    "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
     "minhash_lsh_exact",  # SQL-replayable-hash MinHash twin (upgrades sketch dedup to oracle-graded)
     "simhash_exact",  # SQL-replayable-hash SimHash twin (integer bit votes, exact oracle)
     "ann_lsh_exact",  # portable ±1-hyperplane ANN twin (full pipeline SQL-replayed)
+    "pq_adc_topk",  # PQ/ADC compressed-domain ANN tier (integer-exact oracle)
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
     "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
     "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k

@@ -101,9 +101,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "bpe_encode": "bpe_merges",
         "curation_funnel": "unigram_logprob",
         "events_enriched_streamed": "events_hourly_streamed",
+        "hll_distinct_exact": "dedup_exact",
         "minhash_lsh_exact": "jaccard_prefix_filtered",
         "simhash_exact": "jaccard_prefix_filtered",
         "ann_lsh_exact": "knn_per_label",
+        "pq_adc_topk": "knn_per_label",
         "bucketed_fact_join": "local_supplier_volume",
     }
     for deferred, sibling in siblings.items():
