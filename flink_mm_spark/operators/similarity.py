@@ -313,6 +313,146 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN: product quantization + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+# PQ is the memory layer that makes billion-vector ANN feasible (Jégou et
+# al. 2011): the 64-dim float corpus (256 B/vector) is compressed to
+# PQ_S=8 one-byte codes by quantizing each 8-dim subspace against its own
+# codebook, and queries score candidates from an (S × K) lookup table
+# instead of touching the original floats. Exactness contract: every
+# distance is an explicit LEFT-ASSOCIATIVE 8-term float64 sum (numpy
+# accumulates in the same order the SQL parses), then immediately quantized
+# to integer micro-units via floor(d·1e6 + 0.5) — identical IEEE ops on
+# identical operands in both engines — so codes, LUT cells, and ADC sums
+# are all pure int64 math with (distance, centroid-id) tie-breaks.
+PQ_S = 8  # subspaces
+PQ_D = EMB_DIM // PQ_S  # dims per subspace
+PQ_K = 16  # centroids per subspace (demo-sized; 256 in production)
+PQ_TOPK = 20
+PQ_NCB = 16  # codebook rows: sub-vectors of vec_id 0..15 (deterministic)
+
+
+def _pq_sqdist_sql(a: str, b: str) -> str:
+    """The explicit 8-term left-assoc squared distance between subspace
+    slices of two DOUBLE[] columns, at 1-based offset cb.s*8+i."""
+    return " + ".join(
+        f"({a}[cb.s*{PQ_D}+{i}] - {b}[cb.s*{PQ_D}+{i}])"
+        f" * ({a}[cb.s*{PQ_D}+{i}] - {b}[cb.s*{PQ_D}+{i}])"
+        for i in range(1, PQ_D + 1)
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.s, c.vec_id AS c, c.emb
+      FROM v c CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s) s
+      WHERE c.vec_id < {PQ_NCB}
+    ),
+    q AS (SELECT emb FROM v WHERE vec_id = 0),
+    lut AS MATERIALIZED (
+      SELECT cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('q.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM cb, q
+    ),
+    enc AS (
+      SELECT v.vec_id, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('v.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM v CROSS JOIN cb
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d_int, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT co.vec_id,
+             string_agg(CAST(co.code AS VARCHAR), '_' ORDER BY co.s) AS pq_code,
+             CAST(SUM(l.d_int) AS BIGINT) AS est_micro
+      FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+      GROUP BY co.vec_id
+    )
+    SELECT vec_id, pq_code, est_micro
+    FROM adc ORDER BY est_micro, vec_id LIMIT {PQ_TOPK}
+    """
+
+
+@register("pq_adc_topk", oracle=_pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring, EXACTLY graded.
+
+    Pipeline (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search"): per-subspace codebooks (here the deterministic sub-vectors of
+    vec_id 0..15 — production trains them with the bounded-sample k-means
+    already used by ``ivf_topk``), every vector encoded to its per-subspace
+    argmin code, the query expanded once into an (S×K) integer LUT, and the
+    estimated distance of a vector = Σ_s lut[s, code_s] — int64 adds over
+    broadcast-size state. Top-20 by (est_micro, vec_id).
+
+    Scale shape: encoding is one mapInPandas scan (vectorized numpy against
+    a 128-row closure codebook — at 256 B → 8 B per vector this is the
+    compression pass a 100 TB corpus runs once and amortizes); search
+    touches only codes + the LUT, so the shuffle payload per candidate is
+    8 bytes of codes, and the final top-k is TakeOrderedAndProject (no
+    global sort). Composes with IVF (IVF-PQ): the coarse cell key of
+    ``ivf_topk`` partitions the corpus, PQ compresses within each cell.
+    Exactness: see the constants-block contract (left-assoc float64 sums,
+    immediate integer quantization, id tie-breaks) — the driver value-hash
+    grades codes, LUT, ADC sums, and ranking end-to-end.
+    """
+    e = embeddings64(spark, sf_dir)
+    cb_rows = (
+        e.filter(F.col("vec_id") < PQ_NCB).select("vec_id", "emb").orderBy("vec_id").collect()
+    )
+    # (K, 64) float64 codebook; subspace c-th centroid = cb[c, s*8:(s+1)*8]
+    cb = np.array([r["emb"] for r in cb_rows], dtype=np.float64)
+    q = cb[0]  # query = vec_id 0 (always a codebook row by construction)
+
+    def sqdist_int(x: np.ndarray, s: int, c: int) -> np.ndarray:
+        """floor(1e6 · Σ_i (x_si − cb_csi)² + 0.5) with LEFT-ASSOC float64
+        accumulation — bit-identical to the oracle's explicit 8-term sum."""
+        base = s * PQ_D
+        acc = (x[..., base] - cb[c, base]) ** 2
+        for i in range(1, PQ_D):
+            acc = acc + (x[..., base + i] - cb[c, base + i]) ** 2
+        return np.floor(acc * 1e6 + 0.5).astype(np.int64)
+
+    # (S, K) integer ADC lookup table for the query — driver-side, tiny
+    lut = np.array(
+        [[sqdist_int(q, s, c) for c in range(PQ_NCB)] for s in range(PQ_S)],
+        dtype=np.int64,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), PQ_S), dtype=np.int64)
+            est = np.zeros(len(x), dtype=np.int64)
+            for s in range(PQ_S):
+                d = np.stack([sqdist_int(x, s, c) for c in range(PQ_NCB)], axis=1)
+                codes[:, s] = np.argmin(d, axis=1)  # first min = smallest c
+                est += lut[s, codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "pq_code": ["_".join(map(str, row)) for row in codes],
+                    "est_micro": est,
+                }
+            )
+
+    encoded = e.select("vec_id", "emb").mapInPandas(
+        encode, "vec_id long, pq_code string, est_micro long"
+    )
+    return encoded.orderBy("est_micro", "vec_id").limit(PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # ANN: exactly-graded hyperplane-LSH twin
 # ---------------------------------------------------------------------------
 

@@ -117,3 +117,44 @@ def test_embedding_near_dup_lsh_recall_and_precision(spark):
     # fixed-seed measured value on sf0.001 sits near it. Floor well below
     # to stay robust to corpus regeneration.
     assert recall >= 0.4, f"recall {recall:.3f}"
+
+
+def test_pq_codebook_rows_encode_to_themselves(spark):
+    """Each codebook vector's nearest centroid in every subspace is itself
+    (distance 0), so vec_id c < 16 must encode to code c in all 8 subspaces
+    and vec 0 (the query) must score est_micro = 0 and rank first."""
+    from flink_mm_spark import registry
+
+    rows = registry.QUERIES["pq_adc_topk"].fn(spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[0]["est_micro"] == 0
+    assert by_id[0]["pq_code"] == "_".join(["0"] * 8)
+    assert rows[0]["vec_id"] == 0  # est 0 sorts first
+    for vid, r in by_id.items():
+        if vid < 16:
+            assert r["pq_code"] == "_".join([str(vid)] * 8), r
+
+
+def test_pq_adc_approximates_true_distance(spark):
+    """ADC estimates use quantized sub-vectors, so est_micro must correlate
+    with the true squared distance to the query: the PQ top-20 must overlap
+    the exact L2 top-20 far beyond chance."""
+    import numpy as np
+
+    from flink_mm_spark import registry
+
+    rows = embeddings64(spark, SF_DIR).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.vstack([r["emb"] for r in rows])
+    q = m[ids.tolist().index(0)]
+    d2 = ((m - q) ** 2).sum(1)
+    exact_top = set(ids[np.argsort(d2, kind="stable")[:20]].tolist())
+    pq_top = {
+        r["vec_id"] for r in registry.QUERIES["pq_adc_topk"].fn(spark, SF_DIR).collect()
+    }
+    overlap = len(pq_top & exact_top) / 20
+    # Chance overlap is 20/n = 4%. On this corpus (random near-orthogonal
+    # embeddings — the documented ANN worst case, see CLAUDE.md) quantization
+    # error is near the distance spread, so the measured overlap (~35% at the
+    # fixed seed) is already ~9x chance; floor well below it.
+    assert overlap >= 0.2, f"overlap {overlap:.2f}"
