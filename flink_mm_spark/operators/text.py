@@ -402,3 +402,121 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lin, 6).alias("score"),
         F.when(lin > 0.0, 1).otherwise(0).cast("int").alias("keep_flag"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (the classic lexical ranker)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["scan", "join", "window"]  # fixed query, present at every SF
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, t, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+      WHERE t IN ({terms}) GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT t, ln((g.n_docs - CAST(COUNT(*) AS DOUBLE) + 0.5)
+                   / (CAST(COUNT(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+      FROM tf, g GROUP BY t, g.n_docs
+    ),
+    scored AS (
+      -- k1/b literals are CAST to DOUBLE so DuckDB folds them with the
+      -- same IEEE ops Python used for the Spark lit()s (a bare 1.2 parses
+      -- as DECIMAL and folds differently at the last ulp)
+      SELECT tf.doc_id,
+             idf.idf * ((CAST(tf.tf AS DOUBLE) * (CAST({BM25_K1} AS DOUBLE) + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + CAST({BM25_K1} AS DOUBLE) * ((1.0 - CAST({BM25_B} AS DOUBLE))
+                                 + CAST({BM25_B} AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / g.avgdl)))) AS ts
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN idf ON idf.t = tf.t, g
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ts AS DECIMAL(18,8))) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@register("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query (Robertson/Sparck Jones) —
+    the lexical retrieval ranker of the text-analysis family.
+
+    Plan shape (the inverted-index aggregation BM25 takes at scale): one
+    explode keeps ONLY query-term postings (a |terms|-way IN filter before
+    the shuffle, so the exchanged rows are the postings of 3 terms, not the
+    corpus); df/idf is a |terms|-row aggregate and the corpus stats (N,
+    avgdl) a 1-row aggregate, both broadcast back onto the posting stream;
+    the per-doc sum is decimal-cast (order-independent) and the final
+    ranking is TakeOrderedAndProject. Float parity follows the
+    ``unigram_logprob`` pattern: one ln per TERM (3 values — not per row),
+    all other arithmetic identical-ordered IEEE ops, 6-decimal round before
+    the (score DESC, doc_id) tie-broken top-k.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr().alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "t",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    ts = F.col("idf") * (
+        (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", ts.alias("ts"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("ts").cast("decimal(18,8)")).cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

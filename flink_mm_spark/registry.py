@@ -156,6 +156,7 @@ DEFER: list[str] = [
     "stratified_sample",  # hash-keyed selection: dedup_exact stays graded
     "rolling_fingerprints",  # Rabin-Karp/winnowing twin: doc_fingerprints keeps the family graded (slot freed for knn_per_label)
     "vocab_top_terms",  # vocabulary rollup: token_counts keeps text analysis graded
+    "bm25_topk",  # lexical retrieval ranker: token_counts keeps text analysis graded
     "jaccard_shingle_pairs",  # n-gram twin: jaccard_prefix_filtered keeps the family graded
     "quality_logit_score",  # linear quality model: text_quality_by_lang keeps the family graded
     # approximate / iterative rows-only entries (no_oracle either way)
@@ -167,6 +168,7 @@ DEFER: list[str] = [
     "simhash_near_dup",
     "ann_lsh_topk",
     "ivf_topk",
+    "ivf_pq_topk",
     "embedding_near_dup_lsh",
     "semantic_dedup_kmeans",  # trained-centroid production twin of semantic_dedup
 ]

@@ -328,3 +328,39 @@ def test_repetition_signals_single_scan(spark):
     per-k unionAll shape scans it three times)."""
     plan = _plan(spark, "repetition_signals")
     assert plan.count("FileScan parquet") == 1, plan[:1500]
+
+
+def test_bm25_filters_postings_before_exchange(spark):
+    """BM25's explode keeps only query-term postings: the IN filter must sit
+    BELOW the tf aggregate's exchange (corpus never shuffles), idf/corpus
+    stats must come back as broadcasts, and the final ranking must be a
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # The posting filter must be the DIRECT parent of the explode (tree
+    # prints parents first): the token stream is filtered to query-term
+    # postings before any aggregate/exchange sees it.
+    lines = plan.splitlines()
+    filt_rows = [i for i, l in enumerate(lines) if "Filter t#" in l and " IN (scan,join,window)" in l]
+    assert filt_rows, plan[:2000]
+    for i in filt_rows:
+        assert "Generate explode" in lines[i + 1], lines[i : i + 2]
+
+
+def test_hll_twin_is_two_hash_aggregates_no_python(spark):
+    """The HLL twin must plan like the built-in sketch: hash aggregates over
+    (event_type, register) then event_type — all JVM, no Python stage."""
+    plan = _plan(spark, "hll_distinct_exact")
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "Exchange hashpartitioning(event_type" in plan
+
+
+def test_pq_adc_topk_is_one_scan_no_shuffle(spark):
+    """PQ encode+score is one mapInPandas scan; the only wide operator is
+    the TakeOrderedAndProject that merges per-partition top-k."""
+    plan = _plan(spark, "pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("MapInPandas") == 1

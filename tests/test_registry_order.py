@@ -83,6 +83,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "benchmark_contamination": "jaccard_prefix_filtered",
         "stratified_sample": "dedup_exact",
         "vocab_top_terms": "token_counts",
+        "bm25_topk": "token_counts",
         "jaccard_shingle_pairs": "jaccard_prefix_filtered",
         "quality_logit_score": "unigram_logprob",
         "event_type_pivot": "rollup_sales",

@@ -158,3 +158,28 @@ def test_pq_adc_approximates_true_distance(spark):
     # error is near the distance spread, so the measured overlap (~35% at the
     # fixed seed) is already ~9x chance; floor well below it.
     assert overlap >= 0.2, f"overlap {overlap:.2f}"
+
+
+def test_ivf_pq_ranking_tracks_exact_distance(spark):
+    """IVF-PQ scores candidates from residual-PQ lookup tables; within the
+    probed cells its top-20 must overlap the exact normalized-L2 top-20 of
+    those same cells well above chance (quantization noise is high on this
+    random corpus, but the trained residual codebooks must retain signal)."""
+    import numpy as np
+
+    from flink_mm_spark import registry
+
+    got = registry.QUERIES["ivf_pq_topk"].fn(spark, SF_DIR).collect()
+    assert len(got) == 20
+    assert all(r["est_dist"] >= 0.0 for r in got)
+    assert got[0]["vec_id"] == 0  # the query's own estimate is minimal
+
+    rows = embeddings64(spark, SF_DIR).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.vstack([r["emb"] for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = m[ids.tolist().index(0)]
+    d2 = ((m - q) ** 2).sum(1)
+    exact_top = set(ids[np.argsort(d2, kind="stable")[:20]].tolist())
+    overlap = len({r["vec_id"] for r in got} & exact_top) / 20
+    assert overlap >= 0.15, f"overlap {overlap:.2f}"
