@@ -1,0 +1,170 @@
+"""Shuffle/IO byte audit: the load-independent half of the scale evidence.
+
+Wall-clock on this box swings ~2x with neighbor load (BASELINE.md), but the
+BYTES a plan shuffles and scans are a pure function of the plan — so this
+harness measures those via the Spark status REST API (/api/v1) and reports,
+per audited query at $SPARK_GRAFT_SF_DIR (default sf0.1):
+
+- shuffle_mb: bytes written to shuffles (the 100 TB network cost). This is
+  the ShuffleWriteMetrics sum over the query's stages — execution-layer
+  accounting, exact regardless of machine load.
+
+The REST "inputBytes" metric is deliberately NOT reported: it mixes
+filesystem reads with block-manager hits (persisted/checkpointed blocks
+re-read inside iterative queries dominate it), so it cannot evidence scan
+pruning. Pruning/pushdown evidence lives in tests/test_plans.py (ReadSchema
+/ PushedFilters assertions), which pin the plan rather than a metric.
+
+Narrative pairs the numbers exist to prove:
+- bucketed_fact_join vs the inline fact_join_shuffle_baseline (same join
+  over the source parquet, broadcast disabled) — the at-rest bucketed
+  layout eliminates the fact⋈fact exchange entirely.
+- embedding_near_dup vs embedding_near_dup_lsh — the LSH tier shuffles
+  id+bucket rows, not the vector corpus (on the 500-row local embeddings
+  table the exact tier is small; the ratio of interest is bytes per
+  candidate pair).
+- jaccard_token_pairs vs jaccard_prefix_filtered — prefix filtering halves
+  shuffled bytes even on this corpus's worst-case 31-token vocabulary
+  (where candidate-count pruning is impossible — see SCALE.md).
+
+Usage: python scripts/shuffle_audit.py
+Prints one JSON line per query plus a markdown table on stderr for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_mm_spark import registry
+from flink_mm_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+AUDITED = [
+    # relational core
+    "pricing_summary",
+    "local_supplier_volume",
+    "shuffle_fact_join",
+    "bucketed_fact_join",
+    # dedup family
+    "dedup_exact",
+    "jaccard_token_pairs",
+    "jaccard_prefix_filtered",
+    "minhash_lsh_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "dedup_components",
+    # curation / prep
+    "repetition_signals",
+    "unigram_logprob",
+    "pack_sequences",
+    "benchmark_contamination",
+    # text / retrieval
+    "bm25_topk",
+    # sketches / ANN
+    "hll_distinct_exact",
+    "pq_adc_topk",
+    "ann_lsh_topk",
+]
+
+
+def _api(base: str, app_id: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/{path}") as r:
+        return json.load(r)
+
+
+def stage_totals(base: str, app_id: str, after_stage: int) -> dict[str, int]:
+    """Sum IO metrics over all stages with stageId > after_stage."""
+    totals = {"inputBytes": 0, "shuffleWriteBytes": 0, "shuffleReadBytes": 0}
+    max_id = after_stage
+    for st in _api(base, app_id, "stages?status=complete"):
+        sid = st["stageId"]
+        max_id = max(max_id, sid)
+        if sid <= after_stage:
+            continue
+        for k in totals:
+            totals[k] += int(st.get(k, 0))
+    totals["maxStageId"] = max_id
+    return totals
+
+
+def main() -> None:
+    # engine defaults disable the UI; the audit needs the status API
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    if not base:
+        raise SystemExit("Spark UI disabled; the audit needs the status API")
+
+    # Python-worker warmup (same reason as bench.py): a trivial pandas-UDF
+    # stage so interpreter spawn cost doesn't attach to the first audited
+    # query's stages (it doesn't affect bytes, but keeps runtimes sane).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    spark.range(64, numPartitions=32).select(
+        F.pandas_udf(lambda s: s + 1, "long")("id")
+    ).write.format("noop").mode("overwrite").save()
+
+    rows_out = []
+    watermark = stage_totals(base, app_id, -1)["maxStageId"]
+    for name in AUDITED:
+        spec = registry.QUERIES.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, SF_DIR)
+        # ONE execution per query (noop write = the production shape, full
+        # plan, no collect) so the stage window holds exactly this query's
+        # stages; a separate count() would double-count every byte.
+        df.write.mode("overwrite").format("noop").save()
+        t = stage_totals(base, app_id, watermark)
+        watermark = t["maxStageId"]
+        rec = {"query": name, "shuffle_mb": round(t["shuffleWriteBytes"] / 1e6, 2)}
+        rows_out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # Inline baseline: the same fact⋈fact join bucketed_fact_join runs, but
+    # over the source parquet with broadcast disabled — the exchange the
+    # at-rest bucketed layout removes.
+    from pyspark.sql import functions as F  # noqa: F811
+    from flink_mm_spark.sources.tables import table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+        lineitem = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    t = stage_totals(base, app_id, watermark)
+    rec = {
+        "query": "fact_join_shuffle_baseline",
+        "shuffle_mb": round(t["shuffleWriteBytes"] / 1e6, 2),
+    }
+    rows_out.append(rec)
+    print(json.dumps(rec), flush=True)
+
+    print("\n| query | shuffle MB |", file=sys.stderr)
+    print("|---|---|", file=sys.stderr)
+    for r in rows_out:
+        print(f"| {r['query']} | {r['shuffle_mb']} |", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
