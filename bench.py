@@ -53,6 +53,9 @@ HEADLINE = [
     "pack_sequences",           # two-pass distributed prefix-sum packing
     "repetition_signals",       # r3 curation: explode + double hash agg (pure JVM)
     "semantic_dedup",           # r3 curation: assign + cluster-keyed block-pair GEMM
+    "bm25_topk",                # r3: posting-filtered BM25 retrieval ranking
+    "hll_distinct_exact",       # r3: portable HLL sketch (2-level hash agg)
+    "pq_adc_topk",              # r3: PQ encode + ADC scan (one mapInPandas pass)
 ]
 
 
