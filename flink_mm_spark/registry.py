@@ -120,7 +120,10 @@ DEFER: list[str] = [
     "bpe_encode",  # tokenizer apply: bpe_merges grades the family's exact merge replay
     "curation_funnel",  # composition of graded curation stages (oracle embeds their SQL)
     "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
+    "events_dedup_streamed",  # real streamed dropDuplicatesWithinWatermark under duplicate pressure
+    "click_purchase_streamed",  # real streamed stream-stream interval join (asof_click_purchase graded in-window)
     "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
+    "histogram_quantiles",  # mergeable histogram sketch + rank-exact audit twin in one row
     "minhash_lsh_exact",  # SQL-replayable-hash MinHash twin (upgrades sketch dedup to oracle-graded)
     "simhash_exact",  # SQL-replayable-hash SimHash twin (integer bit votes, exact oracle)
     "ann_lsh_exact",  # portable ±1-hyperplane ANN twin (full pipeline SQL-replayed)

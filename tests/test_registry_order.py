@@ -102,7 +102,10 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "bpe_encode": "bpe_merges",
         "curation_funnel": "unigram_logprob",
         "events_enriched_streamed": "events_hourly_streamed",
+        "events_dedup_streamed": "events_hourly_streamed",
+        "click_purchase_streamed": "asof_click_purchase",
         "hll_distinct_exact": "dedup_exact",
+        "histogram_quantiles": "top_customers_per_nation",
         "minhash_lsh_exact": "jaccard_prefix_filtered",
         "simhash_exact": "jaccard_prefix_filtered",
         "ann_lsh_exact": "knn_per_label",
