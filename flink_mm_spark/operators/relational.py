@@ -1165,3 +1165,225 @@ def order_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unpivot(
         "o_orderkey", ["total_price", "cust_key"], "metric", "v"
     ).orderBy("o_orderkey", "metric")
+
+
+# --- mergeable histogram sketch + quantile estimation -----------------------
+
+HIST_WIDTH = 2048.0  # 64 buckets cover l_extendedprice's [900, 105000] range
+HIST_BUCKETS = 64
+_HIST_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+def _hist_oracle() -> str:
+    qvals = ", ".join(f"('{l}', CAST({q} AS DOUBLE))" for l, q in _HIST_QS)
+    return f"""
+    WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(v / {HIST_WIDTH}) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket,
+             COUNT(*) AS cnt
+      FROM p GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             COALESCE(SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM b
+    ),
+    q AS (SELECT * FROM (VALUES {qvals}) t(label, q)),
+    t AS (SELECT q.label, CAST(CEIL(q.q * CAST(n.n AS DOUBLE)) AS BIGINT) AS target FROM q, n),
+    hit AS (
+      SELECT t.label, t.target, c.bucket, c.cnt, c.cum_prev
+      FROM t JOIN c ON c.cum >= t.target AND c.cum_prev < t.target
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM p),
+    ex AS (SELECT t.label, r.v AS exact FROM t JOIN r ON r.rn = t.target)
+    SELECT h.label,
+           h.target AS target_rank,
+           CAST(h.bucket AS INTEGER) AS bucket,
+           ROUND(CAST(h.bucket AS DOUBLE) * {HIST_WIDTH}
+                 + {HIST_WIDTH} * ((CAST(h.target AS DOUBLE) - CAST(h.cum_prev AS DOUBLE))
+                                   / CAST(h.cnt AS DOUBLE)), 6) AS est,
+           ROUND(ex.exact, 6) AS exact
+    FROM hit h JOIN ex ON ex.label = h.label
+    ORDER BY h.label
+    """
+
+
+@register("histogram_quantiles", oracle=_hist_oracle())
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch with quantile estimation,
+    exactly graded next to the exact rank answer.
+
+    The sketch is the 100 TB shape for percentile monitoring: ONE scan with
+    map-side partial counts into {HIST_BUCKETS} fixed buckets (bounded,
+    mergeable state — the same contract as t-digest/KLL but exactly
+    replayable), a 64-row cumulative pass, and linear interpolation inside
+    the boundary bucket. The ``exact`` column is the true rank-target value
+    via a global ROW_NUMBER — deliberately the anti-pattern the sketch
+    replaces (a single-partition sort), kept here as the audit twin so the
+    driver grades BOTH the sketch mechanics and its error against truth.
+    All estimate arithmetic is identically-ordered IEEE doubles over
+    integer counts; the exact value is a data value picked by integer rank
+    (tie-order-independent), so every column hash-matches DuckDB.
+    """
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = li.select(F.col("l_extendedprice").cast("double").alias("v"))
+    nrow = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = (
+        p.select(
+            F.least(
+                F.floor(F.col("v") / F.lit(HIST_WIDTH)).cast("long"),
+                F.lit(HIST_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket")
+    c = b.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame(_HIST_QS, "label string, q double")
+    t = qs.crossJoin(F.broadcast(nrow)).select(
+        "label", F.ceil(F.col("q") * F.col("n").cast("double")).cast("long").alias("target")
+    )
+    hit = t.join(
+        F.broadcast(c),
+        (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target")),
+    )
+    r = p.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    ex = r.join(F.broadcast(t), F.col("rn") == F.col("target")).select(
+        "label", F.round("v", 6).alias("exact")
+    )
+    est = (F.col("bucket").cast("double") * F.lit(HIST_WIDTH)) + F.lit(HIST_WIDTH) * (
+        (F.col("target").cast("double") - F.col("cum_prev").cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        hit.select(
+            "label",
+            F.col("target").alias("target_rank"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(est, 6).alias("est"),
+        )
+        .join(ex, "label")
+        .orderBy("label")
+    )
+
+
+@register(
+    "user_funnel_full_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (SELECT user_id, COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END AS funnel_state
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY 1
+    """,
+)
+def user_funnel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-user click vs purchase funnel reconciliation —
+    completes the engine's join-type surface (inner/broadcast/semi/anti/
+    left/as-of/interval/full-outer all graded or deferred-graded).
+
+    Shape note: full outer cannot broadcast either side (both sides'
+    unmatched rows must survive), so Spark plans a shuffle sort-merge join
+    on the key — correct and AQE-skew-splittable at any scale; the inputs
+    here are already user_id-keyed aggregates, so the join carries one row
+    per user per side.
+    """
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = c.join(p, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.when(F.col("n_clicks").isNull(), "purchase_only")
+        .when(F.col("n_purchases").isNull(), "click_only")
+        .otherwise("both")
+        .alias("funnel_state"),
+    ).orderBy("user_id")
+
+
+@register(
+    "events_minutely_gapfill",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM m),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM r
+    )
+    SELECT epoch_us(g.minute) AS minute_us,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
+           COALESCE(m.sum_value, 0.0) AS sum_value,
+           CAST(CASE WHEN m.minute IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM grid g LEFT JOIN m ON m.minute = g.minute
+    ORDER BY 1
+    """,
+)
+def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-minute rollup LEFT-joined onto a
+    generated minute grid (``sequence`` + explode), zero-filling silent
+    minutes — the resample/gap-fill primitive monitoring pipelines need
+    (an aggregation alone cannot SHOW a silent minute).
+
+    Scale shape: the rollup is one partial+final aggregate; the grid is
+    generated (minutes-between-min-and-max rows — bounded by calendar
+    time, not corpus size: a YEAR is 526k rows) and the grid⋈rollup join
+    is an equi-join on the minute key that AQE broadcasts while the grid
+    is small. Timestamps are graded as epoch-microsecond integers
+    (CLAUDE.md timestamp rule).
+    """
+    e = table(spark, sf_dir, "events")
+    m = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    grid = (
+        m.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    j = grid.join(m, "minute", "left")
+    return j.select(
+        F.unix_micros("minute").alias("minute_us"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    ).orderBy("minute_us")

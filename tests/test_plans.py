@@ -364,3 +364,31 @@ def test_pq_adc_topk_is_one_scan_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_histogram_sketch_aggregates_before_window(spark):
+    """The histogram sketch must be a partial+final hash aggregate into 64
+    bucket rows (map-side combine — the mergeable-sketch contract); the
+    cumulative window then runs on the tiny aggregated side only."""
+    plan = _plan(spark, "histogram_quantiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+    # bucket arithmetic is a JVM expression at the scan side
+    assert "FLOOR" in plan.upper()
+
+
+def test_full_outer_join_is_shuffle_merge(spark):
+    """Full outer cannot broadcast either side: the plan must be a
+    SortMergeJoin FullOuter over user_id-keyed aggregates."""
+    plan = _plan(spark, "user_funnel_full_outer")
+    assert "FullOuter" in plan, plan[:1500]
+    assert "SortMergeJoin" in plan
+
+
+def test_gapfill_grid_is_generated_not_scanned(spark):
+    """The minute grid comes from sequence+explode over a 1-row bound
+    aggregate — generated, not a second corpus scan — and joins back to
+    the rollup as an equi-join."""
+    plan = _plan(spark, "events_minutely_gapfill")
+    assert "Generate explode(sequence" in plan
+    assert "Python" not in plan
