@@ -277,3 +277,69 @@ def test_incremental_mds_id_assignment(spark):
     assert sorted(rows) == [7, 8, 9, 10, 11]
     # vec_id order: 3, 8, 17, 42, 99 -> ids 7..11
     assert [rows[i] for i in range(7, 12)] == [3.0, 8.0, 17.0, 42.0, 99.0]
+
+
+def test_checkpoint_recovery_exactly_once(spark, batch_events, tmp_path):
+    """Offset recovery across a query RESTART: stop a file-source stream
+    mid-ingest, start a new query on the same checkpoint, and require
+    (a) the union of progress numInputRows across both lives == the corpus
+    exactly once, and (b) the final complete-mode state == the batch
+    aggregate — the exactly-once contract checkpoints exist to provide."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events_split")
+    batch_events.repartition(16).write.mode("overwrite").parquet(src)
+    total_rows = batch_events.count()
+    ckpt = str(tmp_path / "ckpt")
+
+    def agg_of(stream):
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+
+    # life 1: one file per trigger; stop after the first completed batch
+    s1 = events_stream(spark, src, max_files_per_trigger=1)
+    q1 = (
+        agg_of(s1)
+        .writeStream.format("memory")
+        .queryName("ckpt_life1")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while not q1.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    rows1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert 0 < rows1 < total_rows  # genuinely stopped mid-ingest
+
+    # life 2: SAME checkpoint, availableNow drains the remainder
+    s2 = events_stream(spark, src)
+    q2 = (
+        agg_of(s2)
+        .writeStream.format("memory")
+        .queryName("ckpt_life2")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    # exactly-once across the restart: no file replayed, none skipped
+    assert rows1 + rows2 == total_rows, (rows1, rows2, total_rows)
+
+    got = {
+        (r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ckpt_life2").collect()
+    }
+    want = {
+        (r["event_type"], r["n"], r["sum_value"])
+        for r in agg_of(batch_events).collect()
+    }
+    assert got == want
