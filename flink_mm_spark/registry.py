@@ -112,6 +112,7 @@ PROMOTE: list[str] = [
 DEFER: list[str] = [
     # oracle-bearing twins of queries that stay graded
     "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
+    "binmatrix_source_scan",  # spark.read.format("binmatrix") connector twin of binary_f64_scan
     "event_followups_range_join",  # interval-join twin: asof_click_purchase stays graded (slot freed for repetition_signals)
     "cosine_topk",  # knn_per_label grades the cogrouped cosine top-k kernel (slot freed for unigram_logprob)
     "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation keep §2.5 graded (slot freed for dsir_importance)
@@ -121,6 +122,7 @@ DEFER: list[str] = [
     "curation_funnel",  # composition of graded curation stages (oracle embeds their SQL)
     "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
     "events_dedup_streamed",  # real streamed dropDuplicatesWithinWatermark under duplicate pressure
+    "events_sliding_streamed",  # real streamed sliding window (tumbling+session graded in-window)
     "click_purchase_streamed",  # real streamed stream-stream interval join (asof_click_purchase graded in-window)
     "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
     "histogram_quantiles",  # mergeable histogram sketch + rank-exact audit twin in one row
@@ -199,6 +201,7 @@ def load_all() -> None:
     import flink_mm_spark.operators.llm_prep  # noqa: F401
     import flink_mm_spark.operators.curation  # noqa: F401
     import flink_mm_spark.sources.binary_matrix  # noqa: F401
+    import flink_mm_spark.sources.datasource  # noqa: F401
     import flink_mm_spark.sources.text_points  # noqa: F401
     import flink_mm_spark.operators.udf_surface  # noqa: F401
     import flink_mm_spark.linalg.queries  # noqa: F401

@@ -83,3 +83,76 @@ def test_truncated_file_raises(spark, tmp_path):
     blocks = read_matrix_blocks(spark, path, 10, 4, "float64", "big", n_blocks=2)
     with pytest.raises(Exception, match="truncated|expected"):
         blocks_to_numpy(blocks)
+
+
+def test_binmatrix_datasource_i16_nulls_and_reregistration(spark):
+    """The connector's int16 path must emit explicit NULLs for negative
+    (missing) shorts and dequantize the rest; registration is idempotent."""
+    import numpy as np
+
+    from flink_mm_spark.sources.binary_matrix import ensure_fixture, formula_i16
+    from flink_mm_spark.sources.datasource import register_binmatrix
+
+    register_binmatrix(spark)
+    register_binmatrix(spark)  # re-register must not raise
+    path = ensure_fixture(500, 96, "int16", "little")
+    df = (
+        spark.read.format("binmatrix")
+        .option("rows", 500)
+        .option("cols", 96)
+        .option("cell", "int16")
+        .option("byteorder", "little")
+        .option("blocks", 8)
+        .load(path)
+    )
+    rows = df.orderBy("block_id").collect()
+    assert [r["block_id"] for r in rows] == list(range(8))
+    want = formula_i16(500, 96)
+    got0 = rows[0]["data"]
+    blk_rows = rows[0]["block_rows"]
+    w0 = want[:blk_rows].ravel()
+    assert len(got0) == blk_rows * 96
+    for g, w in zip(got0[:500], w0[:500]):
+        if w < 0:
+            assert g is None
+        else:
+            assert abs(g - w / 32767.0) < 1e-12
+
+
+def test_binmatrix_pushdown_prunes_partitions(spark):
+    """block_id predicates must prune InputPartitions (bytes of pruned
+    blocks are never read) and still return exactly the right rows."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from flink_mm_spark.sources.binary_matrix import ensure_fixture
+    from flink_mm_spark.sources.datasource import BinMatrixReader, register_binmatrix
+
+    # unit level: the reader consumes block_id filters and prunes
+    opts = {"path": "/dev/null", "rows": "500", "cols": "96", "blocks": "16"}
+    r = BinMatrixReader(opts)
+    leftover = list(r.pushFilters([EqualTo(("block_id",), 3)]))
+    assert leftover == []  # fully consumed
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].block_id == 3
+
+    r2 = BinMatrixReader(opts)
+    assert list(r2.pushFilters([GreaterThan(("block_id",), 13)])) == []
+    assert [p.block_id for p in r2.partitions()] == [14, 15]
+
+    # end to end: filtered read equals the unfiltered read's subset
+    register_binmatrix(spark)
+    path = ensure_fixture(500, 96, "float64", "big")
+    reader = (
+        spark.read.format("binmatrix")
+        .option("rows", 500)
+        .option("cols", 96)
+        .option("cell", "float64")
+        .option("byteorder", "big")
+        .option("blocks", 16)
+    )
+    full = {r["block_id"]: r["start"] for r in reader.load(path).collect()}
+    got = reader.load(path).filter("block_id >= 6 AND block_id < 9").collect()
+    assert sorted(r["block_id"] for r in got) == [7, 8] if False else True
+    assert {r["block_id"] for r in got} == {6, 7, 8}
+    for r in got:
+        assert r["start"] == full[r["block_id"]]

@@ -58,6 +58,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     graded = set(window())
     siblings = {
         "jaccard_token_pairs": "jaccard_prefix_filtered",
+        "binmatrix_source_scan": "binary_f64_scan",
         "orders_by_priority": "pricing_summary",
         "top_orders_by_price": "top_customers_per_nation",
         "order_price_unpivot": "rollup_sales",
@@ -103,6 +104,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "curation_funnel": "unigram_logprob",
         "events_enriched_streamed": "events_hourly_streamed",
         "events_dedup_streamed": "events_hourly_streamed",
+        "events_sliding_streamed": "events_hourly_streamed",
         "click_purchase_streamed": "asof_click_purchase",
         "hll_distinct_exact": "dedup_exact",
         "histogram_quantiles": "top_customers_per_nation",
