@@ -694,3 +694,54 @@ def click_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "events_sliding_streamed",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start, value
+      FROM events, (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT epoch_us(window_start) AS start_us,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (2h window / 1h slide) aggregation as a real Structured
+    Streaming execution — completes the streamed-window grading set
+    (tumbling = ``events_hourly_streamed``, session =
+    ``user_sessions_streamed``).
+
+    Each event lands in exactly two epoch-aligned windows; the oracle
+    replays that as an explicit 2-row expansion (window_start ∈
+    {floor_hour(ts), floor_hour(ts) − 1h}). Complete output mode + the
+    decimal-cast sum make the streamed state independent of micro-batch
+    splits and row order, and windows compare as epoch-microsecond
+    integers.
+    """
+    import tempfile
+    import uuid
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("start_us"), "n", "sum_value")
+    )
+    name = f"events_sliding_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="esl_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("start_us")
