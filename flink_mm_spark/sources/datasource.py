@@ -143,6 +143,9 @@ class BinMatrixDataSource(DataSource):
     def reader(self, schema) -> BinMatrixReader:
         return BinMatrixReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return BinMatrixWriter(self.options, overwrite)
+
 
 def register_binmatrix(spark: SparkSession) -> None:
     """Register the connector on this session (idempotent)."""
@@ -194,6 +197,143 @@ def binmatrix_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         blocks_to_cells(blocks)
+        .groupBy("row_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("row_id")
+    )
+
+
+# --- distributed sink: df.write.format("binmatrix") ------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _BlocksWritten(WriterCommitMessage):
+    def __init__(self, blocks: list):
+        self.blocks = blocks  # [(block_id, start, block_rows)]
+
+
+class BinMatrixWriter(DataSourceWriter):
+    """Distributed writer for the headerless binary matrix format: the
+    driver preallocates the file to its exact size, then every task
+    ``pwrite``s its blocks' bytes at ``start·cols·itemsize`` — disjoint
+    ranges, no coordinator, idempotent under task retries (same bytes at
+    the same offsets). ``commit`` verifies full row coverage and fails the
+    job on gaps/overlaps (S10 sink parity for the matrix format —
+    mm/MatrixFileGenerator.java writes these files single-threaded on the
+    reference; on object storage the same shape maps to multipart-upload
+    parts). int16 cells re-quantize by 32767 with NULL → −1 (missing),
+    the inverse of the reader's dequantization."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binmatrix: .save(path) is required")
+        if not overwrite:
+            raise ValueError("binmatrix sink supports mode('overwrite') only")
+        self.rows = int(options["rows"])
+        self.cols = int(options["cols"])
+        self.cell = options.get("cell", "float64")
+        self.byteorder = options.get("byteorder", "big")
+        from flink_mm_spark.sources.binary_matrix import _np_dtype
+
+        itemsize = _np_dtype(self.cell, self.byteorder).itemsize
+        # driver-side preallocation: tasks only ever pwrite inside this range
+        with open(self.path, "wb") as f:
+            f.truncate(self.rows * self.cols * itemsize)
+
+    def write(self, iterator):
+        import os
+
+        import numpy as np
+
+        from flink_mm_spark.sources.binary_matrix import _np_dtype
+
+        dt = _np_dtype(self.cell, self.byteorder)
+        done = []
+        fd = os.open(self.path, os.O_WRONLY)
+        try:
+            for row in iterator:
+                vals = row["data"]
+                if self.cell == "int16":
+                    arr = np.array(
+                        [-1 if v is None else round(v * 32767.0) for v in vals],
+                        dtype=np.int16,
+                    )
+                else:
+                    arr = np.asarray(vals, dtype=np.float64)
+                if arr.size != row["block_rows"] * self.cols:
+                    raise ValueError(
+                        f"block {row['block_id']}: {arr.size} cells != "
+                        f"{row['block_rows']}x{self.cols}"
+                    )
+                os.pwrite(fd, arr.astype(dt).tobytes(), row["start"] * self.cols * dt.itemsize)
+                done.append((int(row["block_id"]), int(row["start"]), int(row["block_rows"])))
+        finally:
+            os.close(fd)
+        return _BlocksWritten(done)
+
+    def commit(self, messages):
+        spans = sorted((s, s + n) for m in messages for (_, s, n) in m.blocks)
+        covered = 0
+        for lo, hi in spans:
+            if lo != covered:
+                raise ValueError(
+                    f"binmatrix sink: row coverage gap/overlap at {covered} (next block at {lo})"
+                )
+            covered = hi
+        if covered != self.rows:
+            raise ValueError(f"binmatrix sink: wrote {covered} rows, expected {self.rows}")
+
+    def abort(self, messages):
+        pass
+
+
+@register(
+    "binmatrix_sink_roundtrip",
+    oracle=f"""
+    SELECT CAST(k // {_C} AS BIGINT) AS row_id,
+           CAST(SUM((k * 1) % 997) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
+    GROUP BY 1 ORDER BY row_id
+    """,
+)
+def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector WRITE → READ round-trip, graded: the fixture matrix is
+    read through the connector, written back through the DISTRIBUTED sink
+    (per-task ``pwrite`` at block offsets, coverage-verified commit), and
+    re-read for the same integer rollup oracle — so byte layout survives a
+    full distributed write/read cycle or the hash breaks. This is the S10
+    matrix-file sink the reference writes single-threaded
+    (mm/MatrixFileGenerator.java), here scaling with executors.
+    """
+    import os
+
+    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
+    from flink_mm_spark.sources.binary_matrix import FIXTURE_DIR
+
+    src = ensure_fixture(_R, _C, "float64", "big")
+    register_binmatrix(spark)
+
+    def conn(reader_or_writer):
+        return (
+            reader_or_writer.option("rows", _R)
+            .option("cols", _C)
+            .option("cell", "float64")
+            .option("byteorder", "big")
+        )
+
+    blocks = conn(spark.read.format("binmatrix").option("blocks", 16)).load(src)
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    dst = f"{FIXTURE_DIR}/roundtrip_{_R}x{_C}.f64.big.bin"
+    conn(blocks.write.format("binmatrix").mode("overwrite")).save(dst)
+    reread = conn(spark.read.format("binmatrix").option("blocks", 8)).load(dst)
+    return (
+        blocks_to_cells(reread)
         .groupBy("row_id")
         .agg(
             F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),

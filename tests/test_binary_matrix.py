@@ -156,3 +156,50 @@ def test_binmatrix_pushdown_prunes_partitions(spark):
     assert {r["block_id"] for r in got} == {6, 7, 8}
     for r in got:
         assert r["start"] == full[r["block_id"]]
+
+
+def test_binmatrix_sink_i16_roundtrip_with_missing(spark, tmp_path):
+    """Distributed sink: int16 blocks with NULL (missing) cells must write
+    negative shorts and re-read as NULLs; valid cells round-trip through
+    quantization bit-exactly."""
+    from flink_mm_spark.sources.binary_matrix import ensure_fixture, formula_i16
+    from flink_mm_spark.sources.datasource import register_binmatrix
+
+    register_binmatrix(spark)
+    src = ensure_fixture(500, 96, "int16", "little")
+    dst = str(tmp_path / "rt.i16.bin")
+
+    def conn(x, **extra):
+        x = x.option("rows", 500).option("cols", 96).option("cell", "int16").option(
+            "byteorder", "little"
+        )
+        for k, v in extra.items():
+            x = x.option(k, v)
+        return x
+
+    blocks = conn(spark.read.format("binmatrix"), blocks=16).load(src)
+    conn(blocks.write.format("binmatrix").mode("overwrite")).save(dst)
+
+    want = formula_i16(500, 96).ravel()
+    got = np.fromfile(dst, dtype="<i2")
+    assert got.size == want.size
+    # negative (missing) cells may write any negative marker; we use -1
+    assert (got[want < 0] == -1).all()
+    np.testing.assert_array_equal(got[want >= 0], want[want >= 0].astype(np.int16))
+
+
+def test_binmatrix_sink_rejects_append_and_bad_shape(spark, tmp_path):
+    from flink_mm_spark.sources.datasource import BinMatrixWriter
+
+    with pytest.raises(Exception, match="overwrite"):
+        BinMatrixWriter(
+            {"path": str(tmp_path / "x.bin"), "rows": "4", "cols": "2"}, overwrite=False
+        )
+    # commit must reject row-coverage gaps
+    w = BinMatrixWriter(
+        {"path": str(tmp_path / "y.bin"), "rows": "10", "cols": "2"}, overwrite=True
+    )
+    from flink_mm_spark.sources.datasource import _BlocksWritten
+
+    with pytest.raises(Exception, match="coverage"):
+        w.commit([_BlocksWritten([(0, 0, 4)]), _BlocksWritten([(2, 6, 4)])])

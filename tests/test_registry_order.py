@@ -59,6 +59,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     siblings = {
         "jaccard_token_pairs": "jaccard_prefix_filtered",
         "binmatrix_source_scan": "binary_f64_scan",
+        "binmatrix_sink_roundtrip": "partitioned_sink_roundtrip",
         "orders_by_priority": "pricing_summary",
         "top_orders_by_price": "top_customers_per_nation",
         "order_price_unpivot": "rollup_sales",
