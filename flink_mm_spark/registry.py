@@ -114,6 +114,7 @@ DEFER: list[str] = [
     "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
     "binmatrix_source_scan",  # spark.read.format("binmatrix") connector twin of binary_f64_scan
     "binmatrix_sink_roundtrip",  # distributed pwrite sink -> re-read, same oracle (S10 matrix sink)
+    "binmatrix_stream_scan",  # custom STREAMING source: offset-tracked block micro-batches, same oracle
     "event_followups_range_join",  # interval-join twin: asof_click_purchase stays graded (slot freed for repetition_signals)
     "cosine_topk",  # knn_per_label grades the cogrouped cosine top-k kernel (slot freed for unigram_logprob)
     "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation keep §2.5 graded (slot freed for dsir_importance)

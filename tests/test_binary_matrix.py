@@ -203,3 +203,31 @@ def test_binmatrix_sink_rejects_append_and_bad_shape(spark, tmp_path):
 
     with pytest.raises(Exception, match="coverage"):
         w.commit([_BlocksWritten([(0, 0, 4)]), _BlocksWritten([(2, 6, 4)])])
+
+
+def test_binmatrix_stream_offsets_replayable(spark):
+    """readBetweenOffsets must deterministically replay exactly the blocks
+    of an offset range (the recovery contract), and offsets must advance
+    stream_batch blocks per read."""
+    from flink_mm_spark.sources.binary_matrix import ensure_fixture
+    from flink_mm_spark.sources.datasource import BinMatrixStreamReader
+
+    path = ensure_fixture(500, 96, "float64", "big")
+    opts = {
+        "path": path, "rows": "500", "cols": "96", "cell": "float64",
+        "byteorder": "big", "blocks": "16", "stream_batch": "5",
+    }
+    r = BinMatrixStreamReader(opts)
+    assert r.initialOffset() == {"block": 0}
+    batch1, off1 = r.read({"block": 0})
+    rows1 = list(batch1)
+    assert off1 == {"block": 5} and [t[0] for t in rows1] == [0, 1, 2, 3, 4]
+    batch2, off2 = r.read(off1)
+    assert off2 == {"block": 10}
+    # replay of the first range is bit-identical
+    replay = list(BinMatrixStreamReader(opts).readBetweenOffsets({"block": 0}, {"block": 5}))
+    assert [t[0] for t in replay] == [0, 1, 2, 3, 4]
+    assert replay[0][5] == rows1[0][5]  # same data payload
+    # tail range clamps
+    tail, off_end = BinMatrixStreamReader(opts).read({"block": 15})
+    assert off_end == {"block": 16} and [t[0] for t in list(tail)] == [15]

@@ -60,6 +60,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "jaccard_token_pairs": "jaccard_prefix_filtered",
         "binmatrix_source_scan": "binary_f64_scan",
         "binmatrix_sink_roundtrip": "partitioned_sink_roundtrip",
+        "binmatrix_stream_scan": "binary_f64_scan",
         "orders_by_priority": "pricing_summary",
         "top_orders_by_price": "top_customers_per_nation",
         "order_price_unpivot": "rollup_sales",
