@@ -125,6 +125,7 @@ DEFER: list[str] = [
     "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
     "events_dedup_streamed",  # real streamed dropDuplicatesWithinWatermark under duplicate pressure
     "events_sliding_streamed",  # real streamed sliding window (tumbling+session graded in-window)
+    "user_stats_streamed",  # applyInPandasWithState graded: multi-batch state, integer-exact sums
     "click_purchase_streamed",  # real streamed stream-stream interval join (asof_click_purchase graded in-window)
     "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
     "histogram_quantiles",  # mergeable histogram sketch + rank-exact audit twin in one row

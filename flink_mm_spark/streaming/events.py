@@ -745,3 +745,95 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("start_us")
+
+
+@register(
+    "user_stats_streamed",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (``applyInPandasWithState``, SURVEY
+    §2.9 — Flink keyed RichFunction parity) graded as a real streamed run
+    with MULTI-BATCH state evolution: the events table is split 8 ways and
+    streamed 2 files per trigger, so per-user state accumulates across ~4
+    micro-batches; update-mode emissions land in a memory sink and the
+    FINAL state per user (its emission with the largest n_events —
+    monotone, so deterministic under any batch split) must equal the batch
+    aggregate.
+
+    Exactness contract: the state accumulates value as integer micro-units
+    (floor(v·1e6 + 0.5) per event — identical IEEE ops in the UDF and the
+    oracle, then pure int64 adds in any order); max is order-free on
+    doubles. State is one fixed tuple per user — O(users) state store at
+    any stream length.
+    """
+    import tempfile
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from flink_mm_spark.sources.tables import table as _table
+
+    src_dir = tempfile.mkdtemp(prefix="uss_src_")
+    _table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_micros", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf):
+                v = pdf["value"].to_numpy(dtype=np.float64)
+                n += len(v)
+                s += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+                mx = max(mx, float(v.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_micros": [s], "max_value": [mx]}
+        )
+
+    stream = events_stream(spark, src_dir, max_files_per_trigger=2)
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"user_stats_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ust_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_micros", "max_value")
+        .orderBy("user_id")
+    )

@@ -107,6 +107,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_enriched_streamed": "events_hourly_streamed",
         "events_dedup_streamed": "events_hourly_streamed",
         "events_sliding_streamed": "events_hourly_streamed",
+        "user_stats_streamed": "user_sessions_streamed",
         "click_purchase_streamed": "asof_click_purchase",
         "hll_distinct_exact": "dedup_exact",
         "histogram_quantiles": "top_customers_per_nation",
