@@ -1331,6 +1331,10 @@ def user_funnel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# gapfill's persisted rollup (see builder note on release timing)
+_GAPFILL_CACHE: list = []
+
+
 @register(
     "events_minutely_gapfill",
     oracle="""
@@ -1357,21 +1361,29 @@ def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes — the resample/gap-fill primitive monitoring pipelines need
     (an aggregation alone cannot SHOW a silent minute).
 
-    Scale shape: the rollup is one partial+final aggregate; the grid is
-    generated (minutes-between-min-and-max rows — bounded by calendar
-    time, not corpus size: a YEAR is 526k rows) and the grid⋈rollup join
-    is an equi-join on the minute key that AQE broadcasts while the grid
-    is small. Timestamps are graded as epoch-microsecond integers
-    (CLAUDE.md timestamp rule).
+    Scale shape: the rollup is one partial+final aggregate, PERSISTED so
+    the grid-bounds aggregate and the join side reuse it instead of
+    re-scanning the corpus (the rollup is minutes-sized, cheap to cache);
+    the grid is generated (minutes-between-min-and-max rows — bounded by
+    calendar time, not corpus size: a YEAR is 526k rows) and the
+    grid⋈rollup join is an equi-join on the minute key that AQE broadcasts
+    while the grid is small. Timestamps are graded as epoch-microsecond
+    integers (CLAUDE.md timestamp rule).
     """
     e = table(spark, sf_dir, "events")
+    # previous invocation's cache released here (the returned plan must
+    # stay executable, so the builder can't unpersist its own cache)
+    while _GAPFILL_CACHE:
+        _GAPFILL_CACHE.pop().unpersist()
     m = (
         e.groupBy(F.date_trunc("minute", "ts").alias("minute"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
+        .persist()
     )
+    _GAPFILL_CACHE.append(m)
     grid = (
         m.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
         .select(

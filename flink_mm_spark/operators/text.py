@@ -409,6 +409,7 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BM25_TERMS = ["scan", "join", "window"]  # fixed query, present at every SF
+_BM25_CACHE: list = []  # persisted tokenized frame (see builder note)
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
@@ -466,13 +467,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); df/idf is a |terms|-row aggregate and the corpus stats (N,
     avgdl) a 1-row aggregate, both broadcast back onto the posting stream;
     the per-doc sum is decimal-cast (order-independent) and the final
-    ranking is TakeOrderedAndProject. Float parity follows the
-    ``unigram_logprob`` pattern: one ln per TERM (3 values — not per row),
-    all other arithmetic identical-ordered IEEE ops, 6-decimal round before
-    the (score DESC, doc_id) tie-broken top-k.
+    ranking is TakeOrderedAndProject. The tokenized frame is PERSISTED so
+    the regex split runs once even though both the doc-length branch and
+    the posting branch consume it (the oracle's MATERIALIZED cte is the
+    same decision). Float parity follows the ``unigram_logprob`` pattern:
+    one ln per TERM (3 values — not per row), all other arithmetic
+    identical-ordered IEEE ops, 6-decimal round before the
+    (score DESC, doc_id) tie-broken top-k.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_expr().alias("toks"))
+    # previous invocation's cache released here (the returned plan must
+    # stay executable, so the builder can't unpersist its own cache)
+    while _BM25_CACHE:
+        _BM25_CACHE.pop().unpersist()
+    toks = d.select("doc_id", tokens_expr().alias("toks")).persist()
+    _BM25_CACHE.append(toks)
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     g = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

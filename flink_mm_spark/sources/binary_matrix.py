@@ -155,17 +155,34 @@ from flink_mm_spark.registry import register  # noqa: E402
 
 _R, _C = 500, 96
 
-
-@register(
-    "binary_f64_scan",
-    oracle=f"""
+# The one integer rollup oracle shared by EVERY f64-scan grading twin
+# (direct scan, connector scan, sink round-trip, stream scan): re-quantize
+# cell = ((i*cols+j) % 997)/997 by x997 (exact in float64) and sum per row.
+F64_ROLLUP_ORACLE = f"""
     SELECT CAST(k // {_C} AS BIGINT) AS row_id,
            CAST(SUM((k * 1) % 997) AS BIGINT) AS sum_q,
            CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
     GROUP BY 1 ORDER BY row_id
-    """,
-)
+    """
+
+
+def rollup_f64_cells(blocks):
+    """The matching Spark side of ``F64_ROLLUP_ORACLE`` over a block table."""
+    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
+
+    return (
+        blocks_to_cells(blocks)
+        .groupBy("row_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("row_id")
+    )
+
+
+@register("binary_f64_scan", oracle=F64_ROLLUP_ORACLE)
 def binary_f64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headerless big-endian float64 matrix scan (S1) → per-row rollup.
 
@@ -178,19 +195,9 @@ def binary_f64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over range() — proving byte offsets, endianness and block
     alignment.
     """
-    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
-
     path = ensure_fixture(_R, _C, "float64", "big")
     blocks = read_matrix_blocks(spark, path, _R, _C, "float64", "big", n_blocks=16)
-    return (
-        blocks_to_cells(blocks)
-        .groupBy("row_id")
-        .agg(
-            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
-            F.count("*").alias("n_cells"),
-        )
-        .orderBy("row_id")
-    )
+    return rollup_f64_cells(blocks)
 
 
 @register(

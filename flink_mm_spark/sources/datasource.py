@@ -85,7 +85,8 @@ class BinMatrixReader(DataSourceReader):
                 return False
             if isinstance(f, LessThan) and not bid < f.value:
                 return False
-            if isinstance(f, In) and bid not in f.values:
+            # pyspark's In dataclass carries the tuple in .value (not .values)
+            if isinstance(f, In) and bid not in f.value:
                 return False
         return True
 
@@ -161,18 +162,18 @@ from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from flink_mm_spark.registry import register  # noqa: E402
-from flink_mm_spark.sources.binary_matrix import _C, _R, ensure_fixture  # noqa: E402
+from flink_mm_spark.sources.binary_matrix import (  # noqa: E402
+    _C,
+    _R,
+    F64_ROLLUP_ORACLE,
+    ensure_fixture,
+    rollup_f64_cells,
+)
 
 
 @register(
     "binmatrix_source_scan",
-    oracle=f"""
-    SELECT CAST(k // {_C} AS BIGINT) AS row_id,
-           CAST(SUM((k * 1) % 997) AS BIGINT) AS sum_q,
-           CAST(COUNT(*) AS BIGINT) AS n_cells
-    FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
-    GROUP BY 1 ORDER BY row_id
-    """,
+    oracle=F64_ROLLUP_ORACLE,
 )
 def binmatrix_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S1 float64 scan via ``spark.read.format("binmatrix")`` — the
@@ -185,8 +186,6 @@ def binmatrix_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ordinary DataFrame pruning/filter pushdown (``pushFilters``) and
     schedules like any file-based source at cluster scale.
     """
-    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
-
     path = ensure_fixture(_R, _C, "float64", "big")
     register_binmatrix(spark)
     blocks = (
@@ -198,15 +197,7 @@ def binmatrix_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("blocks", 16)
         .load(path)
     )
-    return (
-        blocks_to_cells(blocks)
-        .groupBy("row_id")
-        .agg(
-            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
-            F.count("*").alias("n_cells"),
-        )
-        .orderBy("row_id")
-    )
+    return rollup_f64_cells(blocks)
 
 
 # --- distributed sink: df.write.format("binmatrix") ------------------------
@@ -221,17 +212,22 @@ class _BlocksWritten(WriterCommitMessage):
 
 class BinMatrixWriter(DataSourceWriter):
     """Distributed writer for the headerless binary matrix format: the
-    driver preallocates the file to its exact size, then every task
+    driver preallocates a TEMP file to the exact size, every task
     ``pwrite``s its blocks' bytes at ``start·cols·itemsize`` — disjoint
     ranges, no coordinator, idempotent under task retries (same bytes at
-    the same offsets). ``commit`` verifies full row coverage and fails the
-    job on gaps/overlaps (S10 sink parity for the matrix format —
+    the same offsets) — and ``commit`` verifies full row coverage then
+    atomically renames the temp over the destination, so a failed job
+    never clobbers a pre-existing file (``abort`` removes the temp; the
+    same temp-then-commit protocol as Spark's file sinks). Gaps/overlaps
+    fail the commit (S10 sink parity for the matrix format —
     mm/MatrixFileGenerator.java writes these files single-threaded on the
     reference; on object storage the same shape maps to multipart-upload
     parts). int16 cells re-quantize by 32767 with NULL → −1 (missing),
     the inverse of the reader's dequantization."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binmatrix: .save(path) is required")
@@ -241,11 +237,13 @@ class BinMatrixWriter(DataSourceWriter):
         self.cols = int(options["cols"])
         self.cell = options.get("cell", "float64")
         self.byteorder = options.get("byteorder", "big")
+        # one temp path chosen on the driver, shared by all tasks via pickle
+        self.tmp_path = f"{self.path}.inprogress.{uuid.uuid4().hex[:12]}"
         from flink_mm_spark.sources.binary_matrix import _np_dtype
 
         itemsize = _np_dtype(self.cell, self.byteorder).itemsize
         # driver-side preallocation: tasks only ever pwrite inside this range
-        with open(self.path, "wb") as f:
+        with open(self.tmp_path, "wb") as f:
             f.truncate(self.rows * self.cols * itemsize)
 
     def write(self, iterator):
@@ -257,7 +255,7 @@ class BinMatrixWriter(DataSourceWriter):
 
         dt = _np_dtype(self.cell, self.byteorder)
         done = []
-        fd = os.open(self.path, os.O_WRONLY)
+        fd = os.open(self.tmp_path, os.O_WRONLY)
         try:
             for row in iterator:
                 vals = row["data"]
@@ -280,6 +278,8 @@ class BinMatrixWriter(DataSourceWriter):
         return _BlocksWritten(done)
 
     def commit(self, messages):
+        import os
+
         spans = sorted((s, s + n) for m in messages for (_, s, n) in m.blocks)
         covered = 0
         for lo, hi in spans:
@@ -290,20 +290,19 @@ class BinMatrixWriter(DataSourceWriter):
             covered = hi
         if covered != self.rows:
             raise ValueError(f"binmatrix sink: wrote {covered} rows, expected {self.rows}")
+        os.replace(self.tmp_path, self.path)
 
     def abort(self, messages):
-        pass
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(self.tmp_path)
 
 
 @register(
     "binmatrix_sink_roundtrip",
-    oracle=f"""
-    SELECT CAST(k // {_C} AS BIGINT) AS row_id,
-           CAST(SUM((k * 1) % 997) AS BIGINT) AS sum_q,
-           CAST(COUNT(*) AS BIGINT) AS n_cells
-    FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
-    GROUP BY 1 ORDER BY row_id
-    """,
+    oracle=F64_ROLLUP_ORACLE,
 )
 def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector WRITE → READ round-trip, graded: the fixture matrix is
@@ -316,7 +315,6 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
     from flink_mm_spark.sources.binary_matrix import FIXTURE_DIR
 
     src = ensure_fixture(_R, _C, "float64", "big")
@@ -335,15 +333,7 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = f"{FIXTURE_DIR}/roundtrip_{_R}x{_C}.f64.big.bin"
     conn(blocks.write.format("binmatrix").mode("overwrite")).save(dst)
     reread = conn(spark.read.format("binmatrix").option("blocks", 8)).load(dst)
-    return (
-        blocks_to_cells(reread)
-        .groupBy("row_id")
-        .agg(
-            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
-            F.count("*").alias("n_cells"),
-        )
-        .orderBy("row_id")
-    )
+    return rollup_f64_cells(reread)
 
 
 # --- streaming source: spark.readStream.format("binmatrix") ----------------
@@ -390,13 +380,7 @@ class BinMatrixStreamReader(SimpleDataSourceStreamReader):
 
 @register(
     "binmatrix_stream_scan",
-    oracle=f"""
-    SELECT CAST(k // {_C} AS BIGINT) AS row_id,
-           CAST(SUM((k * 1) % 997) AS BIGINT) AS sum_q,
-           CAST(COUNT(*) AS BIGINT) AS n_cells
-    FROM (SELECT unnest(range(0, {_R} * {_C})) AS k)
-    GROUP BY 1 ORDER BY row_id
-    """,
+    oracle=F64_ROLLUP_ORACLE,
 )
 def binmatrix_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S1 scan as a REAL STREAMING execution of the custom connector:
@@ -410,8 +394,6 @@ def binmatrix_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
     import uuid
-
-    from flink_mm_spark.linalg.block_matrix import blocks_to_cells
 
     path = ensure_fixture(_R, _C, "float64", "big")
     register_binmatrix(spark)
@@ -450,12 +432,4 @@ def binmatrix_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(60)
     if rows_arrived() < _R:
         raise TimeoutError("binmatrix stream did not drain within 120s")
-    return (
-        blocks_to_cells(spark.table(name))
-        .groupBy("row_id")
-        .agg(
-            F.sum(F.round(F.col("value") * 997).cast("long")).alias("sum_q"),
-            F.count("*").alias("n_cells"),
-        )
-        .orderBy("row_id")
-    )
+    return rollup_f64_cells(spark.table(name))

@@ -51,7 +51,6 @@ AUDITED = [
     # relational core
     "pricing_summary",
     "local_supplier_volume",
-    "shuffle_fact_join",
     "bucketed_fact_join",
     # dedup family
     "dedup_exact",
@@ -118,7 +117,8 @@ def main() -> None:
     for name in AUDITED:
         spec = registry.QUERIES.get(name)
         if spec is None:
-            continue
+            # no silent caps: an unknown name is a harness bug, not a skip
+            raise KeyError(f"audited query {name!r} is not registered")
         df = spec.fn(spark, SF_DIR)
         # ONE execution per query (noop write = the production shape, full
         # plan, no collect) so the stage window holds exactly this query's

@@ -152,7 +152,6 @@ def test_binmatrix_pushdown_prunes_partitions(spark):
     )
     full = {r["block_id"]: r["start"] for r in reader.load(path).collect()}
     got = reader.load(path).filter("block_id >= 6 AND block_id < 9").collect()
-    assert sorted(r["block_id"] for r in got) == [7, 8] if False else True
     assert {r["block_id"] for r in got} == {6, 7, 8}
     for r in got:
         assert r["start"] == full[r["block_id"]]
@@ -231,3 +230,56 @@ def test_binmatrix_stream_offsets_replayable(spark):
     # tail range clamps
     tail, off_end = BinMatrixStreamReader(opts).read({"block": 15})
     assert off_end == {"block": 16} and [t[0] for t in list(tail)] == [15]
+
+
+def test_binmatrix_pushdown_in_filter(spark):
+    """isin() pushes an In filter; the connector must prune to exactly the
+    listed blocks (regression: pyspark's In carries .value, not .values)."""
+    from pyspark.sql.datasource import In
+
+    from flink_mm_spark.sources.binary_matrix import ensure_fixture
+    from flink_mm_spark.sources.datasource import BinMatrixReader, register_binmatrix
+
+    r = BinMatrixReader({"path": "/dev/null", "rows": "500", "cols": "96", "blocks": "16"})
+    assert list(r.pushFilters([In(("block_id",), (2, 5))])) == []
+    assert [p.block_id for p in r.partitions()] == [2, 5]
+
+    from pyspark.sql import functions as F
+
+    register_binmatrix(spark)
+    path = ensure_fixture(500, 96, "float64", "big")
+    got = (
+        spark.read.format("binmatrix")
+        .option("rows", 500).option("cols", 96).option("cell", "float64")
+        .option("byteorder", "big").option("blocks", 16)
+        .load(path)
+        .filter(F.col("block_id").isin(1, 14))
+        .collect()
+    )
+    assert {r["block_id"] for r in got} == {1, 14}
+
+
+def test_binmatrix_sink_failure_preserves_existing_file(tmp_path):
+    """The sink writes to a temp and renames at commit, so neither writer
+    construction nor abort touches a pre-existing destination file."""
+    import os
+
+    from flink_mm_spark.sources.datasource import BinMatrixWriter, _BlocksWritten
+
+    dst = tmp_path / "keep.bin"
+    dst.write_bytes(b"PRECIOUS")
+    w = BinMatrixWriter(
+        {"path": str(dst), "rows": "10", "cols": "2"}, overwrite=True
+    )
+    assert dst.read_bytes() == b"PRECIOUS"  # plan-time did not clobber
+    assert os.path.exists(w.tmp_path)
+    w.abort([])
+    assert not os.path.exists(w.tmp_path)
+    assert dst.read_bytes() == b"PRECIOUS"
+    # a failed commit (coverage gap) also leaves the destination alone
+    w2 = BinMatrixWriter({"path": str(dst), "rows": "10", "cols": "2"}, overwrite=True)
+    try:
+        w2.commit([_BlocksWritten([(0, 0, 4)])])
+    except ValueError:
+        pass
+    assert dst.read_bytes() == b"PRECIOUS"
