@@ -1399,3 +1399,105 @@ def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     ).orderBy("minute_us")
+
+
+# --- exactly-graded count-min sketch ---------------------------------------
+
+# Frequency estimation completes the sketch trio (HLL = cardinality,
+# histogram = quantiles, count-min = frequency). Count-min is
+# order-independent by construction — counters are plain sums — so unlike
+# Misra-Gries/Space-Saving (merge-order-dependent) it replays exactly in
+# SQL: the same portable md5-derived hash family as the HLL twin maps each
+# token to one column per hash row, counters aggregate per (row, col), and
+# a point query reads MIN over rows of its counter — all int64.
+CM_D = 4  # hash rows
+CM_W = 64  # counters per row
+CM_PROBES = ["scan", "join", "window", "merge"]  # point-queried tokens
+
+_CM_COL = (
+    "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT)"
+    f" & {CM_W - 1}"
+)
+
+_CM_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+rows_ AS (SELECT unnest(range(0, {CM_D})) AS r),
+cells AS (
+  SELECT r, {_CM_COL} AS col, COUNT(*) AS cnt
+  FROM toks, rows_ GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{", ".join(repr(p) for p in CM_PROBES)}]) AS t),
+lookups AS (
+  SELECT probes.t, rows_.r, {_CM_COL} AS col
+  FROM probes, rows_
+),
+est AS (
+  SELECT l.t, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+  FROM lookups l JOIN cells c ON c.r = l.r AND c.col = l.col
+  GROUP BY 1
+),
+exact AS (
+  SELECT t, COUNT(*) AS exact_count FROM toks
+  WHERE t IN ({", ".join(repr(p) for p in CM_PROBES)}) GROUP BY 1
+)
+SELECT est.t AS token, est.est_count, exact.exact_count
+FROM est JOIN exact ON exact.t = est.t
+ORDER BY token
+"""
+
+
+@register("count_min_exact", oracle=_CM_ORACLE)
+def count_min_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete count-min sketch (Cormode & Muthukrishnan), exactly
+    graded: token frequencies over the documents corpus estimated from a
+    4x64 counter matrix and point-queried for fixed probe tokens, next
+    to the true counts.
+
+    Scale shape: ONE token explode fans out to CM_D hash rows (a 4-way
+    row multiply, pure JVM md5/bit math), then a partial+final aggregate
+    onto (row, col) — the sketch is d·w counters TOTAL regardless of
+    corpus size (vs the unbounded exact token table), mergeable by
+    addition across any partitioning, which is why count-min is the
+    100 TB shape for heavy-hitter monitoring. Estimates upper-bound truth
+    (est >= exact always; over-count = hash collisions), asserted in
+    tests/test_relational_extra.py. Every value is an int64 count —
+    hash-exact in DuckDB via the shared portable md5 hash family.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    )
+    rows = spark.range(CM_D).select(F.col("id").cast("int").alias("r"))
+    col_expr = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("t"))), 1, 15),
+        16,
+        10,
+    ).cast("long").bitwiseAND(F.lit(CM_W - 1))
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("r", col_expr.alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(p,) for p in CM_PROBES], "t string")
+    lookups = probes.crossJoin(F.broadcast(rows)).select(
+        "t", "r", col_expr.alias("col")
+    )
+    est = (
+        lookups.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("t")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    exact = (
+        toks.filter(F.col("t").isin(CM_PROBES))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "t")
+        .select(F.col("t").alias("token"), "est_count", "exact_count")
+        .orderBy("token")
+    )

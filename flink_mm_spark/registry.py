@@ -129,6 +129,7 @@ DEFER: list[str] = [
     "click_purchase_streamed",  # real streamed stream-stream interval join (asof_click_purchase graded in-window)
     "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
     "histogram_quantiles",  # mergeable histogram sketch + rank-exact audit twin in one row
+    "count_min_exact",  # count-min frequency sketch, integer-exact (completes the sketch trio)
     "user_funnel_full_outer",  # full-outer join completeness: local_supplier_volume keeps joins graded
     "events_minutely_gapfill",  # time-grid densification: events_hourly_streamed keeps time aggs graded
     "minhash_lsh_exact",  # SQL-replayable-hash MinHash twin (upgrades sketch dedup to oracle-graded)

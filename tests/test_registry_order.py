@@ -111,6 +111,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "click_purchase_streamed": "asof_click_purchase",
         "hll_distinct_exact": "dedup_exact",
         "histogram_quantiles": "top_customers_per_nation",
+        "count_min_exact": "token_counts",
         "user_funnel_full_outer": "local_supplier_volume",
         "events_minutely_gapfill": "events_hourly_streamed",
         "minhash_lsh_exact": "jaccard_prefix_filtered",

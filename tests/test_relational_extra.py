@@ -28,3 +28,13 @@ def test_hll_twin_estimate_tracks_exact(spark):
         if r["exact_users"] >= 80:  # raw-HLL regime (2.5 * m)
             rel = abs(r["est_users"] / r["exact_users"] - 1.0)
             assert rel < 0.4, r
+
+
+def test_count_min_overestimates_only(spark):
+    """Count-min point estimates must upper-bound the true counts (the
+    sketch's one-sided error guarantee) and equal them when the probe's
+    columns are collision-free."""
+    rows = registry.QUERIES["count_min_exact"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"] > 0, r
