@@ -249,6 +249,11 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands x 4 rows -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
+# Band buckets larger than this are boilerplate-keyed (bucket size grows
+# with corpus, pair count quadratically) and are dropped before the
+# candidate self-join — see minhash_lsh_pairs' docstring for the measured
+# blowup and the recall argument.
+MAX_BAND_BUCKET = 64
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 # a < 2^30 and 32-bit base hashes keep a*x+b < 2^63: the whole signature
@@ -266,8 +271,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
 
     Two-stage split keeps each side on its fast path: the per-shingle base
     hash runs JVM-side (``xxhash64`` inside whole-stage codegen — no Python
-    string traffic), and the 64-permutation min-hash is one vectorized
-    (N_PERM × m) int64 op per document in an Arrow batch.
+    string traffic), and the 64-permutation min-hash runs FLAT over the
+    whole Arrow batch: every doc's hashes concatenate into one vector, each
+    permutation is one big (a·x+b) mod M pass, and per-doc minima come from
+    ``np.minimum.reduceat`` on the segment offsets — O(total shingles) with
+    ~N_PERM dispatches per batch instead of one numpy call per DOCUMENT
+    (~30µs dispatch each, which dominates at corpus scale). Measured (r3
+    scale-up experiment): signatures + band-bucket counts for 300k docs
+    complete in ~1.5 s wall on local[32].
     """
     d = parallelize_scan(table(spark, sf_dir, "documents"))
     hashes = F.transform(shingles_expr(k), lambda s: F.xxhash64(s))
@@ -275,14 +286,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            if len(h) == 0:
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+        if lens.sum() == 0:
+            return pd.Series([_EMPTY_SIG] * len(hs))
+        # fold to 32 bits so a·x + b stays inside int64 before the mod
+        flat = (
+            np.concatenate([np.asarray(h, dtype=np.int64) for h in hs if len(h)])
+            & 0xFFFFFFFF
+        )
+        starts = np.zeros(int((lens > 0).sum()), dtype=np.int64)
+        np.cumsum(lens[lens > 0][:-1], out=starts[1:])
+        sig = np.empty((len(starts), len(_MH_A)), dtype=np.int64)
+        for p in range(len(_MH_A)):
+            v = (_MH_A[p] * flat + _MH_B[p]) % _MERSENNE
+            sig[:, p] = np.minimum.reduceat(v, starts)
+        out, j = [], 0
+        for n in lens:
+            if n == 0:
                 out.append(_EMPTY_SIG)
-                continue
-            # fold to 32 bits so a·x + b stays inside int64 before the mod
-            x = (np.asarray(h, dtype=np.int64) & 0xFFFFFFFF)
-            out.append(((_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1).tolist())
+            else:
+                out.append(sig[j].tolist())
+                j += 1
         return pd.Series(out)
 
     return base.select("doc_id", "source", sig_udf("hs").alias("sig"))
@@ -297,6 +321,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the blocking column, so at 100 TB the shuffle is proportional to
     within-block collisions, never to |docs|². Estimated Jaccard = fraction
     of matching signature slots.
+
+    HOT-BUCKET CAP (r3, from the scale-up experiment): a band bucket keyed
+    by a high-document-frequency shingle (boilerplate headers, Zipf-head
+    token runs) grows LINEARLY with corpus size, so its pair count grows
+    quadratically — measured: 300k synthetic docs sharing a 3-token
+    boilerplate prefix put O(corpus fraction) docs in the prefix-keyed
+    buckets. Buckets larger than ``MAX_BAND_BUCKET`` are dropped before
+    the join (the standard production mitigation). Recall cost is
+    negligible for REAL near-dups: est ≥ 0.35 requires ≥23/64 matching
+    slots, so a true pair collides in several bands including ones keyed
+    by its rarer shared shingles (small buckets); only pairs whose EVERY
+    collision is boilerplate-keyed are lost. On a realistic corpus
+    (shingle DF ≈ 1) the r3 scale-up experiment measures the full
+    pipeline near-linear: 5.0 s → 28.6 s for 30k → 300k docs; SCALE.md
+    also records the measured PATHOLOGICAL regime (tiny vocab → mean
+    shingle DF ≈ 41 → millions of sub-cap candidates, quadratic no matter
+    the implementation — a corpus property, mitigated upstream by
+    boilerplate/stopword-shingle removal).
     """
     # Persist: the signature pipeline (shingle + hash + Python UDF) feeds
     # BOTH sides of the self-join; without this Spark computes it twice.
@@ -308,10 +350,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir).persist()
     _SIG_CACHE.append(sigs)
     rows_per_band = N_PERM // N_BANDS
+    # ID-ONLY band rows (the embedding_near_dup_lsh lesson, r2): every
+    # exchange below — bucket count, self-join, pair dedup — carries
+    # (doc_id, source, band key) only; the 64-slot signatures re-attach by
+    # two doc_id equi-joins AFTER dedup, so shuffled bytes scale with the
+    # candidate list, not candidates × 512 B of signature payload.
     bands = sigs.select(
         "doc_id",
         "source",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -320,6 +366,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band_id", "band_key"),
+    )
+    # hot-bucket suppression: same shuffle key as the join, so the window
+    # count co-partitions with it — see the docstring's measured rationale
+    from pyspark.sql.window import Window as _W
+
+    wb = _W.partitionBy("source", "band_id", "band_key")
+    bands = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") <= MAX_BAND_BUCKET)
+        .drop("bucket_n")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -334,18 +390,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        .cast("double")
-        / F.lit(float(N_PERM))
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
+
+    # vectorized slot-match scoring: one numpy compare per Arrow batch —
+    # never the interpreted per-pair zip_with fold (CLAUDE.md; measured
+    # 73 s → 9.6 s at 300k synthetic Zipf docs together with the id-only
+    # shuffles above)
+    @F.pandas_udf(T.DoubleType())
+    def slot_match(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+        if not len(sig_a):
+            return pd.Series([], dtype=float)
+        m_a = np.vstack(sig_a.to_numpy())
+        m_b = np.vstack(sig_b.to_numpy())
+        return pd.Series((m_a == m_b).mean(axis=1))
+
     return (
-        cand.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", slot_match("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= 0.35)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")

@@ -1,0 +1,141 @@
+"""Scale-up experiment: do the linear-family document operators actually
+scale linearly in corpus size?
+
+The testdata documents table is fixed-size (~6k docs at sf0.1), so this
+harness synthesizes log-uniform ("Zipf-ish") corpora at 10× steps —
+3k / 30k / 300k docs × ~40 tokens over a 500k vocabulary (large enough
+that 3-gram shingles are near-unique per doc, as on real text — a
+too-small vocab makes shingle document frequency huge and drives
+minhash candidate volume quadratic regardless of implementation; that
+pathological regime is measured separately in SCALE.md), written as
+``documents.parquet`` under a temp dir so the REGISTERED queries run
+against them unchanged (the dir stands in for an sf dir) — and records
+wall-clock per operator per size. A linear operator should show ~10×
+time per 10× data (modulo fixed session overhead amortizing away, so
+ratios typically come in UNDER the data factor); anything super-linear
+here would be a scale bug the fixed-size testdata can't reveal.
+
+Operators measured (the scan-shaped / banded linear family):
+- dedup_exact            (hash groupBy on md5)
+- minhash_lsh_pairs      (shingle → signature → banded self-join)
+- repetition_signals     (explode + two doc_id-keyed aggregates)
+- bm25_topk              (posting-filtered inverted-index aggregation)
+
+The known NON-linear shapes are excluded on purpose: naive
+jaccard_token_pairs is the measured hot-key quadratic (382M candidate
+pairs at 10k Zipf docs — scripts/skew_experiment.py), and the exact
+embedding near-dup is inherently O(n²) compute (its LSH tier is the
+scale path).
+
+Usage: python scripts/scaleup_experiment.py [--sizes 3000,30000,300000]
+Prints one JSON line per (operator, size) and a markdown table on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from flink_mm_spark import registry
+from flink_mm_spark.session import get_spark
+
+registry.load_all()
+
+VOCAB = 500_000
+TOKENS_PER_DOC = 40
+OPERATORS = ["dedup_exact", "minhash_lsh_pairs", "repetition_signals", "bm25_topk"]
+
+
+def synth_documents(spark, n_docs: int, out_dir: str) -> None:
+    """Deterministic log-uniform corpus, generated distributed and written
+    as {out_dir}/documents.parquet (the schema the table() reader expects).
+    Token ranks are a pure function of (doc_id, position) — no RNG state —
+    so any partitioning produces the identical corpus."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            k = ids[:, None] * TOKENS_PER_DOC + np.arange(TOKENS_PER_DOC)[None, :]
+            u = ((k * 2654435761) % (1 << 32)) / float(1 << 32)
+            # inverse-CDF of a log-uniform rank distribution over VOCAB
+            ranks = np.exp(u * np.log(VOCAB)).astype(np.int64).clip(1, VOCAB)
+            # the BM25 probe terms appear at stable positions so the probe
+            # postings are non-empty at every size
+            texts = [
+                "scan join window " + " ".join(f"t{r}" for r in row)
+                for row in ranks
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "source": np.where(ids % 3 == 0, "web", "books"),
+                    "lang": "en",
+                    "text": texts,
+                }
+            )
+
+    (
+        spark.range(n_docs, numPartitions=32)
+        .mapInPandas(gen, "doc_id long, source string, lang string, text string")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="3000,30000,300000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark("flink-mm-scaleup")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm python workers so spawn cost doesn't attach to the first cell
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[tuple[str, int], float] = {}
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix=f"scaleup_{n}_")
+        try:
+            synth_documents(spark, n, d)
+            for op in OPERATORS:
+                t0 = time.perf_counter()
+                registry.QUERIES[op].fn(spark, d).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = round(time.perf_counter() - t0, 2)
+                results[(op, n)] = dt
+                print(json.dumps({"op": op, "n_docs": n, "sec": dt}), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    hdr = "| operator | " + " | ".join(f"{n:,} docs" for n in sizes) + " | growth (per 10x) |"
+    print("\n" + hdr, file=sys.stderr)
+    print("|---" * (len(sizes) + 2) + "|", file=sys.stderr)
+    for op in OPERATORS:
+        times = [results[(op, n)] for n in sizes]
+        ratios = [
+            f"{times[i + 1] / times[i]:.1f}x" for i in range(len(sizes) - 1)
+        ]
+        print(
+            f"| {op} | " + " | ".join(f"{t}s" for t in times) + " | "
+            + ", ".join(ratios) + " |",
+            file=sys.stderr,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
