@@ -61,14 +61,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
+# Round-4 rotation (VERDICT r3 ask #1): the core set was driver-green twice
+# (r2+r3), so this round PROMOTEs every oracle-bearing entry that has never
+# received a driver CORRECTNESS row (29 of them: the exact sketch/ANN twins,
+# the binmatrix connector trio, the five deferred streamed runs, bpe_encode,
+# chunk_dedup, curation_funnel, ...) and DEFERs the twice-proven rows, keeping
+# one green representative per SURVEY §2 family in-window (the
+# tests/test_registry_order.py invariant). After this round ~80/109 oracle
+# entries have at least one driver-graded row.
 PROMOTE: list[str] = [
+    # --- §2 core kept in-window (CORE set, driver-green r2+r3) ---
     "binary_f64_scan",
     "binary_i16_scan",
-    # promoted r3: S12 generators get their own graded row (45/45 families)
-    "matrix_generators_roundtrip",
+    # never-graded: the spark.read.format("binmatrix") connector trio
+    # (Python DataSource with block-pruning pushdown, distributed pwrite
+    # sink, offset-tracked streaming source)
+    "binmatrix_source_scan",
+    "binmatrix_sink_roundtrip",
+    "binmatrix_stream_scan",
     "text_points_scan",
-    "centroid_lines_scan",
-    "damds_sidefile_scan",
     "short_matrix_stats",
     "matmul_cells",
     "gemm_broadcast_cells",
@@ -82,95 +93,109 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
-    "partitioned_sink_roundtrip",
-    "events_hourly_streamed",
-    # promoted r3: a second REAL streaming execution graded (VERDICT r2 ask #6)
-    "user_sessions_streamed",
-    "damds_varray_vp",
-    "damds_bofz_bc",
-    "damds_temp_schedule",
-    "damds_cg_step",
-    "kmeans_empty_repair",
-    "dedup_components",
-    # promoted r3 to prove the cogrouped-GEMM rewrite (VERDICT r2 ask #3)
-    "knn_per_label",
-    # promoted r3: new first-class operator family — distributed BPE
-    # tokenizer training, exactly graded (merge table vs 6-stage SQL replay)
-    "bpe_merges",
-    # promoted r3: the published curation stages (operators/curation.py) —
-    # Gopher repetition, CCNet perplexity filter, DSIR importance weights,
-    # SemDeDup within-cluster near-dup — each with an exact oracle.
-    "repetition_signals",
-    "unigram_logprob",
-    "dsir_importance",
-    "semantic_dedup",
-    # promoted r3: duplicated-span coverage (Lee et al. substring-dedup
-    # signal) — grades the sub-document dedup family exactly
-    "dup_span_coverage",
+    # --- relational/join family anchors (many DEFER siblings point here) ---
+    "pricing_summary",
+    "rollup_sales",
+    "top_customers_per_nation",
+    "dedup_exact",
+    "jaccard_prefix_filtered",
+    # --- never-graded joins/time aggs ---
+    "bucketed_fact_join",
+    "user_funnel_full_outer",
+    "events_minutely_gapfill",
+    # --- never-graded exact sketch trio ---
+    "hll_distinct_exact",
+    "histogram_quantiles",
+    "count_min_exact",
+    # --- never-graded exact dedup/similarity twins ---
+    "minhash_lsh_exact",
+    "simhash_exact",
+    "jaccard_shingle_pairs",
+    "benchmark_contamination",
+    "chunk_dedup",
+    "ann_lsh_exact",
+    "pq_adc_topk",
+    # --- never-graded text/tokenizer/curation ---
+    "bpe_encode",
+    "vocab_top_terms",
+    "bm25_topk",
+    "quality_logit_score",
+    "gopher_quality_flags",
+    "stratified_sample",
+    "curation_funnel",
+    "corpus_prep_pipeline",
+    # --- never-graded REAL streamed runs ---
+    "events_enriched_streamed",
+    "events_dedup_streamed",
+    "events_sliding_streamed",
+    "user_stats_streamed",
+    "click_purchase_streamed",
 ]
 
 DEFER: list[str] = [
-    # oracle-bearing twins of queries that stay graded
+    # --- rotated out in r4 after two driver-green rounds (r2+r3); each
+    # --- leaves its §2 family represented in-window (sibling noted)
+    "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
+    "centroid_lines_scan",  # S6 text lines: text_points_scan keeps the text-scan family graded
+    "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the same pairing
+    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_sink_roundtrip grades the harder sink
+    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed keeps real streaming graded
+    "user_sessions_streamed",  # session windows: user_stats_streamed grades arbitrary state
+    "damds_varray_vp",  # F2/F8/F11: damds_embed exercises V×p inside the anneal
+    "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
+    "damds_temp_schedule",  # F10: damds_embed drives the schedule
+    "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
+    "kmeans_empty_repair",  # I4: kmeans_full covers the loop; repair twin proven r2+r3
+    "dedup_components",  # large-star/small-star CC: corpus_prep_pipeline composes it
+    "knn_per_label",  # cogrouped GEMM top-k: ann_lsh_exact grades the same scoring kernel
+    "bpe_merges",  # merge training: bpe_encode replays the merge table end-to-end
+    "repetition_signals",  # Gopher repetition: gopher_quality_flags grades the family
+    "unigram_logprob",  # CCNet-style scorer: quality_logit_score keeps model scoring graded
+    "dsir_importance",  # DSIR weights: curation_funnel composes the curation stages
+    "semantic_dedup",  # SemDeDup: curation_funnel keeps the curation family graded
+    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup grades sub-doc dedup
+    "local_supplier_volume",  # equi-join: bucketed_fact_join + user_funnel_full_outer graded
+    "clamp_small_values",  # P4 clamp: pricing_summary keeps record transforms graded
+    "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
+    "asof_click_purchase",  # as-of join: click_purchase_streamed grades the interval join
+    "embedding_near_dup",  # block-pair GEMM near-dup: minhash_lsh_exact keeps dedup graded
+    "token_counts",  # token stats: vocab_top_terms aggregates the same tokenizer
+    "doc_fingerprints",  # winnowing: vocab_top_terms keeps text analysis graded
+    "media_decode_features",  # decode path: media_audio_energy keeps multimodal graded
+    "pii_scrub",  # regex scrub: gopher_quality_flags keeps corpus-prep flags graded
+    "pack_sequences",  # prefix-sum packing: stratified_sample keeps llm_prep graded
+    # --- oracle-bearing twins of queries that stay graded ---
     "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
-    "binmatrix_source_scan",  # spark.read.format("binmatrix") connector twin of binary_f64_scan
-    "binmatrix_sink_roundtrip",  # distributed pwrite sink -> re-read, same oracle (S10 matrix sink)
-    "binmatrix_stream_scan",  # custom STREAMING source: offset-tracked block micro-batches, same oracle
-    "event_followups_range_join",  # interval-join twin: asof_click_purchase stays graded (slot freed for repetition_signals)
-    "cosine_topk",  # knn_per_label grades the cogrouped cosine top-k kernel (slot freed for unigram_logprob)
-    "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation keep §2.5 graded (slot freed for dsir_importance)
-    "text_quality_by_lang",  # quality-ratio family: unigram_logprob grades the model-based quality scorer (slot freed for semantic_dedup)
-    "lang_id_heuristic",  # text family keeps token_counts + doc_fingerprints graded (slot freed for dup_span_coverage)
-    "bpe_encode",  # tokenizer apply: bpe_merges grades the family's exact merge replay
-    "curation_funnel",  # composition of graded curation stages (oracle embeds their SQL)
-    "events_enriched_streamed",  # stream-static enrichment: events_hourly_streamed keeps real streaming graded
-    "events_dedup_streamed",  # real streamed dropDuplicatesWithinWatermark under duplicate pressure
-    "events_sliding_streamed",  # real streamed sliding window (tumbling+session graded in-window)
-    "user_stats_streamed",  # applyInPandasWithState graded: multi-batch state, integer-exact sums
-    "click_purchase_streamed",  # real streamed stream-stream interval join (asof_click_purchase graded in-window)
-    "hll_distinct_exact",  # SQL-replayable HLL twin (upgrades distinct-count sketching to oracle-graded)
-    "histogram_quantiles",  # mergeable histogram sketch + rank-exact audit twin in one row
-    "count_min_exact",  # count-min frequency sketch, integer-exact (completes the sketch trio)
-    "user_funnel_full_outer",  # full-outer join completeness: local_supplier_volume keeps joins graded
-    "events_minutely_gapfill",  # time-grid densification: events_hourly_streamed keeps time aggs graded
-    "minhash_lsh_exact",  # SQL-replayable-hash MinHash twin (upgrades sketch dedup to oracle-graded)
-    "simhash_exact",  # SQL-replayable-hash SimHash twin (integer bit votes, exact oracle)
-    "ann_lsh_exact",  # portable ±1-hyperplane ANN twin (full pipeline SQL-replayed)
-    "pq_adc_topk",  # PQ/ADC compressed-domain ANN tier (integer-exact oracle)
+    "event_followups_range_join",  # interval-join twin: click_purchase_streamed graded
+    "cosine_topk",  # ann_lsh_exact grades the cogrouped cosine top-k kernel
+    "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation graded
+    "text_quality_by_lang",  # quality-ratio family: quality_logit_score graded
+    "lang_id_heuristic",  # text family keeps vocab_top_terms + bm25_topk graded
     "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
-    "orders_with_returns",  # left-semi join: local_supplier_volume keeps joins graded (slot freed for pii_scrub)
-    "top_orders_by_price",  # sort+limit: covered by cosine_topk / window top-k
-    "order_price_unpivot",  # pivot family: rollup_sales/nation_set_ops keep §2.5 graded
-    "event_type_pivot",  # pivot twin: rollup_sales keeps multi-dim aggregation graded (slot freed for the S12 generators row)
+    "orders_with_returns",  # left-semi join: user_funnel_full_outer keeps joins graded
+    "top_orders_by_price",  # sort+limit: covered by top_customers_per_nation window top-k
+    "order_price_unpivot",  # pivot family: rollup_sales keeps §2.5 graded
+    "event_type_pivot",  # pivot twin: rollup_sales keeps multi-dim aggregation graded
     "monthly_revenue_trend",  # trend window: top_customers_per_nation keeps windows graded
-    "running_order_totals",  # cumulative window: top_customers_per_nation keeps §2.5 windows graded (slot freed for bpe_merges)
-    "chunk_dedup",  # sub-document span dedup: oracle-bearing, medium-tested; dedup family keeps 3 graded reps in-window
-    "customers_without_orders",  # anti-join (0 rows at sf0.01)
-    "suppliers_with_large_lineitems",  # semi-join variant
-    "events_json_props",  # JSON extraction demo
-    "distinct_part_types",  # DISTINCT: dedup_exact + nation_set_ops stay graded
-    "media_resize_estimate",  # metadata arithmetic: 4 media siblings stay graded
+    "running_order_totals",  # cumulative window: top_customers_per_nation graded
+    "customers_without_orders",  # anti-join (0 rows at sf0.01): user_funnel_full_outer graded
+    "suppliers_with_large_lineitems",  # semi-join variant: user_funnel_full_outer graded
+    "events_json_props",  # JSON extraction demo: events_sliding_streamed keeps events graded
+    "distinct_part_types",  # DISTINCT: dedup_exact stays graded
+    "media_resize_estimate",  # metadata arithmetic: media_audio_energy stays graded
     "cube_order_stats",  # grouping sets: rollup_sales stays graded
-    "salted_event_totals",  # salted partial agg: events_hourly + kmeans_centroid_update stay graded
+    "salted_event_totals",  # salted partial agg: events_minutely_gapfill + kmeans_centroid_update graded
     "economy_revenue_share",  # global sum: mds_stress + pricing_summary stay graded
-    "customer_order_gaps",  # lag window: running_order_totals stays graded
-    "events_hourly",  # same oracle as events_hourly_streamed (the stronger twin)
-    "user_sessions_batch",  # gaps-and-islands twin: user_sessions_streamed grades the REAL stateful operator
-    "shipping_priority",  # equi-join: local_supplier_volume stays graded
-    "bucketed_fact_join",  # at-rest co-located join: local_supplier_volume keeps joins graded
-    "quantity_percentiles",  # ordered analytics: top_customers_per_nation stays graded
-    "global_stats",  # DoubleStatistics: short_matrix_stats + damds_temp_schedule stay graded
-    "media_metadata",  # metadata projection: decode/frame/audio siblings read the same columns
-    "media_frame_sample",  # frame explode: media_decode_features + media_audio_energy stay graded
-    "corpus_prep_pipeline",  # funnel composition of graded stages (dedup_exact+components+token_counts)
-    "gopher_quality_flags",  # quality-flag family: text_quality_by_lang stays graded
-    "benchmark_contamination",  # shingle-join family: jaccard_prefix_filtered stays graded
-    "stratified_sample",  # hash-keyed selection: dedup_exact stays graded
-    "rolling_fingerprints",  # Rabin-Karp/winnowing twin: doc_fingerprints keeps the family graded (slot freed for knn_per_label)
-    "vocab_top_terms",  # vocabulary rollup: token_counts keeps text analysis graded
-    "bm25_topk",  # lexical retrieval ranker: token_counts keeps text analysis graded
-    "jaccard_shingle_pairs",  # n-gram twin: jaccard_prefix_filtered keeps the family graded
-    "quality_logit_score",  # linear quality model: text_quality_by_lang keeps the family graded
-    # approximate / iterative rows-only entries (no_oracle either way)
+    "customer_order_gaps",  # lag window: top_customers_per_nation stays graded
+    "events_hourly",  # same oracle as events_hourly_streamed; gapfill keeps time aggs graded
+    "user_sessions_batch",  # gaps-and-islands twin: user_stats_streamed grades REAL state
+    "shipping_priority",  # equi-join: bucketed_fact_join stays graded
+    "quantity_percentiles",  # ordered analytics: histogram_quantiles + top_customers_per_nation graded
+    "global_stats",  # DoubleStatistics: short_matrix_stats stays graded
+    "media_metadata",  # metadata projection: media_audio_energy reads the same columns
+    "media_frame_sample",  # frame explode: media_audio_energy stays graded
+    "rolling_fingerprints",  # Rabin-Karp/winnowing twin: vocab_top_terms keeps text graded
+    # --- approximate / iterative rows-only entries (no_oracle either way) ---
     "kmeans_full_demo",  # float-space 5-pass demo; kmeans_full grades the loop exactly
     "damds_embed_demo",  # long embeddings anneal; damds_embed grades the lifecycle exactly
     "approx_distinct_users",

@@ -30,9 +30,11 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
     LessThan,
+    LessThanOrEqual,
 )
 
 BINMATRIX_SCHEMA = (
@@ -68,11 +70,20 @@ class BinMatrixReader(DataSourceReader):
         partition filters — at 100 TB a `block_id` range predicate turns a
         full-matrix scan into a handful of byte-range reads). block_id
         pruning is exact, so consumed filters are not re-evaluated by Spark;
-        everything else is yielded back for post-scan evaluation."""
+        Inclusive bounds matter: Spark emits GreaterThanOrEqual for the
+        common ``block_id >= k`` range form, so consuming only the strict
+        comparators would silently forfeit pruning on half of real range
+        predicates (ADVICE r3)."""
+        consumable = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            In,
+        )
         for f in filters:
-            if isinstance(f, (EqualTo, GreaterThan, LessThan, In)) and f.attribute == (
-                "block_id",
-            ):
+            if isinstance(f, consumable) and f.attribute == ("block_id",):
                 self.pushed.append(f)
             else:
                 yield f
@@ -83,7 +94,11 @@ class BinMatrixReader(DataSourceReader):
                 return False
             if isinstance(f, GreaterThan) and not bid > f.value:
                 return False
+            if isinstance(f, GreaterThanOrEqual) and not bid >= f.value:
+                return False
             if isinstance(f, LessThan) and not bid < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not bid <= f.value:
                 return False
             # pyspark's In dataclass carries the tuple in .value (not .values)
             if isinstance(f, In) and bid not in f.value:
@@ -242,9 +257,16 @@ class BinMatrixWriter(DataSourceWriter):
         from flink_mm_spark.sources.binary_matrix import _np_dtype
 
         itemsize = _np_dtype(self.cell, self.byteorder).itemsize
-        # driver-side preallocation: tasks only ever pwrite inside this range
+        self.total_bytes = self.rows * self.cols * itemsize
+        # driver-side preallocation is an optimization, not a requirement:
+        # write() below creates/extends the temp file itself (O_CREAT +
+        # ftruncate), so tasks on nodes that did not see this preallocation
+        # still succeed — the sink requires a SHARED filesystem (NFS/Lustre/
+        # fuse-mounted object store) but not driver-first visibility
+        # (ADVICE r3). On object storage the same block layout maps to
+        # multipart-upload parts instead of pwrite ranges.
         with open(self.tmp_path, "wb") as f:
-            f.truncate(self.rows * self.cols * itemsize)
+            f.truncate(self.total_bytes)
 
     def write(self, iterator):
         import os
@@ -255,8 +277,13 @@ class BinMatrixWriter(DataSourceWriter):
 
         dt = _np_dtype(self.cell, self.byteorder)
         done = []
-        fd = os.open(self.tmp_path, os.O_WRONLY)
+        # O_CREAT + ftruncate-to-full-size: any task on any node can create
+        # or extend the shared temp file; pwrite at disjoint offsets below
+        # stays idempotent under retries either way.
+        fd = os.open(self.tmp_path, os.O_WRONLY | os.O_CREAT, 0o644)
         try:
+            if os.fstat(fd).st_size < self.total_bytes:
+                os.ftruncate(fd, self.total_bytes)
             for row in iterator:
                 vals = row["data"]
                 if self.cell == "int16":
@@ -312,10 +339,13 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     full distributed write/read cycle or the hash breaks. This is the S10
     matrix-file sink the reference writes single-threaded
     (mm/MatrixFileGenerator.java), here scaling with executors.
-    """
-    import os
 
-    from flink_mm_spark.sources.binary_matrix import FIXTURE_DIR
+    The destination is a per-invocation temp dir (not a shared fixture
+    path): bench/driver/pytest sessions run concurrently on this box, and a
+    shared destination would race them (ADVICE r3 — benign today only
+    because every writer produces identical bytes).
+    """
+    import tempfile
 
     src = ensure_fixture(_R, _C, "float64", "big")
     register_binmatrix(spark)
@@ -329,8 +359,7 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     blocks = conn(spark.read.format("binmatrix").option("blocks", 16)).load(src)
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
-    dst = f"{FIXTURE_DIR}/roundtrip_{_R}x{_C}.f64.big.bin"
+    dst = f"{tempfile.mkdtemp(prefix='binmatrix_rt_')}/roundtrip_{_R}x{_C}.f64.big.bin"
     conn(blocks.write.format("binmatrix").mode("overwrite")).save(dst)
     reread = conn(spark.read.format("binmatrix").option("blocks", 8)).load(dst)
     return rollup_f64_cells(reread)

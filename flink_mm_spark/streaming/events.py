@@ -608,15 +608,36 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be dropped as late anyway; at 100 TB this is the
     exactly-once-by-key ingestion stage, with state O(ids per horizon)
     not O(corpus).
+
+    The watermark delay is computed to EXCEED the corpus's full ts span
+    (ADVICE r3): with a fixed 24h delay, exactness silently depended on
+    both copies of an event_id landing in the same micro-batch — if the
+    input were multi-file or rate-limited (maxFilesPerTrigger), an id
+    older than max(ts)−24h at a batch boundary could be evicted before
+    its twin arrived and double-count. Sizing the delay past the span
+    makes eviction provably impossible before the stream drains, under
+    ANY batching. In production the delay is the duplicate-arrival
+    horizon (a stream's span is unbounded); here the span IS the horizon
+    because the second copy can trail by the whole corpus.
     """
     import tempfile
     import uuid
 
+    from flink_mm_spark.sources.tables import table
+
+    span = (
+        table(spark, sf_dir, "events")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us")
+        )
+        .collect()[0]["span_us"]
+    )
+    horizon_s = int(span or 0) // 1_000_000 + 3600  # full span + 1h slack
     s1 = events_stream(spark, sf_dir, glob="events.parquet")
     s2 = events_stream(spark, sf_dir, glob="events.parquet")
     deduped = (
         s1.unionByName(s2)
-        .withWatermark("ts", "24 hours")
+        .withWatermark("ts", f"{horizon_s} seconds")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     agg = deduped.groupBy("event_type").agg(

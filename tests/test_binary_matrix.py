@@ -139,6 +139,22 @@ def test_binmatrix_pushdown_prunes_partitions(spark):
     assert list(r2.pushFilters([GreaterThan(("block_id",), 13)])) == []
     assert [p.block_id for p in r2.partitions()] == [14, 15]
 
+    # inclusive bounds: Spark emits GreaterThanOrEqual for `block_id >= k`
+    # (the e2e filter below) — they must be consumed and prune exactly
+    # (ADVICE r3: strict-only consumption forfeited pruning on >= / <=)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    r3 = BinMatrixReader(opts)
+    assert (
+        list(
+            r3.pushFilters(
+                [GreaterThanOrEqual(("block_id",), 6), LessThanOrEqual(("block_id",), 8)]
+            )
+        )
+        == []
+    )
+    assert [p.block_id for p in r3.partitions()] == [6, 7, 8]
+
     # end to end: filtered read equals the unfiltered read's subset
     register_binmatrix(spark)
     path = ensure_fixture(500, 96, "float64", "big")
