@@ -56,6 +56,11 @@ HEADLINE = [
     "bm25_topk",                # r3: posting-filtered BM25 retrieval ranking
     "hll_distinct_exact",       # r3: portable HLL sketch (2-level hash agg)
     "pq_adc_topk",              # r3: PQ encode + ADC scan (one mapInPandas pass)
+    "minhash_lsh_exact",        # r4: exactly-graded MinHash twin (md5 hash family,
+                                # banded self-join SQL-replayed) — wall-clock band
+                                # for the exact-twin tier (VERDICT r3 ask #8)
+    "chunk_dedup",              # r4: C4-style sub-document chunk dedup (JVM
+                                # chunking, chunk-hash keyed exchange)
 ]
 
 

@@ -367,15 +367,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
-    # hot-bucket suppression: same shuffle key as the join, so the window
-    # count co-partitions with it — see the docstring's measured rationale
-    from pyspark.sql.window import Window as _W
-
-    wb = _W.partitionBy("source", "band_id", "band_key")
-    bands = (
-        bands.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
-        .filter(F.col("bucket_n") <= MAX_BAND_BUCKET)
-        .drop("bucket_n")
+    # hot-bucket suppression (r4 rework): aggregate over-cap bucket keys
+    # and broadcast-anti-join them away. The r3 window pass
+    # (count().over(partitionBy(bucket key))) shuffled EVERY band row and
+    # sorted it inside each partition just to learn its bucket size; the
+    # groupBy form map-side-combines down to one row per DISTINCT bucket
+    # key before its (much smaller) exchange, the over-cap survivors are a
+    # handful of Zipf-head keys (bounded by band_rows / MAX_BAND_BUCKET,
+    # and in any non-adversarial corpus a short boilerplate list), and the
+    # broadcast anti-join removes their rows with no extra exchange or
+    # sort on the data path.
+    hot = (
+        bands.groupBy("source", "band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > MAX_BAND_BUCKET)
+        .select("source", "band_id", "band_key")
+    )
+    bands = bands.join(
+        F.broadcast(hot), ["source", "band_id", "band_key"], "left_anti"
     )
     a = bands.alias("a")
     b = bands.alias("b")

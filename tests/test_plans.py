@@ -392,3 +392,13 @@ def test_gapfill_grid_is_generated_not_scanned(spark):
     plan = _plan(spark, "events_minutely_gapfill")
     assert "Generate explode(sequence" in plan
     assert "Python" not in plan
+
+
+def test_minhash_hot_bucket_cap_is_broadcast_anti_join(spark):
+    """The hot-bucket cap must not shuffle+sort every band row (the r3
+    window-count shape): over-cap keys come from a map-side-combined
+    groupBy and are removed via a broadcast LEFT ANTI join, so the band
+    data path has no Window operator and no added sort/exchange."""
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
