@@ -57,7 +57,7 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def cmd_damds(args: argparse.Namespace) -> int:
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
 
     from flink_mm_spark.algos.damds import damds_blocks_from_files
     from flink_mm_spark.algos.damds_config import damds_from_config, load_properties
@@ -76,7 +76,7 @@ def cmd_damds(args: argparse.Namespace) -> int:
         d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         dist = np.sqrt(d2)
         q = np.round(dist / dist.max() * 32767.0).astype(np.int16)
-        dist_path = os.path.join(tempfile.mkdtemp(prefix="damds_gen_"), "dist.bin")
+        dist_path = os.path.join(scratch_dir("damds_gen_"), "dist.bin")
         write_matrix_file(dist_path, q, "int16", "big")
         blocks = damds_blocks_from_files(spark, dist_path, n, n_blocks=args.blocks)
     else:

@@ -254,6 +254,11 @@ N_BANDS = 16  # 16 bands x 4 rows -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
 # candidate self-join — see minhash_lsh_pairs' docstring for the measured
 # blowup and the recall argument.
 MAX_BAND_BUCKET = 64
+# hard cap on how many over-cap bucket keys may be driver-collected for the
+# broadcast anti-join (~tens of MB of short keys); beyond it the hot list is
+# no longer "a handful of Zipf-head keys" and the join falls back to a
+# shuffled left_anti (ADVICE r4 — forced broadcasts must be size-guarded)
+MAX_HOT_KEYS_BROADCAST = 200_000
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 # a < 2^30 and 32-bit base hashes keep a*x+b < 2^63: the whole signature
@@ -382,10 +387,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > MAX_BAND_BUCKET)
         .select("source", "band_id", "band_key")
+        .persist()
     )
-    bands = bands.join(
-        F.broadcast(hot), ["source", "band_id", "band_key"], "left_anti"
-    )
+    _SIG_CACHE.append(hot)
+    # Broadcast guard (ADVICE r4): the over-cap key list is bounded by
+    # band_rows / MAX_BAND_BUCKET — LINEAR in corpus size — so a forced
+    # broadcast is only safe below a hard key-count cap. hot is persisted
+    # (the count() pass re-reads the cached signatures, and the anti-join
+    # reuses the cached key list instead of recomputing the aggregate);
+    # above the cap, fall back to an unhinted left_anti and let
+    # AQE / autoBroadcastJoinThreshold pick the join strategy.
+    if hot.count() <= MAX_HOT_KEYS_BROADCAST:
+        hot = F.broadcast(hot)
+    bands = bands.join(hot, ["source", "band_id", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -13,9 +13,28 @@ the same code runs unchanged on a multi-executor cluster:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_TMP_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Per-invocation temp dir under ONE process-lifetime root that is
+    removed at interpreter exit (ADVICE r4: per-invocation ``mkdtemp``
+    sink destinations / stream checkpoints accumulated in /tmp across
+    repeated bench/driver/pytest runs — lazy plans re-read the dir at
+    collect time, so in-builder cleanup is impossible; process-exit
+    cleanup is the correct lifetime)."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="flink_mm_spark_scratch_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
 def default_parallelism() -> int:

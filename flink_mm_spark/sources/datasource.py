@@ -345,7 +345,7 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared destination would race them (ADVICE r3 — benign today only
     because every writer produces identical bytes).
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
 
     src = ensure_fixture(_R, _C, "float64", "big")
     register_binmatrix(spark)
@@ -359,7 +359,7 @@ def binmatrix_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     blocks = conn(spark.read.format("binmatrix").option("blocks", 16)).load(src)
-    dst = f"{tempfile.mkdtemp(prefix='binmatrix_rt_')}/roundtrip_{_R}x{_C}.f64.big.bin"
+    dst = f"{scratch_dir('binmatrix_rt_')}/roundtrip_{_R}x{_C}.f64.big.bin"
     conn(blocks.write.format("binmatrix").mode("overwrite")).save(dst)
     reread = conn(spark.read.format("binmatrix").option("blocks", 8)).load(dst)
     return rollup_f64_cells(reread)
@@ -421,7 +421,7 @@ def binmatrix_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read (pushdown-pruned), distributed write, and now an offset-tracked
     stream (the shape a continuously-appended matrix feed takes at scale).
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     path = ensure_fixture(_R, _C, "float64", "big")
@@ -441,7 +441,7 @@ def binmatrix_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bms_ckpt_"))
+        .option("checkpointLocation", scratch_dir("bms_ckpt_"))
         .start()
     )
     # default micro-batch trigger: the source advances its block offset 4

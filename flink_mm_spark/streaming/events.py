@@ -417,7 +417,7 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded complete-mode here because an unbounded memory sink only holds
     hours×types rows.)
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     stream = events_stream(spark, sf_dir, glob="events.parquet")
@@ -436,7 +436,7 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ehs_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ehs_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -492,7 +492,7 @@ def user_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a watermark — state per user is bounded by the gap horizon; the
     memory sink only holds the finished session rows here.)
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     stream = events_stream(spark, sf_dir, glob="events.parquet")
@@ -515,7 +515,7 @@ def user_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="uss_ckpt_"))
+        .option("checkpointLocation", scratch_dir("uss_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -553,7 +553,7 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TBs of events) and the only wide exchange is the final (nation, type)
     aggregate — the same plan AQE picks for the batch twin.
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     from flink_mm_spark.sources.tables import table as _table
@@ -575,7 +575,7 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ees_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ees_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -620,7 +620,7 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon (a stream's span is unbounded); here the span IS the horizon
     because the second copy can trail by the whole corpus.
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     from flink_mm_spark.sources.tables import table
@@ -649,7 +649,7 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="eds_ckpt_"))
+        .option("checkpointLocation", scratch_dir("eds_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -689,7 +689,7 @@ def click_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id) is the shuffle key and skewed users split under AQE exactly
     as in the batch twin (``event_followups_range_join``).
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     clicks = events_stream(spark, sf_dir, glob="events.parquet").filter(
@@ -709,7 +709,7 @@ def click_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cps_ckpt_"))
+        .option("checkpointLocation", scratch_dir("cps_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -743,7 +743,7 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits and row order, and windows compare as epoch-microsecond
     integers.
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     stream = events_stream(spark, sf_dir, glob="events.parquet")
@@ -760,7 +760,7 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="esl_ckpt_"))
+        .option("checkpointLocation", scratch_dir("esl_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -794,7 +794,7 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. State is one fixed tuple per user — O(users) state store at
     any stream length.
     """
-    import tempfile
+    from flink_mm_spark.session import scratch_dir
     import uuid
 
     import numpy as np
@@ -804,7 +804,7 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_mm_spark.sources.tables import table as _table
 
-    src_dir = tempfile.mkdtemp(prefix="uss_src_")
+    src_dir = scratch_dir("uss_src_")
     _table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src_dir)
 
     out_schema = T.StructType(
@@ -845,7 +845,7 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ust_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ust_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -42,6 +42,27 @@ def test_ordered_names_is_a_permutation():
     assert sorted(names) == sorted(registry.QUERIES)
 
 
+def test_promote_exactly_fills_grading_window():
+    """PROMOTE must contain exactly GRADE_WINDOW registered entries
+    (ADVICE r4): adding to PROMOTE without a matching removal would
+    silently push the tail entry past the graded window while every other
+    invariant here still passes."""
+    promoted = [n for n in registry.PROMOTE if n in registry.QUERIES]
+    assert len(promoted) == registry.GRADE_WINDOW, (
+        f"PROMOTE holds {len(promoted)} registered entries; "
+        f"the driver grades exactly the first {registry.GRADE_WINDOW}"
+    )
+
+
+def test_promote_defer_disjoint_and_duplicate_free():
+    assert len(registry.PROMOTE) == len(set(registry.PROMOTE))
+    assert len(registry.DEFER) == len(set(registry.DEFER))
+    overlap = set(registry.PROMOTE) & set(registry.DEFER)
+    assert not overlap, f"entries in both PROMOTE and DEFER: {overlap}"
+    unknown = (set(registry.PROMOTE) | set(registry.DEFER)) - set(registry.QUERIES)
+    assert not unknown, f"PROMOTE/DEFER names not in the registry: {unknown}"
+
+
 def test_core_workloads_inside_grading_window():
     missing = CORE - set(window())
     assert not missing, f"core workloads outside grading window: {missing}"
