@@ -271,6 +271,66 @@ _EMPTY_SIG = [int(_MERSENNE)] * N_PERM  # signature of a shingle-less doc
 _SIG_CACHE: list[DataFrame] = []  # last persisted signatures (bounds cache leak)
 
 
+def _slot_match_udf():
+    """Vectorized signature slot-match scoring: one numpy matrix compare per
+    Arrow batch — never the interpreted per-pair ``zip_with`` fold
+    (CLAUDE.md; measured 73 s → 9.6 s at 300k synthetic Zipf docs together
+    with the id-only candidate shuffles). The estimate is an exact multiple
+    of 1/n_perm (dyadic — no float rounding hazard), so the md5-family
+    exact twin can score with the same kernel without perturbing its
+    oracle."""
+
+    @F.pandas_udf(T.DoubleType())
+    def slot_match(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+        if not len(sig_a):
+            return pd.Series([], dtype=float)
+        m_a = np.vstack(sig_a.to_numpy())
+        m_b = np.vstack(sig_b.to_numpy())
+        return pd.Series((m_a == m_b).mean(axis=1))
+
+    # The kernel IS deterministic, but advertising that lets the optimizer
+    # push the threshold filter beneath the score projection by CLONING the
+    # UDF — two ArrowEvalPython stages, each re-shipping every (sig_a,
+    # sig_b) pair over Arrow. Nondeterministic pins one evaluation.
+    return slot_match.asNondeterministic()
+
+
+def _flat_min_sig(
+    hs: pd.Series, A: np.ndarray, B: np.ndarray, empty_sig: list
+) -> pd.Series:
+    """FLAT vectorized MinHash over one Arrow batch: every doc's base
+    hashes concatenate into one vector, each permutation is one big
+    (a·x+b) mod M pass, per-doc minima come from ``np.minimum.reduceat``
+    on the segment offsets — O(total shingles) with ~|A| numpy dispatches
+    per batch instead of |A| interpreted folds per DOCUMENT. All
+    arithmetic is exact int64 (a < 2^30, folded x < 2^32 ⇒ a·x + b < 2^63
+    before the Mersenne mod), so both the xxhash64 throughput family and
+    the md5 SQL-replayable family produce bit-identical signatures to
+    their per-element reference formulas."""
+    lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+    if lens.sum() == 0:
+        return pd.Series([empty_sig] * len(hs))
+    # fold to 32 bits so a·x + b stays inside int64 before the mod
+    flat = (
+        np.concatenate([np.asarray(h, dtype=np.int64) for h in hs if len(h)])
+        & 0xFFFFFFFF
+    )
+    starts = np.zeros(int((lens > 0).sum()), dtype=np.int64)
+    np.cumsum(lens[lens > 0][:-1], out=starts[1:])
+    sig = np.empty((len(starts), len(A)), dtype=np.int64)
+    for p in range(len(A)):
+        v = (A[p] * flat + B[p]) % _MERSENNE
+        sig[:, p] = np.minimum.reduceat(v, starts)
+    out, j = [], 0
+    for n in lens:
+        if n == 0:
+            out.append(empty_sig)
+        else:
+            out.append(sig[j].tolist())
+            j += 1
+    return pd.Series(out)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """doc_id → MinHash signature (array<long>, N_PERM entries).
 
@@ -291,28 +351,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hs: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
-        if lens.sum() == 0:
-            return pd.Series([_EMPTY_SIG] * len(hs))
-        # fold to 32 bits so a·x + b stays inside int64 before the mod
-        flat = (
-            np.concatenate([np.asarray(h, dtype=np.int64) for h in hs if len(h)])
-            & 0xFFFFFFFF
-        )
-        starts = np.zeros(int((lens > 0).sum()), dtype=np.int64)
-        np.cumsum(lens[lens > 0][:-1], out=starts[1:])
-        sig = np.empty((len(starts), len(_MH_A)), dtype=np.int64)
-        for p in range(len(_MH_A)):
-            v = (_MH_A[p] * flat + _MH_B[p]) % _MERSENNE
-            sig[:, p] = np.minimum.reduceat(v, starts)
-        out, j = [], 0
-        for n in lens:
-            if n == 0:
-                out.append(_EMPTY_SIG)
-            else:
-                out.append(sig[j].tolist())
-                j += 1
-        return pd.Series(out)
+        return _flat_min_sig(hs, _MH_A, _MH_B, _EMPTY_SIG)
 
     return base.select("doc_id", "source", sig_udf("hs").alias("sig"))
 
@@ -424,20 +463,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     )
 
-    # vectorized slot-match scoring: one numpy compare per Arrow batch —
-    # never the interpreted per-pair zip_with fold (CLAUDE.md; measured
-    # 73 s → 9.6 s at 300k synthetic Zipf docs together with the id-only
-    # shuffles above)
-    @F.pandas_udf(T.DoubleType())
-    def slot_match(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
-        if not len(sig_a):
-            return pd.Series([], dtype=float)
-        m_a = np.vstack(sig_a.to_numpy())
-        m_b = np.vstack(sig_b.to_numpy())
-        return pd.Series((m_a == m_b).mean(axis=1))
-
     return (
-        pairs.withColumn("est_jaccard", slot_match("sig_a", "sig_b"))
+        pairs.withColumn("est_jaccard", _slot_match_udf()("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= 0.35)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
@@ -531,12 +558,19 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rows-only to oracle-graded; the xxhash64 twin remains the
     throughput path (codegen'd base hash + one vectorized numpy min per
     doc vs. 32 interpreted array_min folds here — both are one projection
-    per document, and the join shapes are identical).
+    per document).
 
-    Scale: identical to ``minhash_lsh_pairs`` — the candidate shuffle is
-    keyed on (source, band, 4-slot band key), never |docs|²; signatures
-    are 32×8 bytes/doc. Estimates are exact multiples of 1/32 (dyadic →
-    no float rounding hazard).
+    Scale (r5: the join shape now IS ``minhash_lsh_pairs``'s): band rows
+    carry (doc_id, source, band_id, band_key) only — the 32×8 B signatures
+    re-attach via two doc_id equi-joins AFTER candidate dedup, so every
+    exchange scales with the candidate list, never candidates × signature
+    payload — and pairs score through the shared vectorized numpy
+    slot-match kernel, not an interpreted per-pair ``zip_with`` fold.
+    Estimates stay exact multiples of 1/32 (dyadic → no float rounding
+    hazard), so the md5-replay oracle is unchanged. The only shape
+    difference vs the throughput path is the (deliberate) absence of the
+    hot-bucket cap: the oracle replays every candidate, so the exact twin
+    cannot drop buckets.
     """
     d = parallelize_scan(table(spark, sf_dir, "documents"))
     sh = shingles_expr(3)
@@ -546,20 +580,29 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(0xFFFFFFFF))
     )
     hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
-    def perm_min(a: int, b: int):
-        # factory closure: PySpark derives HOF arity from the lambda's
-        # parameter count, so constants must be captured, not defaulted
-        return F.array_min(
-            F.transform("xs", lambda v: (F.lit(a) * v + F.lit(b)) % F.lit((1 << 61) - 1))
-        )
 
-    sig = F.array(*[perm_min(int(a), int(b)) for a, b in zip(_MHX_A, _MHX_B)])
-    sigs = hs.select("doc_id", "source", sig.alias("sig"))
+    # r5: the 32 permutations ran as interpreted array_min(transform(...))
+    # folds — ~32·|shingles| interpreted lambda evaluations per document,
+    # the dominant cost of this entry. The flat numpy kernel computes the
+    # same exact int64 arithmetic one permutation-vector at a time
+    # (md5-derived xs are already 32-bit-folded JVM-side, which the oracle
+    # replays verbatim).
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mhx_sig(xs: pd.Series) -> pd.Series:
+        return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
+
+    # Persist: the signature pipeline feeds the band explode AND both
+    # re-attach joins; the previous invocation's cache is released the same
+    # way minhash_lsh_pairs does it.
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    sigs = hs.select("doc_id", "source", mhx_sig("xs").alias("sig")).persist()
+    _SIG_CACHE.append(sigs)
     rows_per_band = MHX_PERM // MHX_BANDS
+    # id-only band rows: no signature payload through the candidate self-join
     bands = sigs.select(
         "doc_id",
         "source",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(MHX_BANDS - 1)),
@@ -582,18 +625,18 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda m: m))
-        .cast("double")
-        / F.lit(float(MHX_PERM))
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", _slot_match_udf()("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= MHX_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")

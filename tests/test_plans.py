@@ -315,11 +315,14 @@ def test_dup_span_coverage_keyed_joins_only(spark):
 
 def test_exact_sketch_twins_keyed_joins_only(spark):
     """The SQL-replayable MinHash/SimHash twins must keep the banded
-    equi-join shape: no cartesian product, no Python workers (hashing is
-    md5/conv/bit arithmetic in JVM expressions)."""
+    equi-join shape: no cartesian product; hashing is md5/conv/bit
+    arithmetic in JVM expressions. SimHash stays fully JVM; the MinHash
+    twin's only Python stage is the single vectorized slot-match kernel
+    (pinned in test_minhash_exact_band_join_is_id_only)."""
     for name in ("minhash_lsh_exact", "simhash_exact"):
         plan = _plan(spark, name)
-        assert "Python" not in plan, name
+        if name == "simhash_exact":
+            assert "Python" not in plan, name
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
 
 
@@ -402,3 +405,21 @@ def test_minhash_hot_bucket_cap_is_broadcast_anti_join(spark):
     plan = _plan(spark, "minhash_lsh_pairs")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
     assert "Window" not in plan, plan[:3000]
+
+
+def test_minhash_exact_band_join_is_id_only(spark):
+    """r5 (VERDICT r4 ask #2): the exact twin's candidate self-join must
+    carry (doc_id, source, band key) only — signatures re-attach via two
+    doc_id equi-joins AFTER pair dedup — and pairs score through exactly
+    ONE vectorized Arrow stage, never an interpreted per-pair zip_with
+    fold and never a cloned UDF evaluation."""
+    plan = _plan(spark, "minhash_lsh_exact")
+    assert "zip_with" not in plan, plan[:3000]
+    # exactly one scoring stage (the signature UDF also shows as
+    # ArrowEvalPython, once per print of the persisted-relation subtree,
+    # so count the scoring kernel by name)
+    assert plan.count("slot_match") == 1, plan[:3000]
+    # the projection feeding the pair-dedup aggregate is id-only: no
+    # inline 32-slot signature payload rides the band-join exchange
+    proj = next(l for l in plan.splitlines() if "AS doc_a" in l)
+    assert "sig" not in proj, proj
