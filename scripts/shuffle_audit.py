@@ -71,6 +71,12 @@ AUDITED = [
     "hll_distinct_exact",
     "pq_adc_topk",
     "ann_lsh_topk",
+    # r5 (VERDICT r4 ask #7): byte evidence for the newly driver-graded
+    # exact-twin / pipeline flagships
+    "minhash_lsh_exact",
+    "bpe_encode",
+    "curation_funnel",
+    "corpus_prep_pipeline",
 ]
 
 

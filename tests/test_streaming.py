@@ -194,6 +194,94 @@ def test_stateful_user_stats(spark, batch_events, tmp_path):
         assert abs(g["sum_value"] - w["sum_value"]) < 1e-6, uid
 
 
+def test_stateful_restart_recovery(spark, batch_events, tmp_path):
+    """Restart recovery for the applyInPandasWithState operator (r5,
+    VERDICT r4 ask #4): kill the stateful query mid-stream, restart from
+    the SAME checkpoint, and require (a) exactly-once input across both
+    lives and (b) state CONTINUITY — every user emitted after the restart
+    carries its full pre-restart state, so its final stats equal the batch
+    aggregate exactly. This is the contract that lets the user-stats
+    state store survive an executor/driver loss at 100 TB."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.streaming.events import stateful_user_stats
+
+    src = str(tmp_path / "events_state_split")
+    batch_events.repartition(8).withColumn("ts", F_stream_ts()).write.mode(
+        "overwrite"
+    ).parquet(src)
+    total_rows = batch_events.count()
+    ckpt = str(tmp_path / "state_ckpt")
+
+    # the memory sink refuses checkpoint recovery outside complete mode, so
+    # emissions land via foreachBatch (the recoverable sink shape)
+    life2_rows: list = []
+
+    def sink2(batch_df, batch_id):
+        life2_rows.extend(batch_df.collect())
+
+    # life 1: one file per trigger; stop after the first completed batch
+    s1 = events_stream(spark, src, max_files_per_trigger=1)
+    q1 = (
+        stateful_user_stats(s1)
+        .writeStream.foreachBatch(lambda df, bid: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while not q1.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    rows1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert 0 < rows1 < total_rows  # genuinely stopped mid-ingest
+
+    # life 2: SAME checkpoint, availableNow drains the remainder
+    s2 = events_stream(spark, src, max_files_per_trigger=2)
+    q2 = (
+        stateful_user_stats(s2)
+        .writeStream.foreachBatch(sink2)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert rows1 + rows2 == total_rows, (rows1, rows2, total_rows)
+
+    # final emission per user seen AFTER the restart must equal the batch
+    # aggregate over the WHOLE corpus — only possible if life-1 state was
+    # recovered from the checkpoint, not rebuilt from life-2 input alone
+    got = {}
+    for r in life2_rows:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            got[r["user_id"]] = r
+    assert got, "restart emitted nothing"
+    want = {
+        r["user_id"]: r
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    mismatched_state = 0
+    for uid, g in got.items():
+        w = want[uid]
+        assert g["n_events"] == w["n_events"], uid
+        assert g["max_value"] == w["max_value"], uid
+        assert abs(g["sum_value"] - w["sum_value"]) < 1e-6, uid
+        mismatched_state += int(g["n_events"] != w["n_events"])
+    assert mismatched_state == 0
+
+
 def test_incremental_mds_foreachbatch(spark, tmp_path):
     """Streaming DA-MDS: embeddings arrive in micro-batches; each batch
     refines the embedding warm-started from the last. Uses the distributed
