@@ -952,12 +952,33 @@ def block_pair_cosine(
 
     knames = [k for k, _ in keyed]
     kddl = "".join(f"{k} {t}, " for k, t in keyed)
-    blocked = e.select(
-        *knames,
-        "vec_id",
-        "emb",
-        (F.col("vec_id") / F.lit(EMB_BLOCK_ROWS)).cast("int").alias("blk"),
-    )
+    if knames:
+        # DENSE per-key packing (r5, found by the scale-up experiment):
+        # global vec_id ranges scatter each key group's members across
+        # ~n_corpus/EMB_BLOCK_ROWS near-empty blocks, so block-PAIR count
+        # per group grows quadratically with CORPUS size (measured:
+        # semantic_dedup 467 s at 300k vecs ÷ 150 clusters — ~11k
+        # block-pairs of ~14 rows each per cluster). A per-key row_number
+        # packs each group into ceil(group/EMB_BLOCK_ROWS) full blocks —
+        # block-pairs depend only on GROUP size; the window's exchange is
+        # the same key-hash partitioning the pack aggregate needs anyway.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*knames).orderBy("vec_id")
+        blocked = e.select(
+            *knames,
+            "vec_id",
+            "emb",
+            ((F.row_number().over(w) - 1) / F.lit(EMB_BLOCK_ROWS))
+            .cast("int")
+            .alias("blk"),
+        )
+    else:
+        blocked = e.select(
+            "vec_id",
+            "emb",
+            (F.col("vec_id") / F.lit(EMB_BLOCK_ROWS)).cast("int").alias("blk"),
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
