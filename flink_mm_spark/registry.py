@@ -61,24 +61,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-4 rotation (VERDICT r3 ask #1): the core set was driver-green twice
-# (r2+r3), so this round PROMOTEs every oracle-bearing entry that has never
-# received a driver CORRECTNESS row (29 of them: the exact sketch/ANN twins,
-# the binmatrix connector trio, the five deferred streamed runs, bpe_encode,
-# chunk_dedup, curation_funnel, ...) and DEFERs the twice-proven rows, keeping
-# one green representative per SURVEY §2 family in-window (the
-# tests/test_registry_order.py invariant). After this round ~80/109 oracle
-# entries have at least one driver-graded row.
+# Round-5 rotation (VERDICT r4 ask #6): every one of the 109 oracle-bearing
+# entries is driver-green at least once across r1-r4, so the window becomes a
+# REGRESSION SENTINEL mix rather than a prover of new rows:
+#
+# - the SURVEY §2 CORE (16 entries, graded every round) stays pinned;
+# - entries whose code CHANGED in r4/r5 grade next (the binmatrix connector
+#   trio + streamed runs under the r5 scratch-dir rework; minhash/simhash
+#   exact twins after the r5 id-only/vectorized-signature port; bpe_merges +
+#   bpe_encode after the r5 two-tier trainer; chunk_dedup shares the
+#   tokenizer module);
+# - the rest rotates in entries last graded in r2/r3 (rotated OUT in r4), so
+#   driver evidence stays fresh across the whole surface; each family keeps
+#   a representative in-window (tests/test_registry_order.py invariant).
+# The 22 entries graded green in r4 rotate out to DEFER.
 PROMOTE: list[str] = [
-    # --- §2 core kept in-window (CORE set, driver-green r2+r3) ---
+    # --- §2 core, pinned every round ---
     "binary_f64_scan",
     "binary_i16_scan",
-    # never-graded: the spark.read.format("binmatrix") connector trio
-    # (Python DataSource with block-pruning pushdown, distributed pwrite
-    # sink, offset-tracked streaming source)
-    "binmatrix_source_scan",
-    "binmatrix_sink_roundtrip",
-    "binmatrix_stream_scan",
     "text_points_scan",
     "short_matrix_stats",
     "matmul_cells",
@@ -93,111 +93,110 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
-    # --- relational/join family anchors (many DEFER siblings point here) ---
-    "pricing_summary",
-    "rollup_sales",
-    "top_customers_per_nation",
-    "dedup_exact",
-    "jaccard_prefix_filtered",
-    # --- never-graded joins/time aggs ---
-    "bucketed_fact_join",
-    "user_funnel_full_outer",
-    "events_minutely_gapfill",
-    # --- never-graded exact sketch trio ---
-    "hll_distinct_exact",
-    "histogram_quantiles",
-    "count_min_exact",
-    # --- never-graded exact dedup/similarity twins ---
+    # --- r4/r5-changed sentinels ---
+    "binmatrix_source_scan",
+    "binmatrix_sink_roundtrip",
+    "binmatrix_stream_scan",
     "minhash_lsh_exact",
     "simhash_exact",
-    "jaccard_shingle_pairs",
-    "benchmark_contamination",
-    "chunk_dedup",
-    "ann_lsh_exact",
-    "pq_adc_topk",
-    # --- never-graded text/tokenizer/curation ---
+    "bpe_merges",
     "bpe_encode",
-    "vocab_top_terms",
-    "bm25_topk",
-    "quality_logit_score",
-    "gopher_quality_flags",
-    "stratified_sample",
-    "curation_funnel",
-    "corpus_prep_pipeline",
-    # --- never-graded REAL streamed runs ---
-    "events_enriched_streamed",
+    "chunk_dedup",
     "events_dedup_streamed",
-    "events_sliding_streamed",
     "user_stats_streamed",
+    "events_sliding_streamed",
     "click_purchase_streamed",
+    # --- rotating third: last graded r2/r3, back in for freshness ---
+    "local_supplier_volume",
+    "clamp_small_values",
+    "quantize_roundtrip",
+    "asof_click_purchase",
+    "embedding_near_dup",
+    "token_counts",
+    "doc_fingerprints",
+    "media_decode_features",
+    "pii_scrub",
+    "pack_sequences",
+    "dedup_components",
+    "knn_per_label",
+    "cosine_topk",
+    "repetition_signals",
+    "unigram_logprob",
+    "dsir_importance",
+    "semantic_dedup",
+    "damds_varray_vp",
+    "kmeans_empty_repair",
+    "user_sessions_batch",
+    "cube_order_stats",
+    "hll_distinct_exact",
 ]
 
 DEFER: list[str] = [
-    # --- rotated out in r4 after two driver-green rounds (r2+r3); each
-    # --- leaves its §2 family represented in-window (sibling noted)
+    # --- graded green in r4, rotated out this round (in-window sibling) ---
+    "pricing_summary",  # keyed reduce: label_centroid_udaf graded
+    "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats graded
+    "top_customers_per_nation",  # window top-k: user_sessions_batch graded
+    "dedup_exact",  # exact dedup: dedup_components composes the hash groupBy
+    "jaccard_prefix_filtered",  # candidate pairs: minhash_lsh_exact graded
+    "bucketed_fact_join",  # equi-join: local_supplier_volume graded
+    "user_funnel_full_outer",  # join family: local_supplier_volume graded
+    "events_minutely_gapfill",  # time aggs: events_sliding_streamed graded
+    "histogram_quantiles",  # sketch family: hll_distinct_exact graded
+    "count_min_exact",  # sketch family: hll_distinct_exact graded
+    "jaccard_shingle_pairs",  # candidate pairs: minhash_lsh_exact graded
+    "benchmark_contamination",  # corpus-prep flags: pii_scrub graded
+    "ann_lsh_exact",  # cogrouped cosine kernel: cosine_topk + knn_per_label graded
+    "pq_adc_topk",  # compressed ANN tier: cosine_topk grades the scoring kernel
+    "vocab_top_terms",  # text analysis: token_counts + doc_fingerprints graded
+    "bm25_topk",  # retrieval top-k: token_counts keeps the text family graded
+    "quality_logit_score",  # model scoring: unigram_logprob graded
+    "gopher_quality_flags",  # quality flags: repetition_signals graded
+    "stratified_sample",  # llm_prep: pack_sequences + pii_scrub graded
+    "curation_funnel",  # curation composition: dsir_importance + semantic_dedup graded
+    "corpus_prep_pipeline",  # prep composition: dedup_components graded
+    "events_enriched_streamed",  # streamed join: events_sliding_streamed + click_purchase_streamed graded
+    # --- rotated out earlier; family representation unchanged ---
     "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
-    "centroid_lines_scan",  # S6 text lines: text_points_scan keeps the text-scan family graded
-    "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the same pairing
-    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_sink_roundtrip grades the harder sink
-    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed keeps real streaming graded
-    "user_sessions_streamed",  # session windows: user_stats_streamed grades arbitrary state
-    "damds_varray_vp",  # F2/F8/F11: damds_embed exercises V×p inside the anneal
+    "centroid_lines_scan",  # S6 text lines: text_points_scan graded
+    "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the pairing
+    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_sink_roundtrip graded
+    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed graded
+    "user_sessions_streamed",  # session windows: user_stats_streamed graded
     "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
-    "kmeans_empty_repair",  # I4: kmeans_full covers the loop; repair twin proven r2+r3
-    "dedup_components",  # large-star/small-star CC: corpus_prep_pipeline composes it
-    "knn_per_label",  # cogrouped GEMM top-k: ann_lsh_exact grades the same scoring kernel
-    "bpe_merges",  # merge training: bpe_encode replays the merge table end-to-end
-    "repetition_signals",  # Gopher repetition: gopher_quality_flags grades the family
-    "unigram_logprob",  # CCNet-style scorer: quality_logit_score keeps model scoring graded
-    "dsir_importance",  # DSIR weights: curation_funnel composes the curation stages
-    "semantic_dedup",  # SemDeDup: curation_funnel keeps the curation family graded
-    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup grades sub-doc dedup
-    "local_supplier_volume",  # equi-join: bucketed_fact_join + user_funnel_full_outer graded
-    "clamp_small_values",  # P4 clamp: pricing_summary keeps record transforms graded
-    "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
-    "asof_click_purchase",  # as-of join: click_purchase_streamed grades the interval join
-    "embedding_near_dup",  # block-pair GEMM near-dup: minhash_lsh_exact keeps dedup graded
-    "token_counts",  # token stats: vocab_top_terms aggregates the same tokenizer
-    "doc_fingerprints",  # winnowing: vocab_top_terms keeps text analysis graded
-    "media_decode_features",  # decode path: media_audio_energy keeps multimodal graded
-    "pii_scrub",  # regex scrub: gopher_quality_flags keeps corpus-prep flags graded
-    "pack_sequences",  # prefix-sum packing: stratified_sample keeps llm_prep graded
+    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup graded
     # --- oracle-bearing twins of queries that stay graded ---
-    "jaccard_token_pairs",  # shares its oracle with jaccard_prefix_filtered
-    "event_followups_range_join",  # interval-join twin: click_purchase_streamed graded
-    "cosine_topk",  # ann_lsh_exact grades the cogrouped cosine top-k kernel
-    "nation_set_ops",  # §2.5 set ops: rollup_sales + top_customers_per_nation graded
-    "text_quality_by_lang",  # quality-ratio family: quality_logit_score graded
-    "lang_id_heuristic",  # text family keeps vocab_top_terms + bm25_topk graded
-    "orders_by_priority",  # keyed reduce: covered by pricing_summary et al.
-    "orders_with_returns",  # left-semi join: user_funnel_full_outer keeps joins graded
-    "top_orders_by_price",  # sort+limit: covered by top_customers_per_nation window top-k
-    "order_price_unpivot",  # pivot family: rollup_sales keeps §2.5 graded
-    "event_type_pivot",  # pivot twin: rollup_sales keeps multi-dim aggregation graded
-    "monthly_revenue_trend",  # trend window: top_customers_per_nation keeps windows graded
-    "running_order_totals",  # cumulative window: top_customers_per_nation graded
-    "customers_without_orders",  # anti-join (0 rows at sf0.01): user_funnel_full_outer graded
-    "suppliers_with_large_lineitems",  # semi-join variant: user_funnel_full_outer graded
-    "events_json_props",  # JSON extraction demo: events_sliding_streamed keeps events graded
-    "distinct_part_types",  # DISTINCT: dedup_exact stays graded
-    "media_resize_estimate",  # metadata arithmetic: media_audio_energy stays graded
-    "cube_order_stats",  # grouping sets: rollup_sales stays graded
-    "salted_event_totals",  # salted partial agg: events_minutely_gapfill + kmeans_centroid_update graded
-    "economy_revenue_share",  # global sum: mds_stress + pricing_summary stay graded
-    "customer_order_gaps",  # lag window: top_customers_per_nation stays graded
-    "events_hourly",  # same oracle as events_hourly_streamed; gapfill keeps time aggs graded
-    "user_sessions_batch",  # gaps-and-islands twin: user_stats_streamed grades REAL state
-    "shipping_priority",  # equi-join: bucketed_fact_join stays graded
-    "quantity_percentiles",  # ordered analytics: histogram_quantiles + top_customers_per_nation graded
-    "global_stats",  # DoubleStatistics: short_matrix_stats stays graded
-    "media_metadata",  # metadata projection: media_audio_energy reads the same columns
-    "media_frame_sample",  # frame explode: media_audio_energy stays graded
-    "rolling_fingerprints",  # Rabin-Karp/winnowing twin: vocab_top_terms keeps text graded
+    "jaccard_token_pairs",  # naive twin: minhash_lsh_exact keeps pair dedup graded
+    "event_followups_range_join",  # interval-join twin: asof_click_purchase graded
+    "nation_set_ops",  # §2.5 set ops: cube_order_stats graded
+    "text_quality_by_lang",  # quality ratios: unigram_logprob graded
+    "lang_id_heuristic",  # text family: token_counts graded
+    "orders_by_priority",  # keyed reduce: label_centroid_udaf graded
+    "orders_with_returns",  # semi-join: local_supplier_volume graded
+    "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
+    "order_price_unpivot",  # pivot family: cube_order_stats graded
+    "event_type_pivot",  # pivot twin: cube_order_stats graded
+    "monthly_revenue_trend",  # trend window: user_sessions_batch graded
+    "running_order_totals",  # cumulative window: user_sessions_batch graded
+    "customers_without_orders",  # anti-join: local_supplier_volume graded
+    "suppliers_with_large_lineitems",  # semi-join variant: local_supplier_volume graded
+    "events_json_props",  # JSON extraction: events_sliding_streamed graded
+    "distinct_part_types",  # DISTINCT: dedup_components keeps exact dedup graded
+    "media_resize_estimate",  # metadata arithmetic: media_decode_features graded
+    "salted_event_totals",  # salted partial agg: kmeans_centroid_update graded
+    "economy_revenue_share",  # global sum: mds_stress graded
+    "customer_order_gaps",  # lag window: user_sessions_batch graded
+    "events_hourly",  # events time agg: events_sliding_streamed graded
+    "shipping_priority",  # equi-join: local_supplier_volume graded
+    "quantity_percentiles",  # ordered analytics: user_sessions_batch graded
+    "global_stats",  # DoubleStatistics: short_matrix_stats graded
+    "media_metadata",  # metadata projection: media_audio_energy graded
+    "media_frame_sample",  # frame explode: media_audio_energy graded
+    "rolling_fingerprints",  # winnowing twin: doc_fingerprints graded
     # --- approximate / iterative rows-only entries (no_oracle either way) ---
-    "kmeans_full_demo",  # float-space 5-pass demo; kmeans_full grades the loop exactly
-    "damds_embed_demo",  # long embeddings anneal; damds_embed grades the lifecycle exactly
+    "kmeans_full_demo",  # float-space demo; kmeans_full grades the loop exactly
+    "damds_embed_demo",  # long anneal demo; damds_embed grades the lifecycle
     "approx_distinct_users",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
