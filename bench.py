@@ -61,6 +61,9 @@ HEADLINE = [
                                 # for the exact-twin tier (VERDICT r3 ask #8)
     "chunk_dedup",              # r4: C4-style sub-document chunk dedup (JVM
                                 # chunking, chunk-hash keyed exchange)
+    "bpe_encode",               # r5: tokenizer lifecycle (train via the two-tier
+                                # trainer + broadcast-encode) — band tracks the
+                                # reworked training path
 ]
 
 

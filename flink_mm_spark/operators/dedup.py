@@ -269,6 +269,7 @@ _MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 _EMPTY_SIG = [int(_MERSENNE)] * N_PERM  # signature of a shingle-less doc
 
 _SIG_CACHE: list[DataFrame] = []  # last persisted signatures (bounds cache leak)
+_BPC_CACHE: list[DataFrame] = []  # last persisted block-pack (block_pair_cosine)
 
 
 def _slot_match_udf():
@@ -989,9 +990,19 @@ def block_pair_cosine(
         row["mat"] = [m.ravel()]
         return pd.DataFrame(row)
 
+    # Persist: the packed blocks feed THREE consumers (the block-pair key
+    # frame and both payload-attach joins); unpersisted, the whole
+    # scan→assign→window→pack subtree executes three times (r5, found
+    # profiling semantic_dedup at 300k synthetic vectors). The packed form
+    # is the corpus at ~1× size (ids + normalized doubles), safely
+    # cacheable; previous invocation's cache is released on next call, the
+    # _SIG_CACHE pattern.
+    while _BPC_CACHE:
+        _BPC_CACHE.pop().unpersist()
     packed = blocked.groupBy(*knames, "blk").applyInPandas(
         pack, f"{kddl}blk int, ids array<long>, mat array<double>"
-    )
+    ).persist()
+    _BPC_CACHE.append(packed)
 
     # upper-triangular block-pair keys from the key columns alone (tiny), then
     # attach each side's payload by equi-join — the heavy arrays only ever

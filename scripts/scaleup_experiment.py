@@ -58,9 +58,14 @@ OPERATORS = [
     "minhash_lsh_pairs",
     "repetition_signals",
     "bm25_topk",
-    # r5 additions (VERDICT r4 ask #5)
+    # r5 additions (VERDICT r4 ask #5). dedup_components is NOT here: its
+    # edge set comes from the NAIVE jaccard_token_pairs, and this corpus
+    # gives every doc the three BM25 probe tokens ("scan join window") —
+    # three universal postings make the naive self-join quadratic
+    # (~1e10 candidates at 300k docs), the documented pathological regime.
+    # The dedup_components scale claim is ROUND growth, measured directly
+    # on adversarial chain graphs by cc_rounds_experiment below.
     "pack_sequences",
-    "dedup_components",
     "semantic_dedup",
 ]
 EMB_DIM = 64
