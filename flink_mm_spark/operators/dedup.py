@@ -254,10 +254,15 @@ N_BANDS = 16  # 16 bands x 4 rows -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
 # candidate self-join — see minhash_lsh_pairs' docstring for the measured
 # blowup and the recall argument.
 MAX_BAND_BUCKET = 64
-# hard cap on how many over-cap bucket keys may be driver-collected for the
-# broadcast anti-join (~tens of MB of short keys); beyond it the hot list is
-# no longer "a handful of Zipf-head keys" and the join falls back to a
-# shuffled left_anti (ADVICE r4 — forced broadcasts must be size-guarded)
+# STRUCTURAL cap on the hot-bucket suppression list (ADVICE r4: a forced
+# broadcast must be size-guarded; r5 code review: the guard must not run a
+# job at plan-construction time). The over-cap keys are taken HOTTEST-FIRST
+# through orderBy(bucket_n).limit(cap) — a TakeOrdered inside the broadcast
+# build side — so the broadcast is bounded by construction (~MBs of short
+# keys), lazily. On an adversarial corpus with more than this many over-cap
+# buckets, the coolest of them survive into the self-join and degrade
+# wall-clock gracefully (bounded by the cap boundary bucket size), instead
+# of an unbounded driver collect.
 MAX_HOT_KEYS_BROADCAST = 200_000
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
@@ -385,61 +390,75 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the implementation — a corpus property, mitigated upstream by
     boilerplate/stopword-shingle removal).
     """
-    # Persist: the signature pipeline (shingle + hash + Python UDF) feeds
-    # BOTH sides of the self-join; without this Spark computes it twice.
-    # The previous invocation's cache is released here (the DataFrame must
-    # stay cached while the returned lazy plan is still executable, so a
-    # try/finally inside this builder cannot do it).
+    return _banded_pairs(
+        minhash_signatures(spark, sf_dir),
+        n_bands=N_BANDS,
+        rows_per_band=N_PERM // N_BANDS,
+        threshold=0.35,
+        hot_cap=True,
+    )
+
+
+def _banded_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+    hot_cap: bool,
+) -> DataFrame:
+    """Shared banded-LSH candidate pipeline — ONE implementation behind both
+    the xxhash64 throughput path (``minhash_lsh_pairs``) and the
+    md5-replayable exact twin (``minhash_lsh_exact``), so a join-shape fix
+    lands once (r5 code review: the twins had drifted apart before the
+    id-only port re-unified them).
+
+    - Persist: the signature pipeline feeds the band explode AND both
+      re-attach joins; the helper owns the persist and releases the
+      previous invocation's cache (the frame must stay cached while the
+      returned lazy plan is executable, so try/finally cannot do it).
+    - ID-ONLY band rows (the embedding_near_dup_lsh lesson, r2): every
+      exchange — bucket count, self-join, pair dedup — carries (doc_id,
+      source, band key) only; signatures re-attach by two doc_id
+      equi-joins AFTER dedup, so shuffled bytes scale with the candidate
+      list, not candidates × signature payload.
+    - Hot-bucket suppression (``hot_cap=True``; the exact twin must skip
+      it — its oracle replays every candidate): over-cap bucket keys come
+      from a map-side-combined groupBy (one row per DISTINCT key before
+      the exchange — never a Window over every band row) and are removed
+      by a broadcast LEFT ANTI join; the broadcast side is bounded by
+      construction via hottest-first TakeOrdered(``MAX_HOT_KEYS_BROADCAST``)
+      — no job at plan-construction time, no unbounded driver collect.
+    - Scoring: the shared vectorized numpy slot-match kernel, one Arrow
+      stage (never an interpreted per-pair zip_with fold).
+    """
     while _SIG_CACHE:
         _SIG_CACHE.pop().unpersist()
-    sigs = minhash_signatures(spark, sf_dir).persist()
+    sigs = sigs.persist()
     _SIG_CACHE.append(sigs)
-    rows_per_band = N_PERM // N_BANDS
-    # ID-ONLY band rows (the embedding_near_dup_lsh lesson, r2): every
-    # exchange below — bucket count, self-join, pair dedup — carries
-    # (doc_id, source, band key) only; the 64-slot signatures re-attach by
-    # two doc_id equi-joins AFTER dedup, so shuffled bytes scale with the
-    # candidate list, not candidates × 512 B of signature payload.
     bands = sigs.select(
         "doc_id",
         "source",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.concat_ws(
                     "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band_id", "band_key"),
     )
-    # hot-bucket suppression (r4 rework): aggregate over-cap bucket keys
-    # and broadcast-anti-join them away. The r3 window pass
-    # (count().over(partitionBy(bucket key))) shuffled EVERY band row and
-    # sorted it inside each partition just to learn its bucket size; the
-    # groupBy form map-side-combines down to one row per DISTINCT bucket
-    # key before its (much smaller) exchange, the over-cap survivors are a
-    # handful of Zipf-head keys (bounded by band_rows / MAX_BAND_BUCKET,
-    # and in any non-adversarial corpus a short boilerplate list), and the
-    # broadcast anti-join removes their rows with no extra exchange or
-    # sort on the data path.
-    hot = (
-        bands.groupBy("source", "band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > MAX_BAND_BUCKET)
-        .select("source", "band_id", "band_key")
-        .persist()
-    )
-    _SIG_CACHE.append(hot)
-    # Broadcast guard (ADVICE r4): the over-cap key list is bounded by
-    # band_rows / MAX_BAND_BUCKET — LINEAR in corpus size — so a forced
-    # broadcast is only safe below a hard key-count cap. hot is persisted
-    # (the count() pass re-reads the cached signatures, and the anti-join
-    # reuses the cached key list instead of recomputing the aggregate);
-    # above the cap, fall back to an unhinted left_anti and let
-    # AQE / autoBroadcastJoinThreshold pick the join strategy.
-    if hot.count() <= MAX_HOT_KEYS_BROADCAST:
-        hot = F.broadcast(hot)
-    bands = bands.join(hot, ["source", "band_id", "band_key"], "left_anti")
+    if hot_cap:
+        hot = (
+            bands.groupBy("source", "band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > MAX_BAND_BUCKET)
+            .orderBy(F.col("bucket_n").desc())
+            .limit(MAX_HOT_KEYS_BROADCAST)
+            .select("source", "band_id", "band_key")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["source", "band_id", "band_key"], "left_anti"
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -463,10 +482,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
         "doc_b",
     )
-
     return (
         pairs.withColumn("est_jaccard", _slot_match_udf()("sig_a", "sig_b"))
-        .filter(F.col("est_jaccard") >= 0.35)
+        .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -592,55 +610,14 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mhx_sig(xs: pd.Series) -> pd.Series:
         return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
 
-    # Persist: the signature pipeline feeds the band explode AND both
-    # re-attach joins; the previous invocation's cache is released the same
-    # way minhash_lsh_pairs does it.
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    sigs = hs.select("doc_id", "source", mhx_sig("xs").alias("sig")).persist()
-    _SIG_CACHE.append(sigs)
-    rows_per_band = MHX_PERM // MHX_BANDS
-    # id-only band rows: no signature payload through the candidate self-join
-    bands = sigs.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MHX_BANDS - 1)),
-                lambda b: F.concat_ws(
-                    "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band_id", "band_key"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    pairs = cand.join(
-        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
-        "doc_a",
-    ).join(
-        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-        "doc_b",
-    )
-    return (
-        pairs.withColumn("est_jaccard", _slot_match_udf()("sig_a", "sig_b"))
-        .filter(F.col("est_jaccard") >= MHX_THRESHOLD)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
+    return _banded_pairs(
+        hs.select("doc_id", "source", mhx_sig("xs").alias("sig")),
+        n_bands=MHX_BANDS,
+        rows_per_band=MHX_PERM // MHX_BANDS,
+        threshold=MHX_THRESHOLD,
+        # the oracle replays EVERY candidate — the exact twin cannot drop
+        # hot buckets
+        hot_cap=False,
     )
 
 
