@@ -374,6 +374,169 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mixture planning (budget-driven domain weights) ------------------------
+
+# Global token budget as a multiple of the corpus: B = 2·T (upsampling IS the
+# interesting regime — The Pile, DoReMi, and Llama-style recipes all repeat
+# small high-weight domains for multiple epochs while sampling large ones
+# down). Per-source weight w_s = 1 + (numeric source id mod 4) gives the
+# corpus a 1:2:3:4 weight spread so both branches (sample-down, multi-epoch
+# upsample) are exercised and graded.
+MIX_BUDGET_FACTOR = 2
+_MIX_W_SQL = "(1 + CAST(substr(source, 4) AS INT) % 4)"
+
+_MIXTURE_ORACLE = f"""
+    WITH d AS (
+      SELECT source,
+             {_MIX_W_SQL} AS w,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000000 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source, MAX(w) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM d GROUP BY source
+    ),
+    g AS (
+      SELECT source, w, n_docs, total_tokens,
+             SUM(total_tokens) OVER () AS corpus_tokens,
+             SUM(w) OVER () AS sum_w
+      FROM s
+    ),
+    plan AS (
+      SELECT source, w, n_docs, total_tokens,
+             ({MIX_BUDGET_FACTOR} * corpus_tokens * w) // sum_w AS target_tokens,
+             (({MIX_BUDGET_FACTOR} * corpus_tokens * w) // sum_w)
+               // total_tokens AS full_epochs,
+             (((({MIX_BUDGET_FACTOR} * corpus_tokens * w) // sum_w)
+               % total_tokens) * 1000000) // total_tokens AS sample_ppm
+      FROM g
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.total_tokens AS BIGINT) AS total_tokens,
+           CAST(p.w AS BIGINT) AS weight,
+           CAST(p.target_tokens AS BIGINT) AS target_tokens,
+           CAST(p.full_epochs AS BIGINT) AS full_epochs,
+           CAST(p.sample_ppm AS BIGINT) AS sample_ppm,
+           CAST(SUM(CASE WHEN d.bucket < p.sample_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_docs,
+           CAST(SUM(CASE WHEN d.bucket < p.sample_ppm THEN d.n_tok ELSE 0 END) AS BIGINT)
+             AS sampled_tokens,
+           CAST(p.full_epochs * p.total_tokens
+                + SUM(CASE WHEN d.bucket < p.sample_ppm THEN d.n_tok ELSE 0 END) AS BIGINT)
+             AS planned_tokens
+    FROM plan p JOIN d ON d.source = p.source
+    GROUP BY p.source, p.n_docs, p.total_tokens, p.w, p.target_tokens,
+             p.full_epochs, p.sample_ppm
+    ORDER BY p.source
+"""
+
+
+@register("mixture_plan", oracle=_MIXTURE_ORACLE)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven domain-mixture PLANNER — the data-mixing stage between
+    curation and sequence packing (The Pile / DoReMi / Llama recipes):
+    given per-source target weights and a global token budget
+    (``MIX_BUDGET_FACTOR``× the corpus), derive each source's sampling
+    plan — ``full_epochs`` whole passes plus a deterministic hash-sampled
+    fractional epoch at ``sample_ppm`` parts-per-million — and grade the
+    realized document/token counts of the fractional epoch EXACTLY.
+
+    Complements ``stratified_sample`` (which applies FIXED rates): here the
+    rates are derived FROM the data (per-source token totals vs the weight
+    share of the budget), and over-weighted small domains correctly come
+    out as multi-epoch repetition rather than a rate clamped at 1 — the
+    upsampling semantics pretraining recipes actually use.
+
+    Exactness: every quantity is integer arithmetic (floor divisions in
+    both engines) on token counts and a 32-bit md5 bucket, so the driver
+    value-hash must match. Scale shape: pass 1 is a column-pruned
+    per-source aggregate joined against two broadcast scalars (corpus
+    totals); pass 2 re-scans with the per-source plan broadcast — at
+    100 TB you persist the 3-column (source, n_tok, bucket) projection (or
+    read token counts from ingest metadata) instead of re-tokenizing,
+    and the same keep-predicate pushes into the writer that materializes
+    the mixed corpus.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("bucket"),
+    )
+    s = d.groupBy("source").agg(
+        F.max("w").alias("w"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    totals = s.agg(
+        F.sum("total_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+    )
+    plan = (
+        s.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"({MIX_BUDGET_FACTOR} * corpus_tokens * w) div sum_w"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "full_epochs", F.expr("target_tokens div total_tokens").cast("bigint")
+        )
+        .withColumn(
+            "sample_ppm",
+            F.expr(
+                "((target_tokens % total_tokens) * 1000000) div total_tokens"
+            ).cast("bigint"),
+        )
+        .select(
+            "source", "w", "n_docs", "total_tokens",
+            "target_tokens", "full_epochs", "sample_ppm",
+        )
+    )
+    return (
+        d.select("source", "n_tok", "bucket")
+        .join(F.broadcast(plan), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("total_tokens").cast("bigint").alias("total_tokens"),
+            F.max("w").cast("bigint").alias("weight"),
+            F.max("target_tokens").cast("bigint").alias("target_tokens"),
+            F.max("full_epochs").cast("bigint").alias("full_epochs"),
+            F.max("sample_ppm").cast("bigint").alias("sample_ppm"),
+            F.sum((F.col("bucket") < F.col("sample_ppm")).cast("int"))
+            .cast("bigint")
+            .alias("sampled_docs"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("sample_ppm"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .withColumn(
+            "planned_tokens",
+            (F.col("full_epochs") * F.col("total_tokens") + F.col("sampled_tokens"))
+            .cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
 # Sequence packing: fixed token budget per training sequence (the
 # concatenate-then-chunk step of GPT-style pretraining ingestion).
 SEQ_TOKEN_BUDGET = 512

@@ -109,7 +109,6 @@ PROMOTE: list[str] = [
     # --- rotating third: last graded r2/r3, back in for freshness ---
     "local_supplier_volume",
     "clamp_small_values",
-    "quantize_roundtrip",
     "asof_click_purchase",
     "embedding_near_dup",
     "token_counts",
@@ -117,6 +116,7 @@ PROMOTE: list[str] = [
     "media_decode_features",
     "pii_scrub",
     "pack_sequences",
+    "mixture_plan",
     "dedup_components",
     "knn_per_label",
     "cosine_topk",
@@ -166,6 +166,7 @@ DEFER: list[str] = [
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
     "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup graded
+    "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
     # --- oracle-bearing twins of queries that stay graded ---
     "jaccard_token_pairs",  # naive twin: minhash_lsh_exact keeps pair dedup graded
     "event_followups_range_join",  # interval-join twin: asof_click_purchase graded

@@ -119,6 +119,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
         "dup_span_coverage": "chunk_dedup",
+        "quantize_roundtrip": "binary_i16_scan",
         # long-deferred twins
         "jaccard_token_pairs": "minhash_lsh_exact",
         "event_followups_range_join": "asof_click_purchase",
