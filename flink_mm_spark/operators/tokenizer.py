@@ -594,3 +594,235 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- unigram-LM tokenizer (SentencePiece-style), r5 -------------------------
+
+# Completes the tokenizer family alongside BPE: seed a substring vocabulary,
+# refine piece probabilities by hard (Viterbi) EM, prune to a target size,
+# and encode documents against the learned pieces. Same two-tier scale story
+# as BPE: the CORPUS is touched once (the word-count shuffle feeding
+# ``_train_merges``'s words table); every EM round is one broadcast of the
+# O(vocab-size) piece table + one embarrassingly-parallel Viterbi pass over
+# the distinct-word table + one piece-keyed count aggregate. Genuinely
+# iterative/float — graded rows-only, with the algorithmic contracts pinned
+# by tests/test_unigram.py (segmentation validity, hard-EM loss monotonicity,
+# determinism, coverage).
+UNI_MAX_PIECE_LEN = 4
+UNI_SEED_SIZE = 96
+UNI_VOCAB_SIZE = 48
+UNI_EM_ITERS = 2
+
+
+def _viterbi(w: str, logp: dict, max_len: int) -> tuple[list[str], float]:
+    """Best segmentation of ``w`` under piece log-probs — deterministic:
+    candidate lengths iterate ascending and ties resolve to the LONGEST
+    final piece (the ``>=`` update)."""
+    n = len(w)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_len, i) + 1):
+            p = w[i - ln : i]
+            lp = logp.get(p)
+            if lp is None:
+                continue
+            cand = best[i - ln] + lp
+            if cand >= best[i]:
+                best[i] = cand
+                back[i] = ln
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        pieces.append(w[i - back[i] : i])
+        i -= back[i]
+    pieces.reverse()
+    return pieces, best[n]
+
+
+def _unigram_em_round(
+    words: DataFrame, logp: dict, max_len: int
+) -> tuple[dict, float]:
+    """One distributed hard-EM round: broadcast the piece table, Viterbi
+    every distinct word in parallel (freq-weighted), aggregate piece counts
+    by key. Returns (piece → count, total negative log-likelihood)."""
+    import math  # noqa: F401 (used by callers' loss math)
+
+    import pandas as pd
+
+    sc = words.sparkSession.sparkContext
+    bl = sc.broadcast(logp)
+
+    def estep(batches):
+        for pdf in batches:
+            agg: dict[str, int] = {}
+            loss = 0.0
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                pieces, score = _viterbi(w, bl.value, max_len)
+                loss += -score * int(f)
+                for p in pieces:
+                    agg[p] = agg.get(p, 0) + int(f)
+            yield pd.DataFrame(
+                {
+                    "piece": list(agg) + ["\x00loss"],
+                    "cnt": list(agg.values()) + [0],
+                    "loss": [0.0] * len(agg) + [loss],
+                }
+            )
+
+    rows = (
+        words.mapInPandas(estep, "piece string, cnt long, loss double")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("loss").alias("loss"))
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    total_loss = 0.0
+    for r in rows:
+        if r["piece"] == "\x00loss":
+            total_loss = float(r["loss"])
+        else:
+            counts[r["piece"]] = int(r["cnt"])
+    return counts, total_loss
+
+
+def _renormalize(counts: dict, chars: set) -> dict:
+    """M-step: piece log-probs from counts. Multi-char pieces with zero
+    count drop out; single characters keep an add-one floor so every word
+    stays segmentable after any prune."""
+    import math
+
+    kept = {p: c for p, c in counts.items() if c > 0 or (len(p) == 1 and p in chars)}
+    for ch in chars:
+        kept[ch] = kept.get(ch, 0) + 1
+    total = sum(kept.values())
+    return {p: math.log(c / total) for p, c in kept.items()}
+
+
+def train_unigram(words: DataFrame) -> tuple[list[tuple], list[float]]:
+    """SentencePiece-style unigram training over a (w, freq) word table.
+
+    1. SEED: all substrings of length ≤ ``UNI_MAX_PIECE_LEN`` counted
+       corpus-wide (one explode + aggregate), top ``UNI_SEED_SIZE`` by
+       frequency-weighted occurrences, plus every single character.
+    2. Hard EM × ``UNI_EM_ITERS``: distributed Viterbi E-step, count
+       M-step (joint best-segmentation likelihood is non-decreasing — the
+       standard hard-EM guarantee, asserted in tests).
+    3. PRUNE to ``UNI_VOCAB_SIZE`` pieces (lowest-count multi-char pieces
+       first; characters are never pruned), then one final EM round.
+
+    Returns (final piece table [(piece, count, logprob)] sorted by piece,
+    loss trajectory).
+    """
+    seed = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {UNI_MAX_PIECE_LEN}),"
+                    " ln -> transform(sequence(1, greatest(length(w) - ln + 1, 0)),"
+                    " i -> substring(w, i, ln))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(UNI_SEED_SIZE)
+        .collect()
+    )
+    chars = {
+        r["piece"]
+        for r in words.select(
+            F.explode(F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).alias(
+                "piece"
+            )
+        )
+        .distinct()
+        .collect()
+    }
+    counts = {r["piece"]: int(r["cnt"]) for r in seed}
+    for ch in chars:
+        counts.setdefault(ch, 1)
+    logp = _renormalize(counts, chars)
+    losses: list[float] = []
+    for _ in range(UNI_EM_ITERS):
+        counts, loss = _unigram_em_round(words, logp, UNI_MAX_PIECE_LEN)
+        losses.append(loss)
+        logp = _renormalize(counts, chars)
+    # prune lowest-count multi-char pieces down to the target vocab
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1 and p in logp),
+        key=lambda pc: (pc[1], pc[0]),
+    )
+    vocab = {p for p in logp}
+    over = len(vocab) - UNI_VOCAB_SIZE
+    for p, _c in multi[: max(0, over)]:
+        vocab.discard(p)
+    logp = {p: lp for p, lp in logp.items() if p in vocab}
+    counts, loss = _unigram_em_round(words, logp, UNI_MAX_PIECE_LEN)
+    losses.append(loss)
+    logp = _renormalize(counts, chars)
+    table_rows = sorted(
+        (p, counts.get(p, 0), round(lp, 6)) for p, lp in logp.items()
+    )
+    return table_rows, losses
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0")
+        )
+        .select(F.lower(F.trim(F.col("w0"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@register("unigram_pieces", oracle=None)  # iterative float EM → rows-only
+def unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned unigram piece table (piece, count, logprob) over the
+    documents corpus — the trainer half of the SentencePiece-style
+    lifecycle. Deterministic given the corpus (seeded ties broken
+    lexicographically, Viterbi ties to the longest piece), but float EM is
+    not SQL-replayable → rows-only; the algorithmic contracts are pinned
+    in tests/test_unigram.py."""
+    rows, _losses = train_unigram(_unigram_words(spark, sf_dir))
+    return spark.createDataFrame(rows, "piece string, count bigint, logprob double")
+
+
+@register("unigram_encode", oracle=None)  # depends on the EM table → rows-only
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram ENCODE: per-document piece counts under the trained table —
+    the deploy half (train → encode), mirroring ``bpe_encode``'s shape:
+    the DISTINCT word table is segmented once (driver broadcast of the
+    O(vocab) piece table, Viterbi per distinct word), and the per-word
+    piece counts broadcast-join back onto the exploded word stream; per-doc
+    rollups are integer sums. The corpus is never segmented row-by-row."""
+    words = _unigram_words(spark, sf_dir)
+    rows, _losses = train_unigram(words)
+    logp = {p: lp for p, _c, lp in rows}
+    seg = [
+        (r["w"], len(_viterbi(r["w"], logp, UNI_MAX_PIECE_LEN)[0]))
+        for r in words.collect()
+    ]
+    enc = spark.createDataFrame(seg, "w string, n_pieces int")
+    docs = table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),
+    ).select("doc_id", F.lower(F.trim(F.col("w0"))).alias("w"))
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_unigram_pieces"),
+            F.round(F.sum("n_pieces").cast("double") / F.count("*"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -207,6 +207,8 @@ DEFER: list[str] = [
     "ivf_pq_topk",
     "embedding_near_dup_lsh",
     "semantic_dedup_kmeans",  # trained-centroid production twin of semantic_dedup
+    "unigram_pieces",  # SentencePiece-style unigram EM (r5) — iterative float
+    "unigram_encode",  # encode under the EM table — properties in tests/test_unigram.py
 ]
 
 
