@@ -314,10 +314,49 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- deterministic stratified sampling -------------------------------------
 
+# Cross-engine-sensitive fragments shared by stratified_sample and
+# mixture_plan (r5 review: keep ONE definition per engine side — a tweak to
+# the hash, the source-id parse, or the tokenization must not diverge the
+# two operators):
+
+
+def _src_num() -> Column:
+    """Numeric id parsed from 'src<NN>' source names."""
+    return F.substring("source", 4, 10).cast("int")
+
+
+def _md5_bucket(mod: int) -> Column:
+    """First 32 bits of md5(doc_id) reduced mod ``mod`` — the deterministic
+    sampling bucket both engines recompute identically."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % mod
+    )
+
+
+def _ws_token_count() -> Column:
+    """Whitespace token count of the trimmed text (the corpus token unit)."""
+    return F.size(F.split(F.trim("text"), r"\s+"))
+
+
+def _bucket_sql(mod: int) -> str:
+    return (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {mod}"
+    )
+
+
+_SRC_NUM_SQL = "CAST(substr(source, 4) AS INT)"
+_NTOK_SQL = "len(string_split_regex(trim(text), '\\s+'))"
+
 # Per-source target rates in basis points, keyed on the numeric source id:
 # src{4k} keep all, src{4k+1} half, src{4k+2} quarter, src{4k+3} eighth.
 _RATES_BP = {0: 10000, 1: 5000, 2: 2500, 3: 1250}
-_RATE_SQL = "CASE CAST(substr(source, 4) AS INT) % 4 " + " ".join(
+_RATE_SQL = f"CASE {_SRC_NUM_SQL} % 4 " + " ".join(
     f"WHEN {k} THEN {v}" for k, v in _RATES_BP.items()
 ) + " END"
 
@@ -328,8 +367,8 @@ _RATE_SQL = "CASE CAST(substr(source, 4) AS INT) % 4 " + " ".join(
     WITH s AS (
       SELECT source,
              {_RATE_SQL} AS rate_bp,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+             {_bucket_sql(10000)} AS bucket,
+             {_NTOK_SQL} AS n_tok
       FROM documents
     )
     SELECT source,
@@ -354,13 +393,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the writer to materialize the mixed corpus.
     """
     d = table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int") % 4
+    src_num = _src_num() % 4
     rate = F.coalesce(
         *[F.when(src_num == k, F.lit(v)) for k, v in _RATES_BP.items()]
     )
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10).cast("bigint") % 10000
-    keep = bucket < rate
-    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    keep = _md5_bucket(10000) < rate
+    n_tok = _ws_token_count()
     return (
         d.select("source", rate.alias("rate_bp"), keep.alias("keep"), n_tok.alias("n_tok"))
         .groupBy("source")
@@ -383,15 +421,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus a 1:2:3:4 weight spread so both branches (sample-down, multi-epoch
 # upsample) are exercised and graded.
 MIX_BUDGET_FACTOR = 2
-_MIX_W_SQL = "(1 + CAST(substr(source, 4) AS INT) % 4)"
+_MIX_W_SQL = f"(1 + {_SRC_NUM_SQL} % 4)"
 
 _MIXTURE_ORACLE = f"""
     WITH d AS (
       SELECT source,
              {_MIX_W_SQL} AS w,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-               % 1000000 AS bucket
+             {_NTOK_SQL} AS n_tok,
+             {_bucket_sql(1000000)} AS bucket
       FROM documents
     ),
     s AS (
@@ -464,18 +501,9 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents").select(
         "source",
-        (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w"),
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 1000000
-        ).alias("bucket"),
+        (_src_num() % 4 + 1).alias("w"),
+        _ws_token_count().alias("n_tok"),
+        _md5_bucket(1000000).alias("bucket"),
     )
     s = d.groupBy("source").agg(
         F.max("w").alias("w"),
