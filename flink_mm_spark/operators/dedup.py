@@ -99,6 +99,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dup_cluster_sizes",
+    oracle="""
+    WITH g AS (
+      SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY 1
+    )
+    SELECT n_docs AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_total,
+           CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_redundant
+    FROM g
+    GROUP BY 1
+    ORDER BY cluster_size
+    """,
+)
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-dup clusters exist at
+    each size, and how many documents a dedup pass would drop.
+
+    The standard diagnostic read on a corpus before committing a dedup run
+    (reference has no analog; the dedup family is `mm`-adjacent pipeline
+    surface). Scale: the first aggregate is dedup_exact's one 32-byte-key
+    map-side-combined shuffle; the second groups the cluster-size column, a
+    handful of distinct values, so its exchange carries ~O(sizes) rows per
+    partition after partial aggregation. No text leaves the map side.
+    """
+    d = table(spark, sf_dir, "documents")
+    clusters = d.groupBy(
+        F.md5(norm_text().cast("binary")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        clusters.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+            (F.sum("n_docs") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard pairs (exact, inverted-index join)
 # ---------------------------------------------------------------------------

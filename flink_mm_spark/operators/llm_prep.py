@@ -565,6 +565,75 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted reservoir sampling (Efraimidis–Spirakis A-ES) -----------------
+
+# Global top-K draw where doc weight w = 1 + src_num % 4 (the mixture_plan
+# weight spread). A-ES: each doc draws u ~ U(0,1) and is ranked by u^(1/w);
+# the top K ranks ARE a weighted sample without replacement. Replayed
+# exactly: u = (md5_32bits + 0.5) / 2^32, and the monotone ln transform
+# ln(u)/w is quantized to integers as q * (12 / w) with q =
+# floor(ln(u) * 1e6 + 0.5) — 12/w is exact for w in {1,2,3,4}, so rank_key
+# is a BIGINT both engines compute identically (the single ln sits 6+
+# decimal digits away from the quantization boundary for md5-random u).
+WRS_K = 200
+_WRS_MULT_SQL = "CASE w WHEN 1 THEN 12 WHEN 2 THEN 6 WHEN 3 THEN 4 ELSE 3 END"
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             (1 + {_SRC_NUM_SQL} % 4) AS w,
+             {_bucket_sql(4294967296)} AS bits
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source, w,
+             CAST(floor(ln((CAST(bits AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / CAST(4294967296 AS DOUBLE))
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT)
+             * ({_WRS_MULT_SQL}) AS rank_key
+      FROM d
+    )
+    SELECT doc_id, source, CAST(w AS INTEGER) AS w, rank_key
+    FROM k
+    ORDER BY rank_key DESC, doc_id
+    LIMIT {WRS_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    draw WRS_K documents with inclusion probability proportional to the
+    source weight, deterministically replayable from md5(doc_id).
+
+    Scale: `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — a
+    per-partition k-row heap with a driver merge of the partial top-ks. No
+    shuffle touches the corpus; the driver holds O(k · partitions) 30-byte
+    rows (at extreme partition counts, pre-filter with an approximate kth
+    rank_key threshold first). Plan shape pinned in tests/test_plans.py.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (_src_num() % 4 + 1).cast("int")
+    bits = _md5_bucket(4294967296)
+    u = (bits.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    q = F.floor(F.log(u) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    mult = (
+        F.when(w == 1, 12).when(w == 2, 6).when(w == 3, 4).otherwise(3)
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            w.alias("w"),
+            (q * mult).alias("rank_key"),
+        )
+        .orderBy(F.col("rank_key").desc(), "doc_id")
+        .limit(WRS_K)
+    )
+
+
 # Sequence packing: fixed token budget per training sequence (the
 # concatenate-then-chunk step of GPT-style pretraining ingestion).
 SEQ_TOKEN_BUDGET = 512

@@ -529,3 +529,203 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram PMI
+# ---------------------------------------------------------------------------
+
+_PMI_CACHE: list[DataFrame] = []  # last persisted bigram-count table
+
+# Bigrams are enumerated over the first BG_MAX_TOKENS+1 whitespace tokens per
+# document, bounding the oracle's range() enumeration (the rolling_fingerprints
+# pattern above). Corpus max is 100 tokens/doc; on a real corpus set this to
+# the packing length.
+BG_MAX_TOKENS = 256
+
+
+@register(
+    "token_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+')[1:{BG_MAX_TOKENS + 1}] AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS x, t[i + 1] AS y
+      FROM toks, (SELECT unnest(range(1, {BG_MAX_TOKENS} + 1)) AS i) r
+      WHERE i + 1 <= len(t)
+    ),
+    c AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS m_total FROM c),
+    cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM c GROUP BY 1),
+    cy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM c GROUP BY 1)
+    SELECT c.x, c.y, CAST(c.c_xy AS BIGINT) AS c_xy,
+           round(ln(CAST(c.c_xy * m_total AS DOUBLE)
+                    / CAST(c_x * c_y AS DOUBLE)), 6) AS pmi
+    FROM c
+    CROSS JOIN m
+    JOIN cx ON c.x = cx.x
+    JOIN cy ON c.y = cy.y
+    ORDER BY c.x, c.y
+    """,
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation /
+    phrase mining — the classic pre-tokenizer merge signal).
+
+    PMI = ln(c_xy * M / (c_x * c_y)) with marginals taken over the bigram
+    table itself, so every quantity is an exact integer until the final ln;
+    both engines divide the same exact BIGINT products cast to DOUBLE, then
+    round to 6 decimals.
+
+    Scale: one map-side-combined shuffle on the (x, y) pair key builds the
+    bigram counts; the marginal tables are vocabulary-sized and broadcast
+    back, so no second pass over the corpus and no re-shuffle of the pair
+    table. The explode is a JVM higher-order transform evaluated once per
+    document (not per pair candidate).
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.slice(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, BG_MAX_TOKENS + 1
+    )
+    pairs = d.select(t.alias("t")).select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS x, t[i + 1] AS y))"
+                ),
+            )
+        ).alias("p")
+    )
+    c = pairs.select("p.x", "p.y").groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    # the pair table feeds four consumers (m, cx, cy, final join): persist it
+    # once or Spark re-runs the corpus explode+shuffle per consumer (the
+    # dedup _SIG_CACHE pattern — module cache bounds the leak to one table)
+    while _PMI_CACHE:
+        _PMI_CACHE.pop().unpersist()
+    c = c.persist()
+    _PMI_CACHE.append(c)
+    m = c.agg(F.sum("c_xy").cast("bigint").alias("m_total"))
+    cx = c.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    cy = c.groupBy("y").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("m_total")).cast("double")
+                    / (F.col("c_x") * F.col("c_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    f AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rnk FROM f
+    ),
+    q AS (
+      SELECT c,
+             CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+             CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      FROM q
+    )
+    SELECT n_types, n_tokens,
+           round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_types AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(freq) ~ slope * ln(rank) + intercept over the
+    corpus token-frequency spectrum (the Zipf diagnostic a curation pipeline
+    runs to spot template/boilerplate-dominated corpora).
+
+    Cross-engine exactness: per-term ln values are rounded to 6 decimals and
+    cast to DECIMAL(18,6); every regression sum is then an EXACT decimal in
+    both engines (order-insensitive), and the closed-form slope/intercept is
+    evaluated in the same left-to-right IEEE association on both sides before
+    the final 6-decimal round (the CLAUDE.md float-sum rule).
+
+    Scale: one map-side-combined shuffle to the vocabulary-sized frequency
+    table; the row_number window and the regression run on |vocab| rows, so
+    the single-partition sort is bounded by vocabulary size, not corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    f = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = f.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t").asc())),
+    )
+    q = r.select(
+        "c",
+        F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(18,6)").alias("lx"),
+        F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)").alias("ly"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    nd = F.col("n_types").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope_raw = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope_raw, 6).alias("slope"),
+        F.round((syd - slope_raw * sxd) / nd, 6).alias("intercept"),
+    )

@@ -106,9 +106,13 @@ PROMOTE: list[str] = [
     "user_stats_streamed",
     "events_sliding_streamed",
     "click_purchase_streamed",
+    # --- new in r5: never driver-graded, take window priority ---
+    "weighted_reservoir_sample",
+    "dup_cluster_sizes",
+    "token_bigram_pmi",
+    "zipf_fit",
     # --- rotating third: last graded r2/r3, back in for freshness ---
     "local_supplier_volume",
-    "clamp_small_values",
     "asof_click_purchase",
     "embedding_near_dup",
     "token_counts",
@@ -118,20 +122,23 @@ PROMOTE: list[str] = [
     "pack_sequences",
     "mixture_plan",
     "dedup_components",
-    "knn_per_label",
     "cosine_topk",
     "repetition_signals",
     "unigram_logprob",
     "dsir_importance",
     "semantic_dedup",
-    "damds_varray_vp",
-    "kmeans_empty_repair",
     "user_sessions_batch",
     "cube_order_stats",
     "hll_distinct_exact",
 ]
 
 DEFER: list[str] = [
+    # --- rotated out mid-r5 for the four new r5 operators (all four of
+    #     these are r2/r3-graded AND re-proven by the -m medium gate) ---
+    "clamp_small_values",  # P4 map/filter: local_supplier_volume graded
+    "knn_per_label",  # cogrouped cosine kernel: cosine_topk graded
+    "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
+    "kmeans_empty_repair",  # k-means internals: kmeans_full graded
     # --- graded green in r4, rotated out this round (in-window sibling) ---
     "pricing_summary",  # keyed reduce: label_centroid_udaf graded
     "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats graded

@@ -433,3 +433,32 @@ def test_minhash_exact_band_join_is_id_only(spark):
     # inline 32-slot signature payload rides the band-join exchange
     proj = next(l for l in plan.splitlines() if "AS doc_a" in l)
     assert "sig" not in proj, proj
+
+
+def test_weighted_reservoir_sample_is_take_ordered(spark):
+    """A-ES top-k must be a per-partition heap + driver merge — never a
+    global sort-shuffle of the corpus (the 100 TB contract in its docstring)."""
+    plan = _plan(spark, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan
+
+
+def test_token_bigram_pmi_broadcasts_marginals(spark):
+    """The vocab-sized marginal tables re-join the pair table by broadcast;
+    the only shuffle is the (x, y) pair-count aggregation."""
+    df = registry.QUERIES["token_bigram_pmi"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes join strategies on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_fit_window_is_post_aggregate(spark):
+    """The single-partition row_number sort runs on the vocabulary-sized
+    frequency table — a HashAggregate must sit below the Window/Sort."""
+    plan = _plan(spark, "zipf_fit")
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[win:]), plan[:2000]
+    assert "Python" not in plan

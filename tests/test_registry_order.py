@@ -85,6 +85,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     """
     graded = set(window())
     siblings = {
+        # rotated out mid-r5 to grade the four new r5 operators first
+        "clamp_small_values": "local_supplier_volume",
+        "knn_per_label": "cosine_topk",
+        "damds_varray_vp": "damds_embed",
+        "kmeans_empty_repair": "kmeans_full",
         # graded green in r4, rotated out in the r5 sentinel window
         "pricing_summary": "label_centroid_udaf",
         "rollup_sales": "cube_order_stats",
