@@ -64,6 +64,10 @@ HEADLINE = [
     "bpe_encode",               # r5: tokenizer lifecycle (train via the two-tier
                                 # trainer + broadcast-encode) — band tracks the
                                 # reworked training path
+    "weighted_reservoir_sample",  # r5: A-ES weighted top-K (TakeOrderedAndProject)
+    "dup_cluster_sizes",        # r5: dedup-cluster histogram (two keyed shuffles)
+    "token_bigram_pmi",         # r5: collocation PMI (pair shuffle + broadcast marginals)
+    "zipf_fit",                 # r5: frequency-spectrum power-law fit
 ]
 
 
