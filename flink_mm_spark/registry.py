@@ -107,6 +107,7 @@ PROMOTE: list[str] = [
     "events_sliding_streamed",
     "click_purchase_streamed",
     # --- new in r5: never driver-graded, take window priority ---
+    "events_hll_streamed",
     "weighted_reservoir_sample",
     "dup_cluster_sizes",
     "token_bigram_pmi",
@@ -114,7 +115,6 @@ PROMOTE: list[str] = [
     # --- rotating third: last graded r2/r3, back in for freshness ---
     "local_supplier_volume",
     "asof_click_purchase",
-    "embedding_near_dup",
     "token_counts",
     "doc_fingerprints",
     "media_decode_features",
@@ -136,6 +136,7 @@ DEFER: list[str] = [
     # --- rotated out mid-r5 for the four new r5 operators (all four of
     #     these are r2/r3-graded AND re-proven by the -m medium gate) ---
     "clamp_small_values",  # P4 map/filter: local_supplier_volume graded
+    "embedding_near_dup",  # block-pair GEMM kernel: semantic_dedup graded
     "knn_per_label",  # cogrouped cosine kernel: cosine_topk graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
     "kmeans_empty_repair",  # k-means internals: kmeans_full graded

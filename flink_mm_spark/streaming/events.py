@@ -388,6 +388,7 @@ def followup_join_stream(
 
 # --- §2.8 graded as a REAL streaming execution ----------------------------
 
+from flink_mm_spark.operators.relational import _HLL_ORACLE  # noqa: E402
 from flink_mm_spark.registry import register  # noqa: E402
 
 
@@ -857,4 +858,89 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_micros", "max_value")
         .orderBy("user_id")
+    )
+
+
+@register("events_hll_streamed", oracle=_HLL_ORACLE)
+def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch maintained as STREAMING STATE: the
+    register table (event_type, idx) -> max(v) is a streaming max-aggregate,
+    so the query's entire state is keys x m = 32 rows per event type — the
+    mergeable-sketch answer to counting distincts over an unbounded stream
+    (a `dropDuplicates` approach would hold every user id ever seen; HLL
+    state is O(m) regardless of cardinality, and max-merge is
+    order/batch-split insensitive, so the streamed registers are
+    bit-identical to the batch twin ``hll_distinct_exact`` and replay in
+    DuckDB through the same oracle).
+
+    The register stream runs complete-mode into a memory sink (m·types
+    rows); the estimator rollup and the exact-count comparison column are
+    batch post-processing on the finished register table.
+    """
+    import uuid
+
+    from flink_mm_spark.operators.relational import (
+        HLL_M,
+        HLL_P,
+        _HLL_ALPHA,
+        _HLL_EMPTY,
+        _HLL_LOW,
+        _HLL_NUM,
+    )
+    from flink_mm_spark.session import scratch_dir
+    from flink_mm_spark.sources.tables import table
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = stream.select(F.col("event_type"), h.alias("h")).select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    v = F.when(F.col("w") == 0, F.lit(_HLL_LOW)).otherwise(
+        F.col("w").bitwiseAND(-F.col("w"))
+    )
+    regs = (
+        base.select("event_type", "idx", v.alias("v"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("v").alias("maxv"))
+    )
+    name = f"events_hll_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("hll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("registers_used"),
+            F.sum(F.expr(f"{_HLL_LOW} DIV maxv")).alias("hp"),
+        )
+    )
+    harm = F.col("hp") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(_HLL_EMPTY)
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("registers_used").cast("long").alias("registers_used"),
+            harm.cast("long").alias("harmonic_scaled"),
+            F.round(
+                F.lit(_HLL_ALPHA) * F.lit(_HLL_NUM) / harm.cast("double"), 4
+            ).alias("est_users"),
+            "exact_users",
+        )
+        .orderBy("event_type")
     )

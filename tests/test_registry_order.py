@@ -87,6 +87,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     siblings = {
         # rotated out mid-r5 to grade the four new r5 operators first
         "clamp_small_values": "local_supplier_volume",
+        "embedding_near_dup": "semantic_dedup",
         "knn_per_label": "cosine_topk",
         "damds_varray_vp": "damds_embed",
         "kmeans_empty_repair": "kmeans_full",
