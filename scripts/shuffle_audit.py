@@ -77,6 +77,11 @@ AUDITED = [
     "bpe_encode",
     "curation_funnel",
     "corpus_prep_pipeline",
+    # r5 batch 2: the new corpus-analytics operators
+    "weighted_reservoir_sample",  # expect ~0: TakeOrderedAndProject, no exchange
+    "dup_cluster_sizes",
+    "token_bigram_pmi",
+    "zipf_fit",
 ]
 
 
