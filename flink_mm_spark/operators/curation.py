@@ -443,6 +443,178 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (Lee et al. 2022, ExactSubstr)
+# ---------------------------------------------------------------------------
+
+SUBSTR_DEDUP_K = 10  # minimum duplicated-span width in tokens
+
+
+@register(
+    "substring_dedup",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, s.s AS s, s.g AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {SUBSTR_DEDUP_K} + 2),
+                      i -> struct_pack(s := i,
+                           g := array_to_string(a[i : i + {SUBSTR_DEDUP_K} - 1], ' ')))) AS s
+        FROM t WHERE len(a) >= {SUBSTR_DEDUP_K}
+      )
+    ),
+    grp AS (
+      SELECT gram, COUNT(*) AS cnt, MIN((doc_id, s)) AS canon
+      FROM g GROUP BY gram
+    ),
+    red AS (
+      SELECT g.doc_id, g.s FROM g JOIN grp USING (gram)
+      WHERE grp.cnt > 1 AND (g.doc_id, g.s) <> grp.canon
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(s, s + {SUBSTR_DEDUP_K})) AS p FROM red
+      )
+    ),
+    marked AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                  THEN 0 ELSE 1 END AS st
+      FROM pos
+    ),
+    remagg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INTEGER) AS removed_tokens,
+             CAST(SUM(st) AS INTEGER) AS n_removed_spans
+      FROM marked GROUP BY doc_id
+    ),
+    toku AS (
+      SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) + 1),
+                      i -> struct_pack(p := i, tok := a[i]))) AS u
+        FROM t
+      )
+    ),
+    kt AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(*) AS INTEGER) AS kept_tokens,
+             md5(string_agg(tk.tok, ' ' ORDER BY tk.p)) AS kept_hash
+      FROM toku tk
+      WHERE NOT EXISTS (SELECT 1 FROM pos
+                        WHERE pos.doc_id = tk.doc_id AND pos.p = tk.p)
+      GROUP BY tk.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.a) AS INTEGER) AS n_tokens,
+           COALESCE(r.removed_tokens, 0) AS removed_tokens,
+           COALESCE(kt.kept_tokens, 0) AS kept_tokens,
+           COALESCE(r.n_removed_spans, 0) AS n_removed_spans,
+           COALESCE(kt.kept_hash, md5('')) AS kept_hash
+    FROM t LEFT JOIN remagg r USING (doc_id) LEFT JOIN kt USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring DEDUP — removes, not just measures.
+
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr: any token span of width ≥ ``SUBSTR_DEDUP_K``
+    that occurs more than once corpus-wide is removed from every
+    occurrence EXCEPT the canonical first (min ``(doc_id, start)``) —
+    the keep-one semantics their suffix-array pass implements. This is
+    the chunk-anchored approximation of that pass: duplicated K-gram
+    occurrences nominate removal anchors; overlapping anchors union into
+    maximal removed spans (so a shared run of L ≥ K tokens, whose every
+    K-window is duplicated, is stripped whole — the span "grows" by
+    anchor overlap without any pairwise doc comparison). Emits per doc
+    the removal accounting AND ``kept_hash`` = md5 of the surviving
+    token stream, so the output fully determines the deduped corpus.
+
+    Reference parity: the reference has no substring deduper; this
+    closes the strongest LLM-dedup modality over the same documents
+    table as ``dup_span_coverage`` (which only measures coverage).
+
+    Scale shape (SCALE.md §dedup): spans are JVM higher-order
+    expressions carrying their start offset; the ONLY corpus-keyed
+    exchanges are (1) the gram-key partial+final aggregate that finds
+    duplicated grams and their canonical occurrence, (2) the gram-key
+    equi-join re-attaching group stats to occurrences (AQE broadcasts
+    while the dup set is small, sort-merge beyond), and (3) a doc_id
+    aggregate collecting each doc's removed positions (bounded by doc
+    length, NOT corpus size). Never a doc×doc pair join. At 100 TB key
+    the gram exchange on ``xxhash64(gram)`` to shrink shuffle rows —
+    identical plan. The island count and kept-token filter are in-array
+    lambdas over the per-doc position list — no window over corpus rows.
+    """
+    K = SUBSTR_DEDUP_K
+    d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = d.select("doc_id", tokens_expr().alias("a"))
+    n = F.size("a")
+    spans = F.when(
+        n >= K,
+        F.transform(
+            F.sequence(F.lit(1), n - (K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("a", i, K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.posexplode(spans).alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).alias("s"), "gram"
+    )
+    grp = g.groupBy("gram").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "s")).alias("canon"),
+    )
+    red = (
+        g.join(grp, "gram")
+        .filter(
+            (F.col("cnt") > 1) & (F.struct("doc_id", "s") != F.col("canon"))
+        )
+        .select("doc_id", "s")
+    )
+    # per-doc removed-position list: ONE doc_id aggregate, bounded by doc len
+    rem = (
+        red.select(
+            "doc_id", F.explode(F.sequence("s", F.col("s") + (K - 1))).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("rp"))
+    )
+    joined = t.join(rem, "doc_id", "left").withColumn(
+        "rp", F.coalesce("rp", F.array().cast("array<int>"))
+    )
+    # islands: positions opening a new maximal span (prev position absent);
+    # element_at is 1-based so element_at(rp, i) IS the predecessor of the
+    # 0-based lambda index i.
+    rp = F.col("rp")
+    # greatest(i, 1) keeps element_at's 1-based index legal at i == 0 (the
+    # i == 0 disjunct already wins there, but `|` does not short-circuit)
+    n_spans = F.size(
+        F.filter(
+            rp,
+            lambda x, i: (i == 0)
+            | (x - F.element_at(rp, F.greatest(i, F.lit(1))) > 1),
+        )
+    )
+    kept = F.filter(
+        "a", lambda x, i: ~F.array_contains(rp, (i + 1).cast("int"))
+    )
+    return (
+        joined.select(
+            "doc_id",
+            n.cast("int").alias("n_tokens"),
+            F.size(rp).cast("int").alias("removed_tokens"),
+            F.size(kept).cast("int").alias("kept_tokens"),
+            n_spans.cast("int").alias("n_removed_spans"),
+            F.md5(F.concat_ws(" ", kept)).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed curation funnel
 # ---------------------------------------------------------------------------
 

@@ -1453,25 +1453,13 @@ def _prep_oracle() -> str:
     )
 
 
-@register("corpus_prep_pipeline", oracle=_prep_oracle())
-def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-corpus prep funnel, per source: exact-dedup
-    survivors ∩ near-dup component survivors ∩ quality floor, with surviving
-    token mass — the end-to-end pipeline a 100 TB pretraining prep actually
-    runs, built from this engine's own stages (``dedup_exact`` keep rule,
-    ``dedup_components`` labels, ``token_counts`` tokenizer).
-
-    Every stage keeps its production shape: the exact-dedup keep rule is a
-    window-min over the md5 fingerprint (one hash shuffle), component
-    labels come from the distributed min-label propagation, and the quality
-    floor is a JVM-side regex count — the funnel aggregation itself is one
-    groupBy(source). All outputs are integers, so the oracle (which recomputes
-    the whole funnel in SQL, recursive closure included) matches exactly.
-    """
+def _prep_funnel(spark: SparkSession, sf_dir: str, labels: DataFrame) -> DataFrame:
+    """The funnel aggregation shared by both ``corpus_prep_pipeline``
+    variants: exact-dedup keep rule ∩ near-dup component survivors (from
+    the caller-chosen edge tier) ∩ quality floor, rolled up per source."""
     from pyspark.sql.window import Window
 
     d = parallelize_scan(table(spark, sf_dir, "documents"))
-    labels = component_labels(spark, sf_dir)
     fp_min = F.min("doc_id").over(
         Window.partitionBy(F.md5(norm_text().cast("binary")))
     )
@@ -1497,3 +1485,89 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("corpus_prep_pipeline", oracle=_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus prep funnel, per source: exact-dedup
+    survivors ∩ near-dup component survivors ∩ quality floor, with surviving
+    token mass — the end-to-end pipeline a 100 TB pretraining prep actually
+    runs, built from this engine's own stages (``dedup_exact`` keep rule,
+    ``dedup_components`` labels, ``token_counts`` tokenizer).
+
+    Every stage keeps its production shape: the exact-dedup keep rule is a
+    window-min over the md5 fingerprint (one hash shuffle), component
+    labels come from the distributed min-label propagation, and the quality
+    floor is a JVM-side regex count — the funnel aggregation itself is one
+    groupBy(source). All outputs are integers, so the oracle (which recomputes
+    the whole funnel in SQL, recursive closure included) matches exactly.
+    This variant's near-dup edge tier is the NAIVE exact-Jaccard pair scan
+    (the verify tier); ``corpus_prep_pipeline_minhash`` swaps in the banded
+    LSH tier a 100 TB run would use, through the same funnel body.
+    """
+    return _prep_funnel(spark, sf_dir, component_labels(spark, sf_dir))
+
+
+def _prep_minhash_oracle() -> str:
+    return f"""
+    WITH RECURSIVE jp AS (
+      SELECT doc_a, doc_b FROM ({_mhx_oracle()})
+    ),
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS label
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    staged AS (
+      SELECT d.source,
+             d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(lower(trim(d.text)))) AS keep_exact,
+             d.doc_id = c.label AS keep_near,
+             len(regexp_extract_all(d.text, '{WORD_REGEX}')) AS n_tok
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN keep_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN n_tok >= {_PREP_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM staged GROUP BY source ORDER BY source
+    """
+
+
+@register("corpus_prep_pipeline_minhash", oracle=_prep_minhash_oracle())
+def corpus_prep_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prep_pipeline`` with the PRODUCTION near-dup edge tier:
+    the banded MinHash-LSH candidate pairs (``minhash_lsh_exact``, est
+    Jaccard ≥ ``MHX_THRESHOLD`` over 3-shingle sets) feed the connected-
+    components stage instead of the naive all-pairs exact-Jaccard scan.
+
+    This is the swap-in a 100 TB run performs (VERDICT r5 ask #3): the
+    edge source's shuffle drops from the naive tier's hot-regime pair
+    join (17.9 MB audited on this corpus) to the id-only banded exchange
+    (~1 MB — see SCALE.md §pipelines), while the funnel body — exact-dedup
+    window, component labels, quality floor, per-source rollup — is
+    byte-identical shared code. Every stage stays SQL-replayable (the
+    md5-portable MinHash family), so the composed pipeline is graded
+    end-to-end: signatures → bands → candidates → components → funnel in
+    BOTH engines.
+    """
+    pairs = minhash_lsh_exact(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(pairs, docs)
+    return _prep_funnel(spark, sf_dir, labels)

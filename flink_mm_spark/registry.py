@@ -61,20 +61,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-5 rotation (VERDICT r4 ask #6): every one of the 109 oracle-bearing
-# entries is driver-green at least once across r1-r4, so the window becomes a
-# REGRESSION SENTINEL mix rather than a prover of new rows:
+# Round-6 rotation (VERDICT r5 ask #7): the sentinel-window discipline from
+# r5 continues — all 115 oracle-bearing entries are driver-green at least
+# once across r1-r5, so the window mixes:
 #
-# - the SURVEY §2 CORE (16 entries, graded every round) stays pinned;
-# - entries whose code CHANGED in r4/r5 grade next (the binmatrix connector
-#   trio + streamed runs under the r5 scratch-dir rework; minhash/simhash
-#   exact twins after the r5 id-only/vectorized-signature port; bpe_merges +
-#   bpe_encode after the r5 two-tier trainer; chunk_dedup shares the
-#   tokenizer module);
-# - the rest rotates in entries last graded in r2/r3 (rotated OUT in r4), so
-#   driver evidence stays fresh across the whole surface; each family keeps
-#   a representative in-window (tests/test_registry_order.py invariant).
-# The 22 entries graded green in r4 rotate out to DEFER.
+# - the SURVEY §2 CORE (16 entries, graded every round), pinned;
+# - the r6 NEW entries (substring_dedup, corpus_prep_pipeline_minhash) plus
+#   sentinels for r5/r6-CHANGED code: embedding_near_dup (r5
+#   block_pair_cosine dense-pack fix, past-window in r5), bpe_merges +
+#   bpe_encode (r6 local-tier byte cap touches the trainer),
+#   minhash_lsh_exact (its _banded_pairs output now feeds the minhash
+#   pipeline variant), events_hll_streamed (r6 restart-recovery work);
+# - a rotating third of entries last graded r2-r4 (histogram/count-min
+#   sketches, bm25, ANN exact twins, the composed funnels, the streamed
+#   join, the r2 relational window family), per the VERDICT r5 rotation
+#   list. The 30 entries graded green in r5 rotate out to DEFER; each
+#   family keeps a representative in-window
+#   (tests/test_registry_order.py invariant).
 PROMOTE: list[str] = [
     # --- §2 core, pinned every round ---
     "binary_f64_scan",
@@ -93,112 +96,112 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
-    # --- r4/r5-changed sentinels ---
-    "binmatrix_source_scan",
-    "binmatrix_sink_roundtrip",
-    "binmatrix_stream_scan",
-    "minhash_lsh_exact",
-    "simhash_exact",
+    # --- new in r6 + r5/r6-changed sentinels ---
+    "substring_dedup",
+    "corpus_prep_pipeline_minhash",
+    "embedding_near_dup",
     "bpe_merges",
     "bpe_encode",
-    "chunk_dedup",
-    "events_dedup_streamed",
-    "user_stats_streamed",
-    "events_sliding_streamed",
-    "click_purchase_streamed",
-    # --- new in r5: never driver-graded, take window priority ---
+    "minhash_lsh_exact",
     "events_hll_streamed",
-    "weighted_reservoir_sample",
-    "dup_cluster_sizes",
-    "token_bigram_pmi",
-    "zipf_fit",
-    # --- rotating third: last graded r2/r3, back in for freshness ---
-    "local_supplier_volume",
-    "asof_click_purchase",
-    "token_counts",
+    # --- rotating third: last graded r2-r4, back in for freshness ---
+    "histogram_quantiles",
+    "count_min_exact",
+    "bm25_topk",
+    "ann_lsh_exact",
+    "pq_adc_topk",
+    "curation_funnel",
+    "corpus_prep_pipeline",
+    "events_enriched_streamed",
+    "jaccard_prefix_filtered",
+    "bucketed_fact_join",
+    "dedup_exact",
+    "pricing_summary",
+    "rollup_sales",
+    "top_customers_per_nation",
+    "user_funnel_full_outer",
+    "events_minutely_gapfill",
+    "jaccard_shingle_pairs",
+    "benchmark_contamination",
+    "vocab_top_terms",
+    "quality_logit_score",
+    "gopher_quality_flags",
+    "stratified_sample",
+    "binmatrix_sink_roundtrip",
+    "knn_per_label",
+    "kmeans_empty_repair",
     "doc_fingerprints",
-    "media_decode_features",
-    "pii_scrub",
-    "pack_sequences",
-    "mixture_plan",
-    "dedup_components",
-    "cosine_topk",
-    "repetition_signals",
-    "unigram_logprob",
-    "dsir_importance",
-    "semantic_dedup",
-    "user_sessions_batch",
-    "cube_order_stats",
-    "hll_distinct_exact",
+    "asof_click_purchase",
 ]
 
 DEFER: list[str] = [
-    # --- rotated out mid-r5 for the four new r5 operators (all four of
-    #     these are r2/r3-graded AND re-proven by the -m medium gate) ---
-    "clamp_small_values",  # P4 map/filter: local_supplier_volume graded
-    "embedding_near_dup",  # block-pair GEMM kernel: semantic_dedup graded
-    "knn_per_label",  # cogrouped cosine kernel: cosine_topk graded
+    # --- graded green in r5, rotated out this round (in-window sibling) ---
+    "binmatrix_source_scan",  # binmatrix connector: binmatrix_sink_roundtrip reads through it
+    "binmatrix_stream_scan",  # binmatrix stream: binmatrix_sink_roundtrip graded
+    "simhash_exact",  # sketch-dedup twin: minhash_lsh_exact graded
+    "chunk_dedup",  # sub-document dedup: substring_dedup graded
+    "events_dedup_streamed",  # streamed dedup: events_enriched_streamed graded
+    "user_stats_streamed",  # stateful stream: events_hll_streamed graded
+    "events_sliding_streamed",  # windowed stream: events_enriched_streamed graded
+    "click_purchase_streamed",  # stream-stream join: events_enriched_streamed graded
+    "weighted_reservoir_sample",  # sampling: stratified_sample graded
+    "dup_cluster_sizes",  # exact-dedup rollup: dedup_exact graded
+    "token_bigram_pmi",  # text stats: vocab_top_terms graded
+    "zipf_fit",  # text stats: vocab_top_terms graded
+    "local_supplier_volume",  # equi-join: bucketed_fact_join graded
+    "token_counts",  # text analysis: vocab_top_terms graded
+    "media_decode_features",  # multimodal: media_audio_energy graded
+    "pii_scrub",  # corpus-prep flags: benchmark_contamination graded
+    "pack_sequences",  # llm_prep: stratified_sample graded
+    "mixture_plan",  # llm_prep: stratified_sample graded
+    "dedup_components",  # components: corpus_prep_pipeline runs them end-to-end
+    "cosine_topk",  # cosine kernel: knn_per_label graded
+    "repetition_signals",  # quality metrics: gopher_quality_flags graded
+    "unigram_logprob",  # corpus LM: quality_logit_score graded
+    "dsir_importance",  # curation: curation_funnel graded
+    "semantic_dedup",  # block-pair GEMM kernel: embedding_near_dup graded
+    "user_sessions_batch",  # window family: top_customers_per_nation graded
+    "cube_order_stats",  # §2.5 rollup/cube/pivot: rollup_sales graded
+    "hll_distinct_exact",  # sketch family: histogram_quantiles + count_min_exact graded
+    # --- long-deferred with unchanged family representation ---
+    "clamp_small_values",  # P4 map/filter: pricing_summary graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
-    "kmeans_empty_repair",  # k-means internals: kmeans_full graded
-    # --- graded green in r4, rotated out this round (in-window sibling) ---
-    "pricing_summary",  # keyed reduce: label_centroid_udaf graded
-    "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats graded
-    "top_customers_per_nation",  # window top-k: user_sessions_batch graded
-    "dedup_exact",  # exact dedup: dedup_components composes the hash groupBy
-    "jaccard_prefix_filtered",  # candidate pairs: minhash_lsh_exact graded
-    "bucketed_fact_join",  # equi-join: local_supplier_volume graded
-    "user_funnel_full_outer",  # join family: local_supplier_volume graded
-    "events_minutely_gapfill",  # time aggs: events_sliding_streamed graded
-    "histogram_quantiles",  # sketch family: hll_distinct_exact graded
-    "count_min_exact",  # sketch family: hll_distinct_exact graded
-    "jaccard_shingle_pairs",  # candidate pairs: minhash_lsh_exact graded
-    "benchmark_contamination",  # corpus-prep flags: pii_scrub graded
-    "ann_lsh_exact",  # cogrouped cosine kernel: cosine_topk + knn_per_label graded
-    "pq_adc_topk",  # compressed ANN tier: cosine_topk grades the scoring kernel
-    "vocab_top_terms",  # text analysis: token_counts + doc_fingerprints graded
-    "bm25_topk",  # retrieval top-k: token_counts keeps the text family graded
-    "quality_logit_score",  # model scoring: unigram_logprob graded
-    "gopher_quality_flags",  # quality flags: repetition_signals graded
-    "stratified_sample",  # llm_prep: pack_sequences + pii_scrub graded
-    "curation_funnel",  # curation composition: dsir_importance + semantic_dedup graded
-    "corpus_prep_pipeline",  # prep composition: dedup_components graded
-    "events_enriched_streamed",  # streamed join: events_sliding_streamed + click_purchase_streamed graded
     # --- rotated out earlier; family representation unchanged ---
     "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
     "centroid_lines_scan",  # S6 text lines: text_points_scan graded
     "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the pairing
     "partitioned_sink_roundtrip",  # S10 sink: binmatrix_sink_roundtrip graded
-    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed graded
-    "user_sessions_streamed",  # session windows: user_stats_streamed graded
+    "events_hourly_streamed",  # tumbling stream: events_enriched_streamed graded
+    "user_sessions_streamed",  # session windows: events_hll_streamed keeps stateful graded
     "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
-    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup graded
+    "dup_span_coverage",  # Lee et al. span coverage: substring_dedup graded
     "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
     # --- oracle-bearing twins of queries that stay graded ---
-    "jaccard_token_pairs",  # naive twin: minhash_lsh_exact keeps pair dedup graded
+    "jaccard_token_pairs",  # naive twin: jaccard_shingle_pairs graded
     "event_followups_range_join",  # interval-join twin: asof_click_purchase graded
-    "nation_set_ops",  # §2.5 set ops: cube_order_stats graded
-    "text_quality_by_lang",  # quality ratios: unigram_logprob graded
-    "lang_id_heuristic",  # text family: token_counts graded
+    "nation_set_ops",  # §2.5 set ops: rollup_sales graded
+    "text_quality_by_lang",  # quality ratios: quality_logit_score graded
+    "lang_id_heuristic",  # text family: vocab_top_terms graded
     "orders_by_priority",  # keyed reduce: label_centroid_udaf graded
-    "orders_with_returns",  # semi-join: local_supplier_volume graded
-    "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
-    "order_price_unpivot",  # pivot family: cube_order_stats graded
-    "event_type_pivot",  # pivot twin: cube_order_stats graded
-    "monthly_revenue_trend",  # trend window: user_sessions_batch graded
-    "running_order_totals",  # cumulative window: user_sessions_batch graded
-    "customers_without_orders",  # anti-join: local_supplier_volume graded
-    "suppliers_with_large_lineitems",  # semi-join variant: local_supplier_volume graded
-    "events_json_props",  # JSON extraction: events_sliding_streamed graded
-    "distinct_part_types",  # DISTINCT: dedup_components keeps exact dedup graded
-    "media_resize_estimate",  # metadata arithmetic: media_decode_features graded
+    "orders_with_returns",  # semi-join: user_funnel_full_outer graded
+    "top_orders_by_price",  # sort+limit: top_customers_per_nation keeps windows graded
+    "order_price_unpivot",  # pivot family: rollup_sales graded
+    "event_type_pivot",  # pivot twin: rollup_sales graded
+    "monthly_revenue_trend",  # trend window: top_customers_per_nation graded
+    "running_order_totals",  # cumulative window: top_customers_per_nation graded
+    "customers_without_orders",  # anti-join: user_funnel_full_outer graded
+    "suppliers_with_large_lineitems",  # semi-join variant: user_funnel_full_outer graded
+    "events_json_props",  # JSON extraction: events_enriched_streamed graded
+    "distinct_part_types",  # DISTINCT: dedup_exact graded
+    "media_resize_estimate",  # metadata arithmetic: media_audio_energy graded
     "salted_event_totals",  # salted partial agg: kmeans_centroid_update graded
     "economy_revenue_share",  # global sum: mds_stress graded
-    "customer_order_gaps",  # lag window: user_sessions_batch graded
-    "events_hourly",  # events time agg: events_sliding_streamed graded
-    "shipping_priority",  # equi-join: local_supplier_volume graded
-    "quantity_percentiles",  # ordered analytics: user_sessions_batch graded
+    "customer_order_gaps",  # lag window: top_customers_per_nation graded
+    "events_hourly",  # events time agg: events_minutely_gapfill graded
+    "shipping_priority",  # equi-join: bucketed_fact_join graded
+    "quantity_percentiles",  # ordered analytics: top_customers_per_nation graded
     "global_stats",  # DoubleStatistics: short_matrix_stats graded
     "media_metadata",  # metadata projection: media_audio_energy graded
     "media_frame_sample",  # frame explode: media_audio_energy graded

@@ -77,79 +77,80 @@ def test_core_workloads_registered_first():
 def test_every_deferred_query_has_a_graded_family_sibling():
     """A deferred oracle query must leave its family represented in-window.
 
-    Rewritten for the round-5 SENTINEL window (VERDICT r4 ask #6): all 109
-    oracle entries are driver-proven at least once across r1-r4, so the
-    window now mixes the pinned §2 core, the r4/r5-changed operators, and
-    a rotating third of entries last graded in r2/r3; the 22 rows graded
-    in r4 rotate out and point at the promoted member of their family.
+    Round-6 SENTINEL window (VERDICT r5 ask #7): all 115 oracle entries are
+    driver-proven at least once across r1-r5, so the window mixes the pinned
+    §2 core, the r6 new entries + r5/r6-changed-code sentinels, and a
+    rotating third of entries last graded r2-r4; the 30 rows graded green in
+    r5 rotate out and point at the promoted member of their family.
     """
     graded = set(window())
     siblings = {
-        # rotated out mid-r5 to grade the four new r5 operators first
-        "clamp_small_values": "local_supplier_volume",
-        "embedding_near_dup": "semantic_dedup",
-        "knn_per_label": "cosine_topk",
+        # graded green in r5, rotated out in the r6 sentinel window
+        "binmatrix_source_scan": "binmatrix_sink_roundtrip",
+        "binmatrix_stream_scan": "binmatrix_sink_roundtrip",
+        "simhash_exact": "minhash_lsh_exact",
+        "chunk_dedup": "substring_dedup",
+        "events_dedup_streamed": "events_enriched_streamed",
+        "user_stats_streamed": "events_hll_streamed",
+        "events_sliding_streamed": "events_enriched_streamed",
+        "click_purchase_streamed": "events_enriched_streamed",
+        "weighted_reservoir_sample": "stratified_sample",
+        "dup_cluster_sizes": "dedup_exact",
+        "token_bigram_pmi": "vocab_top_terms",
+        "zipf_fit": "vocab_top_terms",
+        "local_supplier_volume": "bucketed_fact_join",
+        "token_counts": "vocab_top_terms",
+        "media_decode_features": "media_audio_energy",
+        "pii_scrub": "benchmark_contamination",
+        "pack_sequences": "stratified_sample",
+        "mixture_plan": "stratified_sample",
+        "dedup_components": "corpus_prep_pipeline",
+        "cosine_topk": "knn_per_label",
+        "repetition_signals": "gopher_quality_flags",
+        "unigram_logprob": "quality_logit_score",
+        "dsir_importance": "curation_funnel",
+        "semantic_dedup": "embedding_near_dup",
+        "user_sessions_batch": "top_customers_per_nation",
+        "cube_order_stats": "rollup_sales",
+        "hll_distinct_exact": "histogram_quantiles",
+        # long-deferred, family representation per the r6 window
+        "clamp_small_values": "pricing_summary",
         "damds_varray_vp": "damds_embed",
-        "kmeans_empty_repair": "kmeans_full",
-        # graded green in r4, rotated out in the r5 sentinel window
-        "pricing_summary": "label_centroid_udaf",
-        "rollup_sales": "cube_order_stats",
-        "top_customers_per_nation": "user_sessions_batch",
-        "dedup_exact": "dedup_components",
-        "jaccard_prefix_filtered": "minhash_lsh_exact",
-        "bucketed_fact_join": "local_supplier_volume",
-        "user_funnel_full_outer": "local_supplier_volume",
-        "events_minutely_gapfill": "events_sliding_streamed",
-        "histogram_quantiles": "hll_distinct_exact",
-        "count_min_exact": "hll_distinct_exact",
-        "jaccard_shingle_pairs": "minhash_lsh_exact",
-        "benchmark_contamination": "pii_scrub",
-        "ann_lsh_exact": "cosine_topk",
-        "pq_adc_topk": "cosine_topk",
-        "vocab_top_terms": "token_counts",
-        "bm25_topk": "token_counts",
-        "quality_logit_score": "unigram_logprob",
-        "gopher_quality_flags": "repetition_signals",
-        "stratified_sample": "pack_sequences",
-        "curation_funnel": "dsir_importance",
-        "corpus_prep_pipeline": "dedup_components",
-        "events_enriched_streamed": "events_sliding_streamed",
-        # rotated out earlier; family representation unchanged
         "matrix_generators_roundtrip": "binary_f64_scan",
         "centroid_lines_scan": "text_points_scan",
         "damds_sidefile_scan": "damds_embed",
         "partitioned_sink_roundtrip": "binmatrix_sink_roundtrip",
-        "events_hourly_streamed": "events_sliding_streamed",
-        "user_sessions_streamed": "user_stats_streamed",
+        "events_hourly_streamed": "events_enriched_streamed",
+        "user_sessions_streamed": "events_hll_streamed",
         "damds_bofz_bc": "damds_embed",
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
-        "dup_span_coverage": "chunk_dedup",
+        "dup_span_coverage": "substring_dedup",
         "quantize_roundtrip": "binary_i16_scan",
         # long-deferred twins
-        "jaccard_token_pairs": "minhash_lsh_exact",
+        "jaccard_token_pairs": "jaccard_shingle_pairs",
         "event_followups_range_join": "asof_click_purchase",
-        "nation_set_ops": "cube_order_stats",
-        "text_quality_by_lang": "unigram_logprob",
-        "lang_id_heuristic": "token_counts",
+        "nation_set_ops": "rollup_sales",
+        "text_quality_by_lang": "quality_logit_score",
+        "lang_id_heuristic": "vocab_top_terms",
         "orders_by_priority": "label_centroid_udaf",
-        "orders_with_returns": "local_supplier_volume",
-        "top_orders_by_price": "user_sessions_batch",
-        "order_price_unpivot": "cube_order_stats",
-        "event_type_pivot": "cube_order_stats",
-        "monthly_revenue_trend": "user_sessions_batch",
-        "running_order_totals": "user_sessions_batch",
-        "customers_without_orders": "local_supplier_volume",
-        "suppliers_with_large_lineitems": "local_supplier_volume",
-        "events_json_props": "events_sliding_streamed",
-        "distinct_part_types": "dedup_components",
-        "media_resize_estimate": "media_decode_features",
+        "orders_with_returns": "user_funnel_full_outer",
+        "top_orders_by_price": "top_customers_per_nation",
+        "order_price_unpivot": "rollup_sales",
+        "event_type_pivot": "rollup_sales",
+        "monthly_revenue_trend": "top_customers_per_nation",
+        "running_order_totals": "top_customers_per_nation",
+        "customers_without_orders": "user_funnel_full_outer",
+        "suppliers_with_large_lineitems": "user_funnel_full_outer",
+        "events_json_props": "events_enriched_streamed",
+        "distinct_part_types": "dedup_exact",
+        "media_resize_estimate": "media_audio_energy",
         "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",
-        "customer_order_gaps": "user_sessions_batch",
-        "events_hourly": "events_sliding_streamed",
-        "shipping_priority": "local_supplier_volume",
-        "quantity_percentiles": "user_sessions_batch",
+        "customer_order_gaps": "top_customers_per_nation",
+        "events_hourly": "events_minutely_gapfill",
+        "shipping_priority": "bucketed_fact_join",
+        "quantity_percentiles": "top_customers_per_nation",
         "global_stats": "short_matrix_stats",
         "media_metadata": "media_audio_energy",
         "media_frame_sample": "media_audio_energy",
