@@ -95,6 +95,13 @@ BPE_CHECKPOINT_EVERY = 8  # rounds between lineage truncations
 # so this is the production path; the distributed batched-exact loop above it
 # exists for vocabularies that genuinely cannot sit on the driver.
 BPE_LOCAL_MAX_VOCAB = 4_000_000
+# ... but a word COUNT alone does not bound the collect: a corpus with
+# pathological "words" (no whitespace, binary spill) can blow the per-word
+# string sizes while staying under the count cap (VERDICT r5 ask #6). The
+# local tier is chosen only when the total collected characters also fit —
+# 256 MiB of raw word text (a few× that with Python object overhead, still
+# far under driver heap; real web corpora are ~100 MB at 10M words).
+BPE_LOCAL_MAX_CHARS = 256 * 1024 * 1024
 
 
 def _apply_merge_word(syms: list[str], left: str, right: str) -> list[str]:
@@ -322,7 +329,8 @@ def _train_merges_from_words(
 
     r5 scale hardening (VERDICT r4 ask #3), two tiers:
 
-    - vocab ≤ ``BPE_LOCAL_MAX_VOCAB`` distinct words (every realistic
+    - vocab ≤ ``BPE_LOCAL_MAX_VOCAB`` distinct words AND ≤
+      ``BPE_LOCAL_MAX_CHARS`` total word characters (every realistic
       corpus, including 100 TB web text): collect the table and train
       DRIVER-LOCAL with the incremental-heap trainer
       (``_train_merges_local``) — 30k merges in seconds, zero per-merge
@@ -342,7 +350,14 @@ def _train_merges_from_words(
     Both tiers produce the identical merge table (tests/test_bpe_trainer.py
     proves them equal to the sequential replay and to each other).
     """
-    if words.count() <= BPE_LOCAL_MAX_VOCAB:
+    # one aggregate decides the tier: the count cap bounds rows, the char
+    # cap bounds collected bytes (pathological no-whitespace corpora can
+    # blow word sizes without blowing the count — VERDICT r5 ask #6)
+    bound = words.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    if bound["n"] <= BPE_LOCAL_MAX_VOCAB and bound["chars"] <= BPE_LOCAL_MAX_CHARS:
         items = [(r["w"], int(r["freq"])) for r in words.collect()]
         return _train_merges_local(items, n_merges)
     seqs = words.select(
@@ -811,14 +826,22 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTINCT word table is segmented once (driver broadcast of the
     O(vocab) piece table, Viterbi per distinct word), and the per-word
     piece counts broadcast-join back onto the exploded word stream; per-doc
-    rollups are integer sums. The corpus is never segmented row-by-row."""
-    words = _unigram_words(spark, sf_dir)
-    rows, _losses = train_unigram(words)
-    logp = {p: lp for p, _c, lp in rows}
-    seg = [
-        (r["w"], len(_viterbi(r["w"], logp, UNI_MAX_PIECE_LEN)[0]))
-        for r in words.collect()
-    ]
+    rollups are integer sums. The corpus is never segmented row-by-row.
+
+    The word table is persisted for the run (ADVICE r5): train_unigram
+    consumes it ~5 times (seed aggregate, char distinct, EM rounds) and
+    the segmentation collect is a 6th — unpersisted, each consumer
+    re-executed the corpus word-count shuffle."""
+    words = _unigram_words(spark, sf_dir).persist()
+    try:
+        rows, _losses = train_unigram(words)
+        logp = {p: lp for p, _c, lp in rows}
+        seg = [
+            (r["w"], len(_viterbi(r["w"], logp, UNI_MAX_PIECE_LEN)[0]))
+            for r in words.collect()
+        ]
+    finally:
+        words.unpersist()
     enc = spark.createDataFrame(seg, "w string, n_pieces int")
     docs = table(spark, sf_dir, "documents")
     dw = docs.select(

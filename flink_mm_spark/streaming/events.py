@@ -861,6 +861,32 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_register_stream(stream: DataFrame) -> DataFrame:
+    """(event_type, idx) → max(v) HLL register aggregate over an event
+    stream — the whole streaming state is keys × HLL_M register rows, and
+    max-merge makes the result independent of micro-batch splits, so a
+    checkpoint-recovered run is bit-identical to an unbroken one
+    (tests/test_streaming.py::test_hll_restart_recovery)."""
+    from flink_mm_spark.operators.relational import HLL_M, HLL_P, _HLL_LOW
+
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = stream.select(F.col("event_type"), h.alias("h")).select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    v = F.when(F.col("w") == 0, F.lit(_HLL_LOW)).otherwise(
+        F.col("w").bitwiseAND(-F.col("w"))
+    )
+    return (
+        base.select("event_type", "idx", v.alias("v"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("v").alias("maxv"))
+    )
+
+
 @register("events_hll_streamed", oracle=_HLL_ORACLE)
 def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user sketch maintained as STREAMING STATE: the
@@ -881,7 +907,6 @@ def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_mm_spark.operators.relational import (
         HLL_M,
-        HLL_P,
         _HLL_ALPHA,
         _HLL_EMPTY,
         _HLL_LOW,
@@ -891,22 +916,7 @@ def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_mm_spark.sources.tables import table
 
     stream = events_stream(spark, sf_dir, glob="events.parquet")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    base = stream.select(F.col("event_type"), h.alias("h")).select(
-        "event_type",
-        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
-        F.shiftright("h", HLL_P).alias("w"),
-    )
-    v = F.when(F.col("w") == 0, F.lit(_HLL_LOW)).otherwise(
-        F.col("w").bitwiseAND(-F.col("w"))
-    )
-    regs = (
-        base.select("event_type", "idx", v.alias("v"))
-        .groupBy("event_type", "idx")
-        .agg(F.max("v").alias("maxv"))
-    )
+    regs = hll_register_stream(stream)
     name = f"events_hll_streamed_{uuid.uuid4().hex[:8]}"
     q = (
         regs.writeStream.format("memory")

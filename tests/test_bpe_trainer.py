@@ -136,3 +136,29 @@ def test_distributed_tiny_topk_and_checkpoint(spark, monkeypatch):
 def test_distributed_equals_sequential_random(spark, seed, monkeypatch):
     words = _zipf_vocab(seed=seed, n_words=35, alphabet="abc")
     assert _distributed(spark, words, 10, monkeypatch) == sequential_bpe(words, 10)
+
+
+def test_local_tier_byte_cap(spark, monkeypatch):
+    """A vocabulary tiny by COUNT but huge by word length must not take the
+    driver-local collect (VERDICT r5 ask #6: a no-whitespace/binary-spill
+    corpus blows per-word string sizes, not the distinct count). Shrink the
+    char cap below the vocab's total length and verify the trainer falls
+    back to the distributed tier — and stays merge-exact."""
+    calls: list[int] = []
+    real_local = tk._train_merges_local
+
+    def spy(items, n_merges):
+        calls.append(1)
+        return real_local(items, n_merges)
+
+    monkeypatch.setattr(tk, "_train_merges_local", spy)
+    monkeypatch.setattr(tk, "BPE_LOCAL_MAX_CHARS", 64)
+    words = {"abcd" * 40: 5, "bcda" * 40: 3, "ab": 9}  # 3 words, 322 chars
+    df = spark.createDataFrame(list(words.items()), "w string, freq bigint")
+    got = tk._train_merges_from_words(df, 8)
+    assert not calls, "byte-capped vocab still took the driver-local tier"
+    assert got == sequential_bpe(words, 8)
+    # the same vocab under the default caps DOES train locally
+    monkeypatch.setattr(tk, "BPE_LOCAL_MAX_CHARS", 256 * 1024 * 1024)
+    assert tk._train_merges_from_words(df, 8) == got
+    assert calls
