@@ -68,6 +68,10 @@ HEADLINE = [
     "dup_cluster_sizes",        # r5: dedup-cluster histogram (two keyed shuffles)
     "token_bigram_pmi",         # r5: collocation PMI (pair shuffle + broadcast marginals)
     "zipf_fit",                 # r5: frequency-spectrum power-law fit
+    "substring_dedup",          # r6: cross-document repeated-span removal
+                                # (chunk-hash anchors → span growing → strip)
+    "corpus_prep_pipeline_minhash",  # r6: composed pipeline, banded MinHash
+                                # edge tier (the 100 TB edge source)
 ]
 
 

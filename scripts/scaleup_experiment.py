@@ -67,6 +67,17 @@ OPERATORS = [
     # on adversarial chain graphs by cc_rounds_experiment below.
     "pack_sequences",
     "semantic_dedup",
+    # r6 additions (VERDICT r5 ask #4). This corpus is the growing-vocabulary
+    # case the fixed 31-token testdata cannot exercise: realized distinct
+    # tokens grow with corpus size (log-uniform draws over a 500k-rank
+    # space), so token_bigram_pmi's pair-key cardinality and bpe_encode's
+    # distinct-word table grow with the data rather than saturating at
+    # |31|² / 31. mixture_plan double-scans the corpus (per-source totals,
+    # then the plan rejoin) — its growth checks that both passes stay
+    # scan-shaped.
+    "token_bigram_pmi",
+    "bpe_encode",
+    "mixture_plan",
 ]
 EMB_DIM = 64
 
@@ -93,7 +104,9 @@ def synth_documents(spark, n_docs: int, out_dir: str) -> None:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "source": np.where(ids % 3 == 0, "web", "books"),
+                    # testdata-shaped source ids: mixture_plan parses the
+                    # numeric suffix of 'src<NN>' for its weight derivation
+                    "source": np.char.add("src", (ids % 8).astype(str)),
                     "lang": "en",
                     "text": texts,
                 }
@@ -165,8 +178,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="3000,30000,300000")
     ap.add_argument("--skip-cc", action="store_true")
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated subset of OPERATORS (default: all)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    ops = OPERATORS if args.ops is None else args.ops.split(",")
+    unknown = [o for o in ops if o not in OPERATORS]
+    if unknown:
+        raise SystemExit(f"not in OPERATORS: {unknown}")
 
     spark = get_spark("flink-mm-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -190,7 +212,7 @@ def main() -> None:
             saved_k = curation.SEMDEDUP_K
             curation.SEMDEDUP_K = max(8, n // 2000)
             try:
-                for op in OPERATORS:
+                for op in ops:
                     t0 = time.perf_counter()
                     registry.QUERIES[op].fn(spark, d).write.mode("overwrite").format(
                         "noop"
@@ -206,7 +228,7 @@ def main() -> None:
     hdr = "| operator | " + " | ".join(f"{n:,} docs" for n in sizes) + " | growth (per 10x) |"
     print("\n" + hdr, file=sys.stderr)
     print("|---" * (len(sizes) + 2) + "|", file=sys.stderr)
-    for op in OPERATORS:
+    for op in ops:
         times = [results[(op, n)] for n in sizes]
         ratios = [
             f"{times[i + 1] / times[i]:.1f}x" for i in range(len(sizes) - 1)

@@ -82,6 +82,12 @@ AUDITED = [
     "dup_cluster_sizes",
     "token_bigram_pmi",
     "zipf_fit",
+    # r6 (VERDICT r5 asks #1/#3): the substring deduper's anchor-keyed
+    # exchanges, and the composed pipeline with its near-dup edge tier
+    # swapped from the naive-jaccard scan to banded MinHash-LSH candidates —
+    # the pair whose byte drop is the point of the variant.
+    "substring_dedup",
+    "corpus_prep_pipeline_minhash",
 ]
 
 
