@@ -447,6 +447,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SUBSTR_DEDUP_K = 10  # minimum duplicated-span width in tokens
+_SUBSTR_CACHE: list = []  # persisted tokenized table (module-cache pattern)
 
 
 @register(
@@ -457,7 +458,7 @@ SUBSTR_DEDUP_K = 10  # minimum duplicated-span width in tokens
       FROM documents
     ),
     g AS (
-      SELECT doc_id, s.s AS s, s.g AS gram FROM (
+      SELECT doc_id, s.s AS s, md5(s.g) AS gk FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, len(a) - {SUBSTR_DEDUP_K} + 2),
                       i -> struct_pack(s := i,
@@ -466,11 +467,11 @@ SUBSTR_DEDUP_K = 10  # minimum duplicated-span width in tokens
       )
     ),
     grp AS (
-      SELECT gram, COUNT(*) AS cnt, MIN((doc_id, s)) AS canon
-      FROM g GROUP BY gram
+      SELECT gk, COUNT(*) AS cnt, MIN((doc_id, s)) AS canon
+      FROM g GROUP BY gk
     ),
     red AS (
-      SELECT g.doc_id, g.s FROM g JOIN grp USING (gram)
+      SELECT g.doc_id, g.s FROM g JOIN grp USING (gk)
       WHERE grp.cnt > 1 AND (g.doc_id, g.s) <> grp.canon
     ),
     pos AS (
@@ -544,14 +545,22 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join re-attaching group stats to occurrences (AQE broadcasts
     while the dup set is small, sort-merge beyond), and (3) a doc_id
     aggregate collecting each doc's removed positions (bounded by doc
-    length, NOT corpus size). Never a doc×doc pair join. At 100 TB key
-    the gram exchange on ``xxhash64(gram)`` to shrink shuffle rows —
-    identical plan. The island count and kept-token filter are in-array
-    lambdas over the per-doc position list — no window over corpus rows.
+    length, NOT corpus size). Never a doc×doc pair join. Both gram
+    exchanges carry ``md5(gram)`` — a constant 32 chars instead of the
+    K-token text (~2× fewer bytes on real prose; the hash is portable,
+    so DuckDB replays the exact same keys and even a collision — one in
+    2^128 — would resolve identically in both engines). The island count
+    and kept-token filter are in-array lambdas over the per-doc position
+    list — no window over corpus rows. The tokenized table feeds both
+    the gram pipeline and the final rejoin, so it is persisted for the
+    run (module-cache pattern) instead of re-tokenizing the corpus.
     """
     K = SUBSTR_DEDUP_K
     d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    t = d.select("doc_id", tokens_expr().alias("a"))
+    while _SUBSTR_CACHE:
+        _SUBSTR_CACHE.pop().unpersist()
+    t = d.select("doc_id", tokens_expr().alias("a")).persist()
+    _SUBSTR_CACHE.append(t)
     n = F.size("a")
     spans = F.when(
         n >= K,
@@ -561,14 +570,14 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = t.select("doc_id", F.posexplode(spans).alias("pos0", "gram")).select(
-        "doc_id", (F.col("pos0") + 1).alias("s"), "gram"
+        "doc_id", (F.col("pos0") + 1).alias("s"), F.md5("gram").alias("gk")
     )
-    grp = g.groupBy("gram").agg(
+    grp = g.groupBy("gk").agg(
         F.count("*").alias("cnt"),
         F.min(F.struct("doc_id", "s")).alias("canon"),
     )
     red = (
-        g.join(grp, "gram")
+        g.join(grp, "gk")
         .filter(
             (F.col("cnt") > 1) & (F.struct("doc_id", "s") != F.col("canon"))
         )

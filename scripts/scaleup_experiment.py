@@ -78,8 +78,20 @@ OPERATORS = [
     "token_bigram_pmi",
     "bpe_encode",
     "mixture_plan",
+    # r6: the substring deduper. The boilerplate population (below) gives it
+    # a real duplicated-span workload that GROWS with the corpus: every 7th
+    # doc carries the same 14-token tail, so one gram group's occurrence
+    # count is n/7 — the hot-gram shape a shared license header / nav bar
+    # produces at 100 TB. The gram-key aggregate must absorb that skew via
+    # partial aggregation (count per gram), never a pairwise expansion.
+    "substring_dedup",
 ]
 EMB_DIM = 64
+
+# 14 tokens >= SUBSTR_DEDUP_K + 4: every interior K-window of the tail is
+# duplicated across the n/7 docs that carry it, so spans both nominate and
+# grow. Outside t-rank space so it collides with nothing organic.
+BOILERPLATE = " ".join(f"bp{i}" for i in range(14))
 
 
 def synth_documents(spark, n_docs: int, out_dir: str) -> None:
@@ -98,8 +110,10 @@ def synth_documents(spark, n_docs: int, out_dir: str) -> None:
             # the BM25 probe terms appear at stable positions so the probe
             # postings are non-empty at every size
             texts = [
-                "scan join window " + " ".join(f"t{r}" for r in row)
-                for row in ranks
+                "scan join window "
+                + " ".join(f"t{r}" for r in row)
+                + (" " + BOILERPLATE if i % 7 == 0 else "")
+                for i, row in zip(ids, ranks)
             ]
             yield pd.DataFrame(
                 {
