@@ -72,6 +72,10 @@ HEADLINE = [
                                 # (chunk-hash anchors → span growing → strip)
     "corpus_prep_pipeline_minhash",  # r6: composed pipeline, banded MinHash
                                 # edge tier (the 100 TB edge source)
+    "wordpiece_merges",         # r6: likelihood-scored tokenizer trainer
+                                # (word-count shuffle + driver-local merges)
+    "events_cms_streamed",      # r6: count-min cells as streaming state
+                                # (sum-merge complement of the HLL stream)
 ]
 
 

@@ -38,14 +38,14 @@ N_MERGES = 6
 # non-overlapping occurrences left to right, so consecutive repeats
 # (`a a a` → `aa a`, not `a aa`) merge identically — greedy-left BPE.
 _BPE_STAGE = """
-, pc{k} AS (
+, pc{k} AS MATERIALIZED (
   SELECT p, SUM(freq) AS cnt FROM (
     SELECT freq, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS p
     FROM (SELECT freq, string_split(seq, ' ') AS l FROM w{prev})
   ) GROUP BY p
 ),
-best{k} AS (SELECT p, cnt FROM pc{k} ORDER BY cnt DESC, p ASC LIMIT 1),
-w{k} AS (
+best{k} AS MATERIALIZED (SELECT p, cnt FROM pc{k} ORDER BY cnt DESC, p ASC LIMIT 1),
+w{k} AS MATERIALIZED (
   SELECT w, freq,
          trim(replace(' ' || seq || ' ',
                       ' ' || (SELECT p FROM best{k}) || ' ',
@@ -104,14 +104,18 @@ BPE_LOCAL_MAX_VOCAB = 4_000_000
 BPE_LOCAL_MAX_CHARS = 256 * 1024 * 1024
 
 
-def _apply_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+def _apply_merge_word(
+    syms: list[str], left: str, right: str, merged: str | None = None
+) -> list[str]:
     """Apply one merge to a word's symbol list with EXACTLY the padded
     string-``replace`` semantics the Spark expressions and the DuckDB
     oracle share: occurrences are consumed left-to-right, and a match
     consumes the separator AFTER its right symbol, so the NEXT possible
     match starts two symbols later — ``a b a b`` → ``ab a b`` (not
-    ``ab ab``), ``a a a`` → ``aa a``."""
-    merged = left + right
+    ``ab ab``), ``a a a`` → ``aa a``. ``merged`` defaults to plain BPE
+    concatenation; WordPiece passes its ##-stripped form."""
+    if merged is None:
+        merged = left + right
     out: list[str] = []
     i, n = 0, len(syms)
     while i < n:
@@ -524,6 +528,305 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (Schuster & Nakajima 2012 — the BERT tokenizer)
+# ---------------------------------------------------------------------------
+
+WP_N_MERGES = 6
+WP_CONT = "##"  # continuation prefix for non-word-initial symbols
+
+# One unrolled oracle stage per merge round. WordPiece differs from BPE in
+# exactly two places, both replayed here: (1) the symbol space carries the
+# ## continuation prefix (word-initial char bare, the rest ##-prefixed;
+# a merged symbol keeps the LEFT side's prefix and strips the right's), and
+# (2) the argmax is by LIKELIHOOD score c(l,r) / (f(l)·f(r)) instead of raw
+# count. The score is a ratio of exact integers, so the argmax is decided
+# by HUGEINT cross-multiplication — c_p·f_l(q)·f_r(q) vs c_q·f_l(p)·f_r(p)
+# — never a float division; ties break on the pair string ascending, the
+# same byte-wise ASCII comparison in both engines.
+_WP_STAGE = """
+, pc{k} AS MATERIALIZED (
+  SELECT p, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS p
+    FROM (SELECT freq, string_split(seq, ' ') AS l FROM w{prev})
+  ) GROUP BY p
+),
+sc{k} AS MATERIALIZED (
+  SELECT s, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(string_split(seq, ' ')) AS s FROM w{prev}
+  ) GROUP BY s
+),
+scored{k} AS MATERIALIZED (
+  SELECT p.p, p.cnt, l.cnt AS lf, r.cnt AS rf
+  FROM pc{k} p
+  JOIN sc{k} l ON l.s = split_part(p.p, ' ', 1)
+  JOIN sc{k} r ON r.s = split_part(p.p, ' ', 2)
+),
+best{k} AS MATERIALIZED (
+  SELECT * FROM scored{k} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM scored{k} q
+    WHERE CAST(q.cnt AS HUGEINT) * p.lf * p.rf > CAST(p.cnt AS HUGEINT) * q.lf * q.rf
+       OR (CAST(q.cnt AS HUGEINT) * p.lf * p.rf = CAST(p.cnt AS HUGEINT) * q.lf * q.rf
+           AND q.p < p.p)
+  )
+),
+w{k} AS MATERIALIZED (
+  SELECT w, freq,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT p FROM best{k}) || ' ',
+                      ' ' || split_part((SELECT p FROM best{k}), ' ', 1)
+                          || regexp_replace(split_part((SELECT p FROM best{k}), ' ', 2), '^##', '')
+                          || ' ')) AS seq
+  FROM w{prev}
+)
+"""
+
+_WP_ORACLE = (
+    f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(trim(text)), '{WORD_REGEX}')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    w0 AS (
+      SELECT w, freq,
+             array_to_string(
+               list_transform(regexp_extract_all(w, '.'),
+                              (c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END),
+               ' ') AS seq
+      FROM words
+    )
+    """
+    + "".join(_WP_STAGE.format(k=k, prev=k - 1) for k in range(1, WP_N_MERGES + 1))
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"""
+      SELECT {k} AS round,
+             split_part((SELECT p FROM best{k}), ' ', 1) AS left_sym,
+             split_part((SELECT p FROM best{k}), ' ', 2) AS right_sym,
+             split_part((SELECT p FROM best{k}), ' ', 1)
+               || regexp_replace(split_part((SELECT p FROM best{k}), ' ', 2), '^##', '') AS merged,
+             CAST((SELECT cnt FROM best{k}) AS BIGINT) AS pair_freq,
+             CAST((SELECT lf FROM best{k}) AS BIGINT) AS left_freq,
+             CAST((SELECT rf FROM best{k}) AS BIGINT) AS right_freq"""
+        for k in range(1, WP_N_MERGES + 1)
+    )
+    + ") ORDER BY round"
+)
+
+
+def _wp_syms(word: str) -> list[str]:
+    """WordPiece initial symbol sequence: word-initial character bare,
+    every continuation character ##-prefixed."""
+    return [c if i == 0 else WP_CONT + c for i, c in enumerate(word)]
+
+
+def _wp_merged(left: str, right: str) -> str:
+    """Merged WordPiece symbol: keeps the left side's prefix, strips the
+    right side's continuation marker."""
+    return left + (right[len(WP_CONT):] if right.startswith(WP_CONT) else right)
+
+
+def _wp_better(
+    cand: tuple[int, int, int, str], best: tuple[int, int, int, str]
+) -> bool:
+    """Exact WordPiece argmax comparison: cand (c, lf, rf, pair) beats best
+    iff c/(lf·rf) is strictly greater — decided by integer
+    cross-multiplication (Python bigints; never a float) — or the scores
+    tie and cand's pair string sorts first."""
+    lhs = cand[0] * best[1] * best[2]
+    rhs = best[0] * cand[1] * cand[2]
+    return lhs > rhs or (lhs == rhs and cand[3] < best[3])
+
+
+def _train_wordpiece_local(items: list[tuple], n_merges: int) -> list[tuple]:
+    """Driver-local WordPiece training over a collected (word, freq)
+    table: one merge per round, pair counts and symbol marginals
+    recomputed from the current segmentations, argmax via
+    ``_wp_better``'s exact cross-multiplication, merge applied with the
+    padded-replace semantics shared with the oracle.
+
+    Unlike BPE's incremental-heap trainer, WordPiece scores couple
+    globally through the marginals — every merge changes f(left) and
+    f(right), re-scoring EVERY pair that shares a symbol with the pick —
+    so the per-round cost is O(live pairs) rather than O(affected
+    words). For the graded scope (N ≤ tens of merges) this is instant;
+    a 30k-merge production run wants the lazy-revalidation heap the HF
+    trainer uses, which is engineering, not a semantics change — the
+    merge table this code pins IS the contract such a trainer must hit.
+    """
+    words = [_wp_syms(w) for w, _ in items]
+    freqs = [int(f) for _, f in items]
+    out: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pair_counts: dict[tuple, int] = {}
+        sym_counts: dict[str, int] = {}
+        for syms, f in zip(words, freqs):
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + f
+            for q in zip(syms, syms[1:]):
+                pair_counts[q] = pair_counts.get(q, 0) + f
+        if not pair_counts:
+            break
+        best: tuple[int, int, int, str] | None = None
+        best_pair: tuple[str, str] | None = None
+        for (left, right), c in pair_counts.items():
+            cand = (c, sym_counts[left], sym_counts[right], left + " " + right)
+            if best is None or _wp_better(cand, best):
+                best, best_pair = cand, (left, right)
+        assert best is not None and best_pair is not None
+        left, right = best_pair
+        merged = _wp_merged(left, right)
+        out.append((rnd, left, right, merged, best[0], best[1], best[2]))
+        words = [_apply_merge_word(s, left, right, merged) for s in words]
+    return out
+
+
+def _train_wordpiece_from_words(words: DataFrame, n_merges: int) -> list[tuple]:
+    """WordPiece merge training over a (w, freq) word table — the same
+    two-tier decomposition as ``_train_merges_from_words`` (corpus-scale
+    work already done by ONE word-count shuffle; vocab-scale work local
+    when the table fits the BPE collect caps, distributed above them).
+
+    The distributed tier runs ONE merge per round: a pair-count aggregate
+    and a symbol-marginal aggregate over the segmented word table, joined
+    and double-scored to PREFILTER candidates — everything within 1e-9
+    relative of the max double score is collected (the double ratio of
+    int64s is exact to ~4 ulp ≈ 1e-15 relative, so the exact argmax
+    provably survives the filter) — then the exact integer
+    cross-multiplication picks the winner on the driver. No merge
+    batching: WordPiece merges couple through the global marginals, so
+    the BPE batch-soundness bound does not transfer.
+    """
+    bound = words.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    if bound["n"] <= BPE_LOCAL_MAX_VOCAB and bound["chars"] <= BPE_LOCAL_MAX_CHARS:
+        items = [(r["w"], int(r["freq"])) for r in words.collect()]
+        return _train_wordpiece_local(items, n_merges)
+    seqs = words.select(
+        "w",
+        "freq",
+        F.array_join(
+            F.transform(
+                F.regexp_extract_all("w", F.lit("."), 0),
+                lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit(WP_CONT), c)),
+            ),
+            " ",
+        ).alias("seq"),
+    )
+    out: list[tuple] = []
+    rounds_since_ckpt = 0
+    while len(out) < n_merges:
+        syms = seqs.select("freq", F.split("seq", " ").alias("l"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("l", 1, F.size("l") - 1),
+                    F.slice("l", 2, F.size("l") - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("p"),
+        ).groupBy("p").agg(F.sum("freq").alias("cnt"))
+        marg = (
+            syms.select("freq", F.explode("l").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("f"))
+        )
+        scored = (
+            pairs.withColumn("ls", F.split_part("p", F.lit(" "), F.lit(1)))
+            .withColumn("rs", F.split_part("p", F.lit(" "), F.lit(2)))
+            .join(F.broadcast(marg).withColumnRenamed("s", "ls").withColumnRenamed("f", "lf"), "ls")
+            .join(F.broadcast(marg).withColumnRenamed("s", "rs").withColumnRenamed("f", "rf"), "rs")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("lf").cast("double") * F.col("rf").cast("double")),
+            )
+            .persist()
+        )
+        try:
+            mx_row = scored.agg(F.max("score").alias("m")).collect()[0]
+            if mx_row["m"] is None:
+                break
+            cands = scored.filter(
+                F.col("score") >= F.lit(float(mx_row["m"]) * (1.0 - 1e-9))
+            ).collect()
+        finally:
+            scored.unpersist()
+        best: tuple[int, int, int, str] | None = None
+        for r in cands:
+            cand = (int(r["cnt"]), int(r["lf"]), int(r["rf"]), r["p"])
+            if best is None or _wp_better(cand, best):
+                best = cand
+        assert best is not None
+        left, right = best[3].split(" ")
+        merged = _wp_merged(left, right)
+        out.append((len(out) + 1, left, right, merged, best[0], best[1], best[2]))
+        seqs = seqs.select(
+            "w",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {left} {right} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seq"),
+        )
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= BPE_CHECKPOINT_EVERY:
+            seqs = seqs.localCheckpoint(eager=True)
+            rounds_since_ckpt = 0
+    return out
+
+
+@register("wordpiece_merges", oracle=_WP_ORACLE)
+def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; BERT): the
+    first ``WP_N_MERGES`` likelihood-scored merge rounds over the
+    documents corpus, graded EXACTLY — merge table, pair frequencies AND
+    both marginals.
+
+    Completes the tokenizer-trainer family next to BPE (`bpe_merges` —
+    count-scored) and the unigram LM (`unigram_pieces` — EM-pruned): the
+    three vocabulary-learning algorithms real LLM pipelines choose
+    between. WordPiece = BPE with the merge argmax replaced by the
+    likelihood gain c(l,r)/(f(l)·f(r)) and the ## continuation symbol
+    space; both differences are replayed integer-exactly in the oracle
+    (HUGEINT cross-multiplied scores — never a float division — and
+    ##-aware merge application).
+
+    Scale shape: identical to ``bpe_merges`` — the corpus is touched ONCE
+    (the word-count shuffle); training runs on the vocab-sized table,
+    driver-local under the BPE collect caps, distributed
+    one-merge-per-round above them (see ``_train_wordpiece_from_words``
+    for why WordPiece merges cannot batch).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
+        .select(F.lower(F.trim(F.col("w0"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        out = _train_wordpiece_from_words(words, WP_N_MERGES)
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, merged string,"
+        " pair_freq bigint, left_freq bigint, right_freq bigint",
     )
 
 

@@ -99,6 +99,8 @@ PROMOTE: list[str] = [
     # --- new in r6 + r5/r6-changed sentinels ---
     "substring_dedup",
     "corpus_prep_pipeline_minhash",
+    "wordpiece_merges",
+    "events_cms_streamed",
     "embedding_near_dup",
     "bpe_merges",
     "bpe_encode",
@@ -109,7 +111,6 @@ PROMOTE: list[str] = [
     "count_min_exact",
     "bm25_topk",
     "ann_lsh_exact",
-    "pq_adc_topk",
     "curation_funnel",
     "corpus_prep_pipeline",
     "events_enriched_streamed",
@@ -129,7 +130,6 @@ PROMOTE: list[str] = [
     "stratified_sample",
     "binmatrix_sink_roundtrip",
     "knn_per_label",
-    "kmeans_empty_repair",
     "doc_fingerprints",
     "asof_click_purchase",
 ]
@@ -163,6 +163,10 @@ DEFER: list[str] = [
     "user_sessions_batch",  # window family: top_customers_per_nation graded
     "cube_order_stats",  # §2.5 rollup/cube/pivot: rollup_sales graded
     "hll_distinct_exact",  # sketch family: histogram_quantiles + count_min_exact graded
+    "pq_adc_topk",  # compressed-ANN twin: ann_lsh_exact keeps the family graded
+    #   (displaced mid-r6 by wordpiece_merges — new entries grade first)
+    "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop;
+    #   displaced mid-r6 by events_cms_streamed — new entries grade first
     # --- long-deferred with unchanged family representation ---
     "clamp_small_values",  # P4 map/filter: pricing_summary graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle

@@ -954,3 +954,162 @@ def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as streaming state (the ADDITIVE-merge complement of the
+# HLL register stream above)
+# ---------------------------------------------------------------------------
+
+CMS_PROBE_USERS = [1, 2, 3, 5]  # point-queried user ids (exist at every sf)
+
+_CMS_COL = (
+    "CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST({u} AS VARCHAR)), 1, 15))"
+    " AS BIGINT) & {mask}"
+)
+
+
+def _cms_oracle() -> str:
+    from flink_mm_spark.operators.relational import CM_D, CM_W
+
+    col_ev = _CMS_COL.format(u="user_id", mask=CM_W - 1)
+    col_pr = _CMS_COL.format(u="u", mask=CM_W - 1)
+    ids = ", ".join(str(u) for u in CMS_PROBE_USERS)
+    return f"""
+    WITH rows_ AS (SELECT unnest(range(0, {CM_D})) AS r),
+    cells AS (
+      SELECT r, {col_ev} AS col, COUNT(*) AS cnt
+      FROM events, rows_ GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest([{ids}]) AS u),
+    lookups AS (SELECT probes.u, rows_.r, {col_pr} AS col FROM probes, rows_),
+    est AS (
+      SELECT l.u, CAST(MIN(c.cnt) AS BIGINT) AS est_events
+      FROM lookups l JOIN cells c ON c.r = l.r AND c.col = l.col
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id AS u, COUNT(*) AS exact_events FROM events
+      WHERE user_id IN ({ids}) GROUP BY 1
+    )
+    SELECT CAST(est.u AS BIGINT) AS user_id, est.est_events, exact.exact_events
+    FROM est JOIN exact ON exact.u = est.u
+    ORDER BY user_id
+    """
+
+
+def cms_cell_stream(stream: DataFrame) -> DataFrame:
+    """(r, col) → count(*) count-min cells over an event stream — the whole
+    streaming state is CM_D × CM_W counter rows regardless of stream
+    cardinality, and the merge is ADDITION (each event increments exactly
+    one cell per hash row), so the finished cell table is independent of
+    micro-batch splits and a checkpoint-recovered run is bit-identical to
+    an unbroken one (tests/test_streaming.py::test_cms_restart_recovery).
+    The sketch-as-state pair: HLL's max-merge registers
+    (``hll_register_stream``) for distinct counting, count-min's sum-merge
+    cells for frequency estimation."""
+    from flink_mm_spark.operators.relational import CM_D, CM_W
+
+    base = stream.select(
+        F.col("user_id").cast("string").alias("u"),
+        F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("r"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("u"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(CM_W - 1))
+    )
+    return (
+        base.select("r", col.alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("events_cms_streamed", oracle=_cms_oracle())
+def events_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained as STREAMING STATE: per-user event
+    frequencies over the events stream estimated from a CM_D × CM_W
+    counter matrix that IS the streaming aggregate, point-queried for
+    fixed probe users next to their exact counts.
+
+    The frequency-estimation half of the sketch-as-state story
+    (``events_hll_streamed`` is the distinct-count half): streaming
+    ``dropDuplicates``-free heavy-hitter monitoring whose state is 256
+    counter rows FOREVER — a per-user count would grow with distinct
+    users, and a watermark would evict rather than approximate. Because
+    cell merge is addition — commutative, associative, each event
+    incrementing exactly one cell per row — the finished cell table is
+    bit-identical under any micro-batch split, so this REAL streamed run
+    grades against the same batch-replay oracle DuckDB computes (shared
+    portable md5 hash family with ``count_min_exact``,
+    `operators/relational.py:1413`), and checkpoint recovery is exact
+    (tests/test_streaming.py::test_cms_restart_recovery).
+
+    At 100 TB/day the same plan runs update-mode into a compacted state
+    store with the probe lookup as a dashboard query; the memory sink
+    here holds ≤ CM_D·CM_W rows. Estimates upper-bound truth
+    (est ≥ exact — collisions only ever add).
+    """
+    import uuid
+
+    from flink_mm_spark.operators.relational import CM_D, CM_W
+    from flink_mm_spark.session import scratch_dir
+    from flink_mm_spark.sources.tables import table
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    cells = cms_cell_stream(stream)
+    name = f"events_cms_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("cms_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.range(CM_D).select(F.col("id").cast("int").alias("r"))
+    probes = spark.createDataFrame(
+        [(u,) for u in CMS_PROBE_USERS], "user_id bigint"
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("r").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(CM_W - 1))
+    )
+    lookups = probes.crossJoin(F.broadcast(rows)).select(
+        "user_id", "r", col.alias("col")
+    )
+    est = (
+        lookups.join(F.broadcast(spark.table(name)), ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("est_events"))
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin(CMS_PROBE_USERS))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_events"))
+    )
+    return est.join(exact, "user_id").orderBy("user_id")

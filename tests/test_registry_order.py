@@ -113,6 +113,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "user_sessions_batch": "top_customers_per_nation",
         "cube_order_stats": "rollup_sales",
         "hll_distinct_exact": "histogram_quantiles",
+        "pq_adc_topk": "ann_lsh_exact",
+        "kmeans_empty_repair": "kmeans_full",
         # long-deferred, family representation per the r6 window
         "clamp_small_values": "pricing_summary",
         "damds_varray_vp": "damds_embed",

@@ -348,6 +348,65 @@ def test_hll_restart_recovery(spark, batch_events, tmp_path):
     assert got == want
 
 
+def test_cms_restart_recovery(spark, batch_events, tmp_path):
+    """Sum-merge sketch durability: the count-min cell aggregate behind
+    ``events_cms_streamed`` recovers from its checkpoint. Same two-phase
+    staging as the HLL test above; addition (unlike max) would DOUBLE
+    counts if recovery replayed life-1 input, so this test also proves
+    exactly-once across the restart — the final cells must equal the
+    unbroken run bit-for-bit, and the probe-user estimates must equal the
+    batch exact counts' sketch."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.streaming.events import cms_cell_stream
+
+    src = str(tmp_path / "events_cms_split")
+    part1 = batch_events.filter(F.col("event_id") % 2 == 0)
+    part2 = batch_events.filter(F.col("event_id") % 2 != 0)
+    part1.repartition(4).withColumn("ts", F_stream_ts()).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def run(name, checkpoint, files_per_trigger=None):
+        s = events_stream(spark, src, max_files_per_trigger=files_per_trigger)
+        q = (
+            cms_cell_stream(s)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cells = {
+            (r["r"], r["col"]): r["cnt"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        return q, cells
+
+    _, cells1 = run("cms_life1", ckpt, files_per_trigger=2)
+    assert cells1 and sum(cells1.values()) == part1.count() * 4  # CM_D rows
+
+    part2.repartition(4).withColumn("ts", F_stream_ts()).write.mode(
+        "append"
+    ).parquet(src)
+    q2, got = run("cms_life2", ckpt, files_per_trigger=2)
+
+    # exactly-once across lives: total increments = CM_D × total events —
+    # a replayed life-1 batch would overshoot, a dropped one undershoot
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert rows2 == part2.count()
+    total = batch_events.count()
+    assert sum(got.values()) == total * 4
+    assert all(got[k] >= v for k, v in cells1.items())
+
+    # the recovered run equals an unbroken run bit-for-bit
+    _, want = run("cms_unbroken", str(tmp_path / "cms_ckpt_fresh"))
+    assert got == want
+
+
 def test_incremental_mds_foreachbatch(spark, tmp_path):
     """Streaming DA-MDS: embeddings arrive in micro-batches; each batch
     refines the embedding warm-started from the last. Uses the distributed

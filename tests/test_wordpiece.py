@@ -1,0 +1,127 @@
+"""WordPiece trainer equivalence (operators/tokenizer.py, r6).
+
+Mirrors tests/test_bpe_trainer.py for the likelihood-scored trainer: a
+pure-Python one-merge-per-round reference with exactly the DuckDB oracle's
+semantics (## symbol space, integer cross-multiplied score argmax, padded
+non-overlapping replace) must match both the driver-local trainer and the
+distributed one-merge-per-round loop bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_mm_spark.operators import tokenizer as tk
+
+
+def sequential_wordpiece(words: dict[str, int], n_merges: int) -> list[tuple]:
+    """Reference trainer: per round, recount pairs and symbol marginals
+    from scratch, pick argmax of c/(f_l*f_r) by exact fraction comparison
+    (tie -> pair string ASC), apply the padded replace with the ##-aware
+    merged symbol."""
+    seqs = {w: tk._wp_syms(w) for w in words}
+    out: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        sc: dict[str, int] = {}
+        for w, f in words.items():
+            syms = seqs[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for q in zip(syms, syms[1:]):
+                pc[q] = pc.get(q, 0) + f
+        if not pc:
+            break
+        from fractions import Fraction
+
+        def key(item):
+            (l, r), c = item
+            return (-Fraction(c, sc[l] * sc[r]), l + " " + r)
+
+        (left, right), c = min(pc.items(), key=key)
+        merged = tk._wp_merged(left, right)
+        out.append((rnd, left, right, merged, c, sc[left], sc[right]))
+        for w in seqs:
+            seqs[w] = tk._apply_merge_word(seqs[w], left, right, merged)
+    return out
+
+
+def _local(words: dict[str, int], n_merges: int) -> list[tuple]:
+    return tk._train_wordpiece_local(list(words.items()), n_merges)
+
+
+def _distributed(spark, words, n_merges, monkeypatch) -> list[tuple]:
+    monkeypatch.setattr(tk, "BPE_LOCAL_MAX_VOCAB", 0)  # force the loop
+    df = spark.createDataFrame(list(words.items()), "w string, freq bigint")
+    return tk._train_wordpiece_from_words(df, n_merges)
+
+
+def _zipf_vocab(seed: int, n_words: int, alphabet: str) -> dict[str, int]:
+    rng = np.random.RandomState(seed)
+    words: dict[str, int] = {}
+    for i in range(n_words):
+        ln = int(rng.randint(2, 9))
+        w = "".join(rng.choice(list(alphabet), size=ln))
+        words[w] = words.get(w, 0) + int(1 + 1000 // (i + 1))
+    return words
+
+
+def test_wp_symbol_space():
+    assert tk._wp_syms("abc") == ["a", "##b", "##c"]
+    assert tk._wp_merged("a", "##b") == "ab"
+    assert tk._wp_merged("##b", "##c") == "##bc"
+
+
+def test_local_equals_sequential_zipf():
+    words = _zipf_vocab(seed=7, n_words=60, alphabet="abcde")
+    assert _local(words, 20) == sequential_wordpiece(words, 20)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_local_equals_sequential_random(seed):
+    words = _zipf_vocab(seed=seed, n_words=45, alphabet="abc")
+    assert _local(words, 25) == sequential_wordpiece(words, 25)
+
+
+def test_local_prefers_rare_marginals_over_raw_count():
+    """The defining WordPiece behavior: a lower-count pair with rare
+    marginals must beat a higher-count pair built from common symbols —
+    the exact opposite of the BPE argmax on the same vocabulary."""
+    words = {"ab": 100, "ac": 100, "ad": 100, "xy": 60}
+    wp = _local(words, 1)[0]
+    # BPE would take (a, ##b|c|d) at count 100; WordPiece scores
+    # xy: 60/(60*60) = 1/60 over ab: 100/(300*100) = 1/300
+    assert (wp[1], wp[2]) == ("x", "##y")
+    bpe = tk._train_merges_local(list(words.items()), 1)[0]
+    assert (bpe[1], bpe[2]) != ("x", "##y")
+
+
+def test_local_tie_breaks_on_pair_string():
+    # two pairs with identical (c, lf, rf) -> identical score; the pair
+    # string ascending must decide, as in the oracle's NOT EXISTS clause
+    words = {"ab": 5, "cd": 5}
+    wp = _local(words, 1)[0]
+    assert (wp[1], wp[2]) == ("a", "##b")
+
+
+def test_local_exhausts_cleanly():
+    words = {"ab": 5, "ba": 3}
+    got = _local(words, 50)
+    assert got == sequential_wordpiece(words, 50)
+    assert 0 < len(got) < 50
+
+
+def test_distributed_equals_sequential_zipf(spark, monkeypatch):
+    words = _zipf_vocab(seed=7, n_words=60, alphabet="abcde")
+    assert _distributed(spark, words, 12, monkeypatch) == sequential_wordpiece(
+        words, 12
+    )
+
+
+def test_distributed_checkpoint_every_round(spark, monkeypatch):
+    monkeypatch.setattr(tk, "BPE_CHECKPOINT_EVERY", 1)
+    words = _zipf_vocab(seed=42, n_words=40, alphabet="abcd")
+    assert _distributed(spark, words, 8, monkeypatch) == sequential_wordpiece(
+        words, 8
+    )
