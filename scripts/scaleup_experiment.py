@@ -85,6 +85,13 @@ OPERATORS = [
     # produces at 100 TB. The gram-key aggregate must absorb that skew via
     # partial aggregation (count per gram), never a pairwise expansion.
     "substring_dedup",
+    # r6 batch 2: the composed pipeline on its PRODUCTION edge tier (the
+    # banded MinHash candidates — the naive-edge twin is the documented
+    # quadratic on shared-token corpora and is excluded like
+    # jaccard_token_pairs), and the WordPiece trainer (word-count shuffle +
+    # driver-local merges; growth tracks the distinct-word collect).
+    "corpus_prep_pipeline_minhash",
+    "wordpiece_merges",
 ]
 EMB_DIM = 64
 
@@ -238,6 +245,13 @@ def main() -> None:
                 curation.SEMDEDUP_K = saved_k
         finally:
             shutil.rmtree(d, ignore_errors=True)
+        # r6: drop persisted tables between sizes — module-cache tables from
+        # the previous size otherwise occupy the block manager and distort
+        # the largest size's reading (observed: in-session last-step growth
+        # 2-6x above the fresh-session 2x-ladder truth for substring_dedup
+        # and corpus_prep_pipeline_minhash; fresh sessions are the operative
+        # evidence, this just narrows the gap)
+        spark.catalog.clearCache()
 
     hdr = "| operator | " + " | ".join(f"{n:,} docs" for n in sizes) + " | growth (per 10x) |"
     print("\n" + hdr, file=sys.stderr)
