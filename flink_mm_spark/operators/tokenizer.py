@@ -871,6 +871,176 @@ def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wp_merged_sql(k: int) -> str:
+    """SQL for stage k's merged piece text (left ++ ##-stripped right),
+    as a FROM-reference over the one-row best{k} CTE — NOT a scalar
+    subquery: scalar subqueries against the stage chain evaluate NULL
+    when the consuming CTE is (transitively) referenced from inside a
+    recursive CTE (observed on DuckDB 1.x; the encode oracle's vocab
+    silently lost every merged piece and over-segmented)."""
+    return (
+        "SELECT split_part(p, ' ', 1)"
+        " || regexp_replace(split_part(p, ' ', 2), '^##', '') AS m"
+        f" FROM best{k}"
+    )
+
+
+# Greedy longest-match-first ("MaxMatch") inference — the algorithm BERT
+# actually runs at encode time, which for WordPiece does NOT equal replaying
+# the training merges (BPE's property). The oracle replays it with a
+# recursive CTE: each step consumes the longest vocab piece matching at the
+# cursor (bare pieces at position 1, ##-continuation pieces after), and a
+# word with no match anywhere becomes ONE [UNK] piece. Vocab = the observed
+# bare/## character alphabet plus the trained merge pieces.
+_WP_ENCODE_ORACLE = (
+    _WP_ORACLE.split("SELECT * FROM (")[0].replace(
+        "WITH words AS MATERIALIZED", "WITH RECURSIVE words AS MATERIALIZED", 1
+    )
+    + ", merges AS MATERIALIZED ("
+    + " UNION ALL ".join(_wp_merged_sql(k) for k in range(1, WP_N_MERGES + 1))
+    + f"""
+    ),
+    -- vocab must stay a PLAIN CTE: DuckDB evaluates a MATERIALIZED CTE
+    -- referenced from inside a recursive CTE's correlated subquery as
+    -- EMPTY (observed on 1.x: every lookup returned NULL and all words
+    -- graded [UNK]). Inlined, each lookup re-scans the MATERIALIZED
+    -- words/merges — bounded by vocab size, not the stage chain.
+    vocab AS (
+      SELECT substr(w, 1, 1) AS p, TRUE AS initial FROM words
+      UNION
+      SELECT c, FALSE FROM (
+        SELECT unnest(regexp_extract_all(substr(w, 2), '.')) AS c FROM words
+      )
+      UNION
+      SELECT regexp_replace(m, '^##', ''), m NOT LIKE '##%' FROM merges
+    ),
+    seg AS (
+      -- the WHERE clause is a load-bearing no-op: a CTE that only the
+      -- RECURSIVE TERM references evaluates empty/NULL on DuckDB 1.x
+      -- (merged pieces silently vanished from the vocab lookup);
+      -- referencing vocab from the ANCHOR forces its full evaluation
+      -- before iteration starts
+      SELECT w, 1 AS pos, 0 AS np, FALSE AS unk FROM words
+      WHERE (SELECT COUNT(*) FROM vocab) >= 0
+      UNION ALL
+      SELECT w, pos + COALESCE(best_len, len(w) + 1 - pos), np + 1, best_len IS NULL
+      FROM (
+        SELECT s.w, s.pos, s.np,
+               (SELECT MAX(len(v.p)) FROM vocab v
+                WHERE v.initial = (s.pos = 1)
+                  AND v.p = substr(s.w, s.pos, len(v.p))) AS best_len
+        FROM seg s WHERE s.pos <= len(s.w) AND NOT s.unk
+      )
+    ),
+    enc AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN BOOL_OR(unk) THEN 1 ELSE MAX(np) END AS n_sub,
+             CAST(BOOL_OR(unk) AS INT) AS is_unk
+      FROM seg WHERE pos > len(w) OR unk GROUP BY w
+    ),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '{WORD_REGEX}')) AS w
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_words,
+           CAST(SUM(e.n_sub) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(e.is_unk) AS BIGINT) AS n_unk_words,
+           ROUND(CAST(SUM(e.n_sub) AS DOUBLE) / COUNT(*), 6) AS wp_per_word
+    FROM dw JOIN enc e USING (w)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """
+)
+
+
+def _wp_maxmatch(
+    word: str, bare: set[str], cont: set[str], max_len: int
+) -> tuple[int, bool]:
+    """Greedy longest-match-first WordPiece segmentation: returns
+    (n_pieces, is_unk). At each cursor take the LONGEST vocab piece that
+    matches (bare table at position 0, continuation table after); a word
+    that fails to match anywhere is ONE [UNK] piece — BERT's whole-word
+    UNK semantics, the same accounting the oracle's recursion emits."""
+    pos, n, k = 0, len(word), 0
+    while pos < n:
+        tbl = bare if pos == 0 else cont
+        ln = min(max_len, n - pos)
+        while ln > 0 and word[pos : pos + ln] not in tbl:
+            ln -= 1
+        if ln == 0:
+            return 1, True
+        k += 1
+        pos += ln
+    return k, False
+
+
+@register("wordpiece_encode", oracle=_WP_ENCODE_ORACLE)
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer APPLY: greedy longest-match-first (MaxMatch)
+    encoding of every document under the vocabulary trained by
+    ``wordpiece_merges``, with per-document subword and UNK counts.
+
+    Unlike BPE — where encode provably equals replaying the training
+    merges — WordPiece inference is a DIFFERENT algorithm from training
+    (BERT's MaxMatch), so this entry grades the inference semantics in
+    their own right: the oracle re-runs MaxMatch with a recursive CTE
+    over (word, cursor) state, longest-piece steps via a correlated
+    max-length lookup against the replayed vocab. Both sides produce
+    exact integers, so the driver value-hash must match.
+
+    Scale shape (``bpe_encode``'s): the corpus is never encoded
+    word-by-word in Python — the DISTINCT word table (vocab-sized,
+    bounded by the same collect caps as training) is segmented once
+    driver-side, and the per-word piece counts broadcast-join back onto
+    the exploded word stream; per-doc rollups are integer sums. UNK is
+    structurally zero here (the vocab is trained on the same corpus) but
+    the column carries the semantics for held-out encoding.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
+        .select(F.lower(F.trim(F.col("w0"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        merges = _train_wordpiece_from_words(words, WP_N_MERGES)
+        wlist = [r["w"] for r in words.select("w").collect()]
+    finally:
+        words.unpersist()
+    bare = {w[0] for w in wlist}
+    cont = {c for w in wlist for c in w[1:]}
+    for _rnd, _l, _r, merged, _c, _lf, _rf in merges:
+        if merged.startswith(WP_CONT):
+            cont.add(merged[len(WP_CONT):])
+        else:
+            bare.add(merged)
+    max_len = max(len(p) for p in (bare | cont))
+    enc = spark.createDataFrame(
+        [(w, *_wp_maxmatch(w, bare, cont, max_len)) for w in wlist],
+        "w string, n_sub int, is_unk boolean",
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),
+    ).select("doc_id", F.lower(F.trim(F.col("w0"))).alias("w"))
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_wp_tokens"),
+            F.sum(F.col("is_unk").cast("int")).cast("bigint").alias("n_unk_words"),
+            F.round(F.sum("n_sub").cast("double") / F.count("*"), 6).alias(
+                "wp_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CHUNK_TOKENS = 10
 
 _CHUNK_ORACLE = f"""

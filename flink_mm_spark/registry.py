@@ -167,6 +167,8 @@ DEFER: list[str] = [
     #   (displaced mid-r6 by wordpiece_merges — new entries grade first)
     "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop;
     #   displaced mid-r6 by events_cms_streamed — new entries grade first
+    "wordpiece_encode",  # MaxMatch inference: wordpiece_merges grades the
+    #   trainer in-window; the encode oracle is exercised by the medium gate
     # --- long-deferred with unchanged family representation ---
     "clamp_small_values",  # P4 map/filter: pricing_summary graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle

@@ -115,6 +115,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "hll_distinct_exact": "histogram_quantiles",
         "pq_adc_topk": "ann_lsh_exact",
         "kmeans_empty_repair": "kmeans_full",
+        "wordpiece_encode": "wordpiece_merges",
         # long-deferred, family representation per the r6 window
         "clamp_small_values": "pricing_summary",
         "damds_varray_vp": "damds_embed",

@@ -125,3 +125,39 @@ def test_distributed_checkpoint_every_round(spark, monkeypatch):
     assert _distributed(spark, words, 8, monkeypatch) == sequential_wordpiece(
         words, 8
     )
+
+
+# --- MaxMatch inference (wordpiece_encode's kernel) -------------------------
+
+
+def test_maxmatch_prefers_longest():
+    bare = {"h", "he", "hel"}
+    cont = {"l", "o", "lo"}
+    # hel + ##lo = 2 pieces, not he + ##l + ##lo or h + ...
+    assert tk._wp_maxmatch("hello", bare, cont, 3) == (2, False)
+
+
+def test_maxmatch_whole_word_unk():
+    # failure ANYWHERE makes the whole word one [UNK] piece (BERT
+    # semantics): 'hex' matches 'he' then dies on ##x
+    bare = {"h", "he"}
+    cont = {"l", "o"}
+    assert tk._wp_maxmatch("hex", bare, cont, 2) == (1, True)
+    # failure at position 0 too
+    assert tk._wp_maxmatch("xe", bare, cont, 2) == (1, True)
+
+
+def test_maxmatch_reconstruction_and_training_vocab_never_unk():
+    """Every word the vocab was trained on must segment without UNK, and
+    greedy steps must consume the whole word exactly."""
+    words = _zipf_vocab(seed=11, n_words=50, alphabet="abcd")
+    merges = _local(words, 10)
+    bare = {w[0] for w in words}
+    cont = {c for w in words for c in w[1:]}
+    for _r, _l, _rr, m, _c, _lf, _rf in merges:
+        (cont.add(m[2:]) if m.startswith("##") else bare.add(m))
+    mx = max(len(p) for p in bare | cont)
+    for w in words:
+        n, unk = tk._wp_maxmatch(w, bare, cont, mx)
+        assert not unk, w
+        assert 1 <= n <= len(w), w
