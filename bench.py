@@ -76,6 +76,8 @@ HEADLINE = [
                                 # (word-count shuffle + driver-local merges)
     "events_cms_streamed",      # r6: count-min cells as streaming state
                                 # (sum-merge complement of the HLL stream)
+    "wordpiece_encode",         # r6: MaxMatch inference (train + segment
+                                # distinct words + broadcast rollup)
 ]
 
 

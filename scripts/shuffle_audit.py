@@ -90,6 +90,7 @@ AUDITED = [
     "corpus_prep_pipeline_minhash",
     "wordpiece_merges",  # expect ~bpe_encode's 0.18: one word-count exchange
     "events_cms_streamed",  # expect ~0: 256 sketch cells of state, 4 probes
+    "wordpiece_encode",  # two word-count-shaped exchanges + broadcast join
 ]
 
 
