@@ -78,6 +78,8 @@ HEADLINE = [
                                 # (sum-merge complement of the HLL stream)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment
                                 # distinct words + broadcast rollup)
+    "tokenize_pack_pipeline",   # r6: composed train -> encode -> pack
+                                # (real-subword-count sequence packing)
 ]
 
 

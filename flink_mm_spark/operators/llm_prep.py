@@ -691,7 +691,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tok"),
-        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    return pack_by_counts(spark, docs)
+
+
+def pack_by_counts(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The two-pass distributed prefix-sum packer over an arbitrary
+    (doc_id, n_tok) table — the counts source is the caller's choice
+    (whitespace tokens for ``pack_sequences``, trained-tokenizer subword
+    counts for ``tokenize_pack_pipeline``). See ``pack_sequences`` for the
+    scale argument; the shuffle key is derived here so every caller packs
+    in the same reproducible pseudo-shuffled order."""
+    docs = docs.select(
+        "doc_id", "n_tok", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
     )
     n_parts = spark.sparkContext.defaultParallelism
     while _PACK_CACHE:

@@ -871,6 +871,64 @@ def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed tokenizer lifecycle: train BPE → encode → pack sequences
+# ---------------------------------------------------------------------------
+
+from flink_mm_spark.operators.llm_prep import SEQ_TOKEN_BUDGET  # noqa: E402
+
+_TOKENIZE_PACK_ORACLE = (
+    _BPE_ENCODE_ORACLE.split("SELECT dw.doc_id,")[0]
+    + f"""
+    , counts AS (
+      SELECT dw.doc_id,
+             CAST(SUM(e.n_sub) AS INTEGER) AS n_tok,
+             md5(CAST(dw.doc_id AS VARCHAR)) AS shuffle_key
+      FROM dw JOIN enc e USING (w)
+      GROUP BY dw.doc_id
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM counts
+    )
+    SELECT doc_id, n_tok,
+           CAST(cum_before // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_off
+    FROM ordered ORDER BY doc_id
+    """
+)
+
+
+@register("tokenize_pack_pipeline", oracle=_TOKENIZE_PACK_ORACLE)
+def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED tokenizer lifecycle: train the BPE merges, encode every
+    document, and pack the corpus into fixed-token-budget training
+    sequences using the REAL subword counts — the end-to-end path a
+    pretraining data pipeline runs between curated text and the data
+    loader (the dedup-side analogue is ``corpus_prep_pipeline``).
+
+    Every stage is shared, already-graded code: ``bpe_encode`` supplies
+    per-document ``n_bpe_tokens`` (merge-table and encode both
+    hash-graded), and ``pack_by_counts`` runs the two-pass distributed
+    prefix sum (`operators/llm_prep.py`) over those counts instead of
+    whitespace counts. The oracle composes the two components' SQL the
+    same way: the BPE stage replay feeds the naive global-window pack.
+
+    Scale: the tokenizer half is one word-count shuffle + a vocab-sized
+    broadcast; the packer half is one range exchange — composing them
+    adds NO new shuffle shape.
+    """
+    from flink_mm_spark.operators.llm_prep import pack_by_counts
+
+    enc = bpe_encode(spark, sf_dir)
+    docs = enc.select("doc_id", F.col("n_bpe_tokens").cast("int").alias("n_tok"))
+    return pack_by_counts(spark, docs)
+
+
 def _wp_merged_sql(k: int) -> str:
     """SQL for stage k's merged piece text (left ++ ##-stripped right),
     as a FROM-reference over the one-row best{k} CTE — NOT a scalar

@@ -101,6 +101,7 @@ PROMOTE: list[str] = [
     "corpus_prep_pipeline_minhash",
     "wordpiece_merges",
     "events_cms_streamed",
+    "tokenize_pack_pipeline",
     "embedding_near_dup",
     "bpe_merges",
     "bpe_encode",
@@ -112,7 +113,6 @@ PROMOTE: list[str] = [
     "bm25_topk",
     "ann_lsh_exact",
     "curation_funnel",
-    "corpus_prep_pipeline",
     "events_enriched_streamed",
     "jaccard_prefix_filtered",
     "bucketed_fact_join",
@@ -154,7 +154,7 @@ DEFER: list[str] = [
     "pii_scrub",  # corpus-prep flags: benchmark_contamination graded
     "pack_sequences",  # llm_prep: stratified_sample graded
     "mixture_plan",  # llm_prep: stratified_sample graded
-    "dedup_components",  # components: corpus_prep_pipeline runs them end-to-end
+    "dedup_components",  # components: corpus_prep_pipeline_minhash runs them end-to-end
     "cosine_topk",  # cosine kernel: knn_per_label graded
     "repetition_signals",  # quality metrics: gopher_quality_flags graded
     "unigram_logprob",  # corpus LM: quality_logit_score graded
@@ -169,6 +169,9 @@ DEFER: list[str] = [
     #   displaced mid-r6 by events_cms_streamed — new entries grade first
     "wordpiece_encode",  # MaxMatch inference: wordpiece_merges grades the
     #   trainer in-window; the encode oracle is exercised by the medium gate
+    "corpus_prep_pipeline",  # naive-edge composition twin:
+    #   corpus_prep_pipeline_minhash grades the shared funnel body in-window
+    #   (displaced mid-r6 by tokenize_pack_pipeline — new entries grade first)
     # --- long-deferred with unchanged family representation ---
     "clamp_small_values",  # P4 map/filter: pricing_summary graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle

@@ -104,7 +104,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "pii_scrub": "benchmark_contamination",
         "pack_sequences": "stratified_sample",
         "mixture_plan": "stratified_sample",
-        "dedup_components": "corpus_prep_pipeline",
+        "dedup_components": "corpus_prep_pipeline_minhash",
+        "corpus_prep_pipeline": "corpus_prep_pipeline_minhash",
         "cosine_topk": "knn_per_label",
         "repetition_signals": "gopher_quality_flags",
         "unigram_logprob": "quality_logit_score",
