@@ -80,6 +80,8 @@ HEADLINE = [
                                 # distinct words + broadcast rollup)
     "tokenize_pack_pipeline",   # r6: composed train -> encode -> pack
                                 # (real-subword-count sequence packing)
+    "bigram_logprob",           # r6: add-one bigram-LM perplexity filter
+                                # (pair shuffle + broadcast marginals)
 ]
 
 

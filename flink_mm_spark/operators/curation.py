@@ -218,6 +218,103 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLP_CACHE: list[DataFrame] = []  # persisted bigram-count table (module cache)
+
+
+@register(
+    "bigram_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, p.x AS x, p.y AS y FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(x := toks[i], y := toks[i+1]))) AS p
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    c AS (SELECT x, y, COUNT(*) AS c_xy FROM b GROUP BY x, y),
+    cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM c GROUP BY x),
+    vv AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(-ln(CAST(c.c_xy + 1 AS DOUBLE) / (cx.c_x + vv.v))
+                               AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS xent
+    FROM b JOIN c USING (x, y) JOIN cx USING (x) CROSS JOIN vv
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained BIGRAM LM with
+    Laplace (add-one) smoothing — the higher-order companion of
+    ``unigram_logprob`` (CCNet filters with a 5-gram KenLM; a bigram LM
+    is the smallest model where context enters the score, and the plan
+    shape below is the n-gram shape for any order).
+
+    p(y|x) = (c(x,y) + 1) / (c(x,·) + |V|): every quantity is an exact
+    integer (the conditioning marginal c(x,·) derives from the bigram
+    table itself, so both engines sum the same integers), the single
+    float step per bigram is one IEEE divide + ln on bit-identical
+    operands, and per-token scores are decimal-cast before the per-doc
+    sum (CLAUDE.md float rule) so partition order cannot move the hash.
+
+    Plan: one pair-key map-side-combined shuffle builds c(x,y) (persisted
+    — it feeds its own marginal AND the scoring join, the PMI module-cache
+    pattern); c(x,·) and |V| are vocabulary-sized broadcasts; the scoring
+    join back onto the document bigram stream is gram-keyed (AQE
+    broadcasts while the LM is small, sort-merge beyond — the same
+    regime switch as ``unigram_logprob``'s vocab join).
+    """
+    d = parallelize_scan(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", tokens_expr().alias("t"))
+    b = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS x, t[i + 1] AS y))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.x", "p.y")
+    )
+    while _BLP_CACHE:
+        _BLP_CACHE.pop().unpersist()
+    c = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy")).persist()
+    _BLP_CACHE.append(c)
+    cx = c.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    vv = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    neglogp = -F.log(
+        (F.col("c_xy") + 1).cast("double") / (F.col("c_x") + F.col("v"))
+    )
+    return (
+        b.join(c, ["x", "y"])
+        .join(F.broadcast(cx), "x")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(
+                F.sum(neglogp.cast("decimal(18,8)")).cast("double") / F.count("*"),
+                6,
+            ).alias("xent"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------

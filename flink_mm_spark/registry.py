@@ -66,7 +66,11 @@ GRADE_WINDOW = 50
 # once across r1-r5, so the window mixes:
 #
 # - the SURVEY §2 CORE (16 entries, graded every round), pinned;
-# - the r6 NEW entries (substring_dedup, corpus_prep_pipeline_minhash) plus
+# - the r6 NEW entries (substring_dedup, corpus_prep_pipeline_minhash,
+#   wordpiece_merges, events_cms_streamed, tokenize_pack_pipeline,
+#   bigram_logprob — mid-round additions displace pq_adc_topk,
+#   kmeans_empty_repair, corpus_prep_pipeline, count_min_exact to DEFER
+#   behind in-window family siblings) plus
 #   sentinels for r5/r6-CHANGED code: embedding_near_dup (r5
 #   block_pair_cosine dense-pack fix, past-window in r5), bpe_merges +
 #   bpe_encode (r6 local-tier byte cap touches the trainer),
@@ -102,6 +106,7 @@ PROMOTE: list[str] = [
     "wordpiece_merges",
     "events_cms_streamed",
     "tokenize_pack_pipeline",
+    "bigram_logprob",
     "embedding_near_dup",
     "bpe_merges",
     "bpe_encode",
@@ -109,7 +114,6 @@ PROMOTE: list[str] = [
     "events_hll_streamed",
     # --- rotating third: last graded r2-r4, back in for freshness ---
     "histogram_quantiles",
-    "count_min_exact",
     "bm25_topk",
     "ann_lsh_exact",
     "curation_funnel",
@@ -162,7 +166,7 @@ DEFER: list[str] = [
     "semantic_dedup",  # block-pair GEMM kernel: embedding_near_dup graded
     "user_sessions_batch",  # window family: top_customers_per_nation graded
     "cube_order_stats",  # §2.5 rollup/cube/pivot: rollup_sales graded
-    "hll_distinct_exact",  # sketch family: histogram_quantiles + count_min_exact graded
+    "hll_distinct_exact",  # sketch family: histogram_quantiles + events_cms_streamed graded
     "pq_adc_topk",  # compressed-ANN twin: ann_lsh_exact keeps the family graded
     #   (displaced mid-r6 by wordpiece_merges — new entries grade first)
     "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop;
@@ -172,6 +176,9 @@ DEFER: list[str] = [
     "corpus_prep_pipeline",  # naive-edge composition twin:
     #   corpus_prep_pipeline_minhash grades the shared funnel body in-window
     #   (displaced mid-r6 by tokenize_pack_pipeline — new entries grade first)
+    "count_min_exact",  # count-min family: events_cms_streamed grades the
+    #   same portable hash family as a REAL streamed run (displaced mid-r6
+    #   by bigram_logprob — new entries grade first)
     # --- long-deferred with unchanged family representation ---
     "clamp_small_values",  # P4 map/filter: pricing_summary graded
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle

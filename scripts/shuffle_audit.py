@@ -92,6 +92,7 @@ AUDITED = [
     "events_cms_streamed",  # expect ~0: 256 sketch cells of state, 4 probes
     "wordpiece_encode",  # two word-count-shaped exchanges + broadcast join
     "tokenize_pack_pipeline",  # bpe_encode's exchanges + ONE range exchange
+    "bigram_logprob",  # pair-key shuffle + gram-keyed scoring join
 ]
 
 

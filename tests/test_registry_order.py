@@ -106,6 +106,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "mixture_plan": "stratified_sample",
         "dedup_components": "corpus_prep_pipeline_minhash",
         "corpus_prep_pipeline": "corpus_prep_pipeline_minhash",
+        "count_min_exact": "events_cms_streamed",
         "cosine_topk": "knn_per_label",
         "repetition_signals": "gopher_quality_flags",
         "unigram_logprob": "quality_logit_score",
