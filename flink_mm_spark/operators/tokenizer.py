@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from flink_mm_spark.operators.dedup import WORD_REGEX, tokens_expr
 from flink_mm_spark.registry import register
-from flink_mm_spark.sources.tables import table
+from flink_mm_spark.sources.tables import parallelize_scan, table
 
 N_MERGES = 6
 
@@ -79,7 +79,8 @@ _BPE_ORACLE = (
              CAST((SELECT cnt FROM best{k}) AS BIGINT) AS pair_freq"""
         for k in range(1, N_MERGES + 1)
     )
-    + ") ORDER BY round"
+    # early exhaustion parity with the trainers' break (see _WP_ORACLE)
+    + ") WHERE left_sym IS NOT NULL ORDER BY round"
 )
 
 
@@ -422,7 +423,7 @@ def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     pair_freq)``. Shared by ``bpe_merges`` (returns the table) and
     ``bpe_encode`` (applies the merges). See ``bpe_merges`` for the scale
     argument."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
         .select(F.lower(F.trim(F.col("w0"))).alias("w"))
@@ -501,8 +502,17 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: train once (one corpus shuffle — see ``bpe_merges``), encode
     via a vocab-sized broadcast, never a per-row Python tokenizer.
     """
+    return _bpe_doc_counts(spark, sf_dir).orderBy("doc_id")
+
+
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_encode``'s body WITHOUT the presentation sort — consumed
+    directly (unsorted) by ``tokenize_pack_pipeline``, whose very next
+    step is a range repartition that would destroy the order anyway (a
+    wasted full-corpus sort, caught by
+    tests/test_plans.py::test_tokenize_pack_pipeline_single_range_exchange)."""
     merges = _train_merges(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     dw = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),
@@ -527,7 +537,6 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bpe_per_word"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -537,6 +546,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WP_N_MERGES = 6
 WP_CONT = "##"  # continuation prefix for non-word-initial symbols
+_WPE_CACHE: list = []  # wordpiece_encode's persisted word table (module cache)
 
 # One unrolled oracle stage per merge round. WordPiece differs from BPE in
 # exactly two places, both replayed here: (1) the symbol space carries the
@@ -617,7 +627,11 @@ _WP_ORACLE = (
              CAST((SELECT rf FROM best{k}) AS BIGINT) AS right_freq"""
         for k in range(1, WP_N_MERGES + 1)
     )
-    + ") ORDER BY round"
+    # early pair-space exhaustion (fully-merged or single-char vocab): a
+    # stage with no pairs yields an empty best{k} → NULL-filled arm; the
+    # Spark trainers BREAK there, so drop those rows to keep row-count
+    # parity on degenerate corpora
+    + ") WHERE left_sym IS NOT NULL ORDER BY round"
 )
 
 
@@ -766,7 +780,11 @@ def _train_wordpiece_from_words(words: DataFrame, n_merges: int) -> list[tuple]:
     out: list[tuple] = []
     rounds_since_ckpt = 0
     while len(out) < n_merges:
-        syms = seqs.select("freq", F.split("seq", " ").alias("l"))
+        # syms feeds the pair aggregate AND the marginal aggregate (which
+        # itself broadcast-joins twice): persist per round or every
+        # consumer replays the growing replace-chain lineage over the
+        # corpus-vocab table (CLAUDE.md multi-consumer rule)
+        syms = seqs.select("freq", F.split("seq", " ").alias("l")).persist()
         pairs = syms.select(
             "freq",
             F.explode(
@@ -803,6 +821,7 @@ def _train_wordpiece_from_words(words: DataFrame, n_merges: int) -> list[tuple]:
             ).collect()
         finally:
             scored.unpersist()
+            syms.unpersist()
         best: tuple[int, int, int, str] | None = None
         for r in cands:
             cand = (int(r["cnt"]), int(r["lf"]), int(r["rf"]), r["p"])
@@ -852,7 +871,7 @@ def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-merge-per-round above them (see ``_train_wordpiece_from_words``
     for why WordPiece merges cannot batch).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
         .select(F.lower(F.trim(F.col("w0"))).alias("w"))
@@ -924,7 +943,7 @@ def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_mm_spark.operators.llm_prep import pack_by_counts
 
-    enc = bpe_encode(spark, sf_dir)
+    enc = _bpe_doc_counts(spark, sf_dir)  # unsorted: the packer range-partitions
     docs = enc.select("doc_id", F.col("n_bpe_tokens").cast("int").alias("n_tok"))
     return pack_by_counts(spark, docs)
 
@@ -1048,14 +1067,26 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, so the driver value-hash must match.
 
     Scale shape (``bpe_encode``'s): the corpus is never encoded
-    word-by-word in Python — the DISTINCT word table (vocab-sized,
-    bounded by the same collect caps as training) is segmented once
-    driver-side, and the per-word piece counts broadcast-join back onto
-    the exploded word stream; per-doc rollups are integer sums. UNK is
-    structurally zero here (the vocab is trained on the same corpus) but
-    the column carries the semantics for held-out encoding.
+    word-by-word in Python row loops, and — unlike a first draft of this
+    operator — the WORD TABLE never lands on the driver either: only the
+    character alphabet (two distinct-char aggregates) and the N merged
+    pieces come back, the resulting vocab sets (O(alphabet + merges),
+    KBs) ship in the MaxMatch closure, and the DISTINCT word table is
+    segmented DISTRIBUTED in one Arrow-batched mapInPandas pass. The
+    per-word piece counts then broadcast-join back onto the exploded
+    word stream; per-doc rollups are integer sums. UNK is structurally
+    zero here (the vocab is trained on the same corpus) but the column
+    carries the semantics for held-out encoding.
+
+    The word table feeds the trainer, two char aggregates, and the
+    segmentation pass, so it stays persisted for the run via the module
+    cache (the returned DataFrame executes after this function returns).
     """
-    docs = table(spark, sf_dir, "documents")
+    import pandas as pd
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    while _WPE_CACHE:
+        _WPE_CACHE.pop().unpersist()
     words = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"))
         .select(F.lower(F.trim(F.col("w0"))).alias("w"))
@@ -1063,23 +1094,41 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .persist()
     )
-    try:
-        merges = _train_wordpiece_from_words(words, WP_N_MERGES)
-        wlist = [r["w"] for r in words.select("w").collect()]
-    finally:
-        words.unpersist()
-    bare = {w[0] for w in wlist}
-    cont = {c for w in wlist for c in w[1:]}
+    _WPE_CACHE.append(words)
+    merges = _train_wordpiece_from_words(words, WP_N_MERGES)
+    bare = {
+        r["c"]
+        for r in words.select(F.substring("w", 1, 1).alias("c")).distinct().collect()
+    }
+    cont = {
+        r["c"]
+        for r in words.select(
+            F.explode(
+                F.regexp_extract_all(F.expr("substring(w, 2)"), F.lit("."), 0)
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    }
     for _rnd, _l, _r, merged, _c, _lf, _rf in merges:
         if merged.startswith(WP_CONT):
             cont.add(merged[len(WP_CONT):])
         else:
             bare.add(merged)
     max_len = max(len(p) for p in (bare | cont))
-    enc = spark.createDataFrame(
-        [(w, *_wp_maxmatch(w, bare, cont, max_len)) for w in wlist],
-        "w string, n_sub int, is_unk boolean",
-    )
+
+    def seg(batches):
+        for pdf in batches:
+            res = [_wp_maxmatch(w, bare, cont, max_len) for w in pdf["w"]]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [r[0] for r in res],
+                    "is_unk": [r[1] for r in res],
+                }
+            )
+
+    enc = words.select("w").mapInPandas(seg, "w string, n_sub int, is_unk boolean")
     dw = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),

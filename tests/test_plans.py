@@ -462,3 +462,91 @@ def test_zipf_fit_window_is_post_aggregate(spark):
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     assert any("HashAggregate" in l for l in lines[win:]), plan[:2000]
     assert "Python" not in plan
+
+
+def test_substring_dedup_is_md5_keyed_pure_jvm(spark):
+    """r6: the substring deduper's exchanges key on md5(gram) — constant
+    32-char keys, never the K-token text — and the whole operator is JVM
+    higher-order expressions: no Python stage, no pairwise join."""
+    df = registry.QUERIES["substring_dedup"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes join strategies on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(gk" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_corpus_prep_minhash_edge_is_banded_id_only(spark):
+    """r6 (VERDICT r5 ask #3): the composed pipeline's near-dup edge tier
+    is the banded MinHash candidate join — no interpreted per-pair
+    zip_with fold, no cartesian expansion anywhere in the composition."""
+    df = registry.QUERIES["corpus_prep_pipeline_minhash"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_wordpiece_encode_segments_distributed_and_broadcasts(spark):
+    """r6: MaxMatch segmentation is ONE distributed Arrow stage over the
+    distinct-word table (never a driver collect of the words, never
+    per-corpus-row Python), and the per-word counts broadcast back onto
+    the exploded word stream."""
+    df = registry.QUERIES["wordpiece_encode"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the single segmentation stage prints once per reference to the
+    # persisted-words subtree (broadcast build + probe), like the minhash
+    # slot_match kernel — assert presence, and that no OTHER Python stage
+    # (per-corpus-row UDF) appears
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tokenize_pack_pipeline_single_range_exchange(spark):
+    """r6: the composed train→encode→pack lifecycle adds NO new shuffle
+    shape — the packer contributes exactly ONE range exchange (the
+    two-pass prefix sum), and the encode side stays broadcast."""
+    import re
+
+    df = registry.QUERIES["tokenize_pack_pipeline"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly two DISTINCT range exchanges: the packer's prefix-sum
+    # repartition (shuffle_key, doc_id) and the final presentation orderBy
+    # (doc_id) — the encode side must NOT contribute a third (a
+    # full-corpus sort destroyed by the very next repartition; caught here
+    # and removed via _bpe_doc_counts). The persisted packer subtree
+    # prints its exchange once per reference, so count distinct KEY SETS,
+    # not occurrences.
+    keys = {
+        re.sub(r"#\d+", "", m)
+        for m in re.findall(r"rangepartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keys) == 2, sorted(keys)
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_broadcasts_lm_tables(spark):
+    """r6: the conditioning marginal and |V| re-attach by broadcast; the
+    trained bigram table is persisted (one evaluation feeds both its
+    marginal and the scoring join)."""
+    df = registry.QUERIES["bigram_logprob"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    ), plan[:3000]
+    assert "InMemoryTableScan" in plan  # the persisted LM table
+    assert "CartesianProduct" not in plan
+
+
+def test_events_cms_streamed_postproc_is_broadcast(spark):
+    """r6: the finished 256-cell sketch table and the 4-probe lookup table
+    join by broadcast — the batch post-processing never shuffles."""
+    df = registry.QUERIES["events_cms_streamed"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
