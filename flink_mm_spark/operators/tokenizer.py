@@ -80,7 +80,7 @@ _BPE_ORACLE = (
         for k in range(1, N_MERGES + 1)
     )
     # early exhaustion parity with the trainers' break (see _WP_ORACLE)
-    + ") WHERE left_sym IS NOT NULL ORDER BY round"
+    + ") WHERE pair_freq IS NOT NULL ORDER BY round"
 )
 
 
@@ -630,8 +630,10 @@ _WP_ORACLE = (
     # early pair-space exhaustion (fully-merged or single-char vocab): a
     # stage with no pairs yields an empty best{k} → NULL-filled arm; the
     # Spark trainers BREAK there, so drop those rows to keep row-count
-    # parity on degenerate corpora
-    + ") WHERE left_sym IS NOT NULL ORDER BY round"
+    # parity on degenerate corpora. Guard on the COUNT column: DuckDB's
+    # split_part(NULL, ...) returns '' (not NULL), so left_sym cannot
+    # carry the signal.
+    + ") WHERE pair_freq IS NOT NULL ORDER BY round"
 )
 
 

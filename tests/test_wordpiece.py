@@ -161,3 +161,32 @@ def test_maxmatch_reconstruction_and_training_vocab_never_unk():
         n, unk = tk._wp_maxmatch(w, bare, cont, mx)
         assert not unk, w
         assert 1 <= n <= len(w), w
+
+
+def test_oracle_exhaustion_parity(spark, tmp_path):
+    """A vocabulary whose pair space exhausts before WP_N_MERGES rounds:
+    the trainers break early, and the oracle must drop its NULL-filled
+    stage arms (the `WHERE pair_freq IS NOT NULL` guard — left_sym can't
+    carry the signal because DuckDB's split_part(NULL, ...) returns '')
+    so row counts match. Covers the BPE oracle's identical guard too."""
+    import duckdb
+
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    df = spark.createDataFrame(
+        [(0, "src0", "en", "ab ab ba")],
+        "doc_id long, source string, lang string, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name, n_max in (("wordpiece_merges", tk.WP_N_MERGES), ("bpe_merges", tk.N_MERGES)):
+        spec = registry.QUERIES[name]
+        got = [tuple(r) for r in spec.fn(spark, str(tmp_path)).collect()]
+        want = [tuple(w) for w in con.execute(spec.oracle).fetchall()]
+        assert got == want, (name, got, want)
+        assert 0 < len(got) < n_max, (name, got)
