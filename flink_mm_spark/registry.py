@@ -61,27 +61,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-6 rotation (VERDICT r5 ask #7): the sentinel-window discipline from
-# r5 continues — all 115 oracle-bearing entries are driver-green at least
-# once across r1-r5, so the window mixes:
+# Round-7 rotation (VERDICT r6 asks #1/#9): 121/122 oracle entries are
+# driver-green at least once across r1-r6; the one exception —
+# wordpiece_encode, registered late in r6 and never driver-graded — is the
+# round's top promotion. The window mixes:
 #
 # - the SURVEY §2 CORE (16 entries, graded every round), pinned;
-# - the r6 NEW entries (substring_dedup, corpus_prep_pipeline_minhash,
-#   wordpiece_merges, events_cms_streamed, tokenize_pack_pipeline,
-#   bigram_logprob — mid-round additions displace pq_adc_topk,
-#   kmeans_empty_repair, corpus_prep_pipeline, count_min_exact to DEFER
-#   behind in-window family siblings) plus
-#   sentinels for r5/r6-CHANGED code: embedding_near_dup (r5
-#   block_pair_cosine dense-pack fix, past-window in r5), bpe_merges +
-#   bpe_encode (r6 local-tier byte cap touches the trainer),
-#   minhash_lsh_exact (its _banded_pairs output now feeds the minhash
-#   pipeline variant), events_hll_streamed (r6 restart-recovery work);
-# - a rotating third of entries last graded r2-r4 (histogram/count-min
-#   sketches, bm25, ANN exact twins, the composed funnels, the streamed
-#   join, the r2 relational window family), per the VERDICT r5 rotation
-#   list. The 30 entries graded green in r5 rotate out to DEFER; each
-#   family keeps a representative in-window
-#   (tests/test_registry_order.py invariant).
+# - wordpiece_encode (the never-graded entry) plus the four entries
+#   displaced mid-r6 by late additions (pq_adc_topk, kmeans_empty_repair,
+#   corpus_prep_pipeline, count_min_exact — VERDICT r6 ask #1 names all
+#   five);
+# - sentinels for r7-CHANGED code: bpe_encode + tokenize_pack_pipeline
+#   (their oracles gained the exhaustion-safe COALESCE stages, ADVICE r6
+#   #1) — wordpiece_encode doubles as the sentinel for the r7
+#   encode-broadcast threshold guard since all three encodes share
+#   `_encoded_words_join`;
+# - the 21 entries graded green in r5 and rotated out for r6 (freshest
+#   gap: last graded two rounds ago), minus six whose family stays
+#   covered by core or another in-window member (media_decode_features,
+#   binmatrix_stream_scan, zipf_fit, mixture_plan, user_stats_streamed,
+#   dedup_components — siblings noted in DEFER);
+# - six LONG-deferred entries not graded since r2-r3
+#   (jaccard_token_pairs, clamp_small_values, orders_with_returns,
+#   event_followups_range_join, events_hourly, rolling_fingerprints) —
+#   several of which are now the in-window representative their
+#   rotated-out siblings point at.
+#
+# The 32 entries graded green in r6 rotate out to DEFER; each family keeps
+# a representative in-window (tests/test_registry_order.py invariant).
 PROMOTE: list[str] = [
     # --- §2 core, pinned every round ---
     "binary_f64_scan",
@@ -100,42 +107,44 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
-    # --- new in r6 + r5/r6-changed sentinels ---
-    "substring_dedup",
-    "corpus_prep_pipeline_minhash",
-    "wordpiece_merges",
-    "events_cms_streamed",
-    "tokenize_pack_pipeline",
-    "bigram_logprob",
-    "embedding_near_dup",
-    "bpe_merges",
+    # --- VERDICT r6 ask #1: the never-graded entry + the four displaced ---
+    "wordpiece_encode",
+    "pq_adc_topk",
+    "kmeans_empty_repair",
+    "corpus_prep_pipeline",
+    "count_min_exact",
+    # --- r7-changed-code sentinels (exhaustion-safe encode oracles) ---
     "bpe_encode",
-    "minhash_lsh_exact",
-    "events_hll_streamed",
-    # --- rotating third: last graded r2-r4, back in for freshness ---
-    "histogram_quantiles",
-    "bm25_topk",
-    "ann_lsh_exact",
-    "curation_funnel",
-    "events_enriched_streamed",
-    "jaccard_prefix_filtered",
-    "bucketed_fact_join",
-    "dedup_exact",
-    "pricing_summary",
-    "rollup_sales",
-    "top_customers_per_nation",
-    "user_funnel_full_outer",
-    "events_minutely_gapfill",
-    "jaccard_shingle_pairs",
-    "benchmark_contamination",
-    "vocab_top_terms",
-    "quality_logit_score",
-    "gopher_quality_flags",
-    "stratified_sample",
-    "binmatrix_sink_roundtrip",
-    "knn_per_label",
-    "doc_fingerprints",
-    "asof_click_purchase",
+    "tokenize_pack_pipeline",
+    # --- graded r5, rotated out in r6, back in for freshness ---
+    "binmatrix_source_scan",
+    "simhash_exact",
+    "chunk_dedup",
+    "events_dedup_streamed",
+    "events_sliding_streamed",
+    "click_purchase_streamed",
+    "weighted_reservoir_sample",
+    "dup_cluster_sizes",
+    "token_bigram_pmi",
+    "local_supplier_volume",
+    "token_counts",
+    "pii_scrub",
+    "pack_sequences",
+    "cosine_topk",
+    "repetition_signals",
+    "unigram_logprob",
+    "dsir_importance",
+    "semantic_dedup",
+    "user_sessions_batch",
+    "cube_order_stats",
+    "hll_distinct_exact",
+    # --- long-deferred (last graded r2-r3), back in for freshness ---
+    "jaccard_token_pairs",
+    "clamp_small_values",
+    "orders_with_returns",
+    "event_followups_range_join",
+    "events_hourly",
+    "rolling_fingerprints",
 ]
 
 DEFER: list[str] = [
