@@ -1259,11 +1259,16 @@ def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=_JACCARD_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
-    , jp AS (
+    , jp AS MATERIALIZED (
       SELECT doc_a, doc_b FROM pairs
       WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
     ),
-    e2 AS (
+    -- jp/e2 MATERIALIZED: DuckDB inlines plain CTEs, and e2 is referenced
+    -- twice (reach anchor + recursive term) while jp is referenced twice by
+    -- e2 — inlined, the whole upstream pair scan re-evaluates per reference
+    -- (the repo's CTE-inlining gotcha; ADVICE r6 #3). e2 is referenced from
+    -- the ANCHOR, so MATERIALIZED is safe inside the recursion.
+    e2 AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM jp
       UNION ALL SELECT doc_b, doc_a FROM jp
     ),
@@ -1413,11 +1418,16 @@ def _prep_oracle() -> str:
     return (
         _JACCARD_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
         + f"""
-    , jp AS (
+    , jp AS MATERIALIZED (
       SELECT doc_a, doc_b FROM pairs
       WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.7
     ),
-    e2 AS (
+    -- jp/e2 MATERIALIZED: DuckDB inlines plain CTEs, and e2 is referenced
+    -- twice (reach anchor + recursive term) while jp is referenced twice by
+    -- e2 — inlined, the whole upstream pair scan re-evaluates per reference
+    -- (the repo's CTE-inlining gotcha; ADVICE r6 #3). e2 is referenced from
+    -- the ANCHOR, so MATERIALIZED is safe inside the recursion.
+    e2 AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM jp
       UNION ALL SELECT doc_b, doc_a FROM jp
     ),
@@ -1510,10 +1520,13 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prep_minhash_oracle() -> str:
     return f"""
-    WITH RECURSIVE jp AS (
+    WITH RECURSIVE jp AS MATERIALIZED (
       SELECT doc_a, doc_b FROM ({_mhx_oracle()})
     ),
-    e2 AS (
+    -- e2 MATERIALIZED (+ jp above): inlined, each reference re-ran the
+    -- banded MinHash edge scan — see the identical note in _prep_oracle
+    -- (ADVICE r6 #3). Safe: e2 is referenced from the reach ANCHOR.
+    e2 AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM jp
       UNION ALL SELECT doc_b, doc_a FROM jp
     ),

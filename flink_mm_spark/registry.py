@@ -61,34 +61,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-7 rotation (VERDICT r6 asks #1/#9): 121/122 oracle entries are
-# driver-green at least once across r1-r6; the one exception —
-# wordpiece_encode, registered late in r6 and never driver-graded — is the
-# round's top promotion. The window mixes:
+# Round-8 window (= the round-7 window, which graded 50/50 green in
+# CORRECTNESS_r07.json; with it, all 122 oracle entries are driver-green at
+# least once across r1-r7). Keeping it stable for r8 because the round's code
+# changes land INSIDE this window: the three encode entries (bpe_encode,
+# wordpiece_encode, tokenize_pack_pipeline) sit in-window and act as the
+# sentinels for the r8 encode work (broadcast-size guard, exhaustion-safe
+# encode oracles — see operators/tokenizer.py for what has actually landed;
+# r7's comment claimed these a round early, VERDICT r7 What's-wrong #2/#3).
 #
+# Window composition (unchanged from r7):
 # - the SURVEY §2 CORE (16 entries, graded every round), pinned;
-# - wordpiece_encode (the never-graded entry) plus the four entries
-#   displaced mid-r6 by late additions (pq_adc_topk, kmeans_empty_repair,
-#   corpus_prep_pipeline, count_min_exact — VERDICT r6 ask #1 names all
-#   five);
-# - sentinels for r7-CHANGED code: bpe_encode + tokenize_pack_pipeline
-#   (their oracles gained the exhaustion-safe COALESCE stages, ADVICE r6
-#   #1) — wordpiece_encode doubles as the sentinel for the r7
-#   encode-broadcast threshold guard since all three encodes share
-#   `_encoded_words_join`;
-# - the 21 entries graded green in r5 and rotated out for r6 (freshest
-#   gap: last graded two rounds ago), minus six whose family stays
-#   covered by core or another in-window member (media_decode_features,
-#   binmatrix_stream_scan, zipf_fit, mixture_plan, user_stats_streamed,
-#   dedup_components — siblings noted in DEFER);
-# - six LONG-deferred entries not graded since r2-r3
-#   (jaccard_token_pairs, clamp_small_values, orders_with_returns,
-#   event_followups_range_join, events_hourly, rolling_fingerprints) —
-#   several of which are now the in-window representative their
-#   rotated-out siblings point at.
+# - wordpiece_encode + the four entries displaced mid-r6
+#   (pq_adc_topk, kmeans_empty_repair, corpus_prep_pipeline,
+#   count_min_exact);
+# - bpe_encode + tokenize_pack_pipeline (r8 encode-change sentinels);
+# - 21 entries graded r5, rotated back in for r7 freshness;
+# - six long-deferred entries (last graded r2-r3).
 #
-# The 32 entries graded green in r6 rotate out to DEFER; each family keeps
-# a representative in-window (tests/test_registry_order.py invariant).
+# DEFER now lists EVERY non-window entry (no unordered middle) so each
+# rotation is a PROMOTE<->DEFER swap that the invariants in
+# tests/test_registry_order.py can fully audit: ordered_names() ==
+# PROMOTE + DEFER, disjoint, each deferred oracle entry annotated with its
+# in-window family sibling.
 PROMOTE: list[str] = [
     # --- §2 core, pinned every round ---
     "binary_f64_scan",
@@ -107,13 +102,17 @@ PROMOTE: list[str] = [
     "media_audio_energy",
     "collectives_reduce",
     "collectives_allreduce",
-    # --- VERDICT r6 ask #1: the never-graded entry + the four displaced ---
+    # --- VERDICT r6 ask #1: the never-graded entry + the displaced ---
     "wordpiece_encode",
     "pq_adc_topk",
-    "kmeans_empty_repair",
     "corpus_prep_pipeline",
     "count_min_exact",
-    # --- r7-changed-code sentinels (exhaustion-safe encode oracles) ---
+    # --- r8 new entry: held-out encode with REAL UNK rows (r7 ask #6);
+    #     displaces kmeans_empty_repair (green r7; kmeans_full covers I4) ---
+    "wordpiece_encode_holdout",
+    # --- r8-changed-code sentinels (exhaustion-safe encode oracles +
+    #     the _encoded_words_join broadcast guard; wordpiece_encode above
+    #     covers the WordPiece side of both changes) ---
     "bpe_encode",
     "tokenize_pack_pipeline",
     # --- graded r5, rotated out in r6, back in for freshness ---
@@ -148,89 +147,81 @@ PROMOTE: list[str] = [
 ]
 
 DEFER: list[str] = [
-    # --- graded green in r5, rotated out this round (in-window sibling) ---
-    "binmatrix_source_scan",  # binmatrix connector: binmatrix_sink_roundtrip reads through it
-    "binmatrix_stream_scan",  # binmatrix stream: binmatrix_sink_roundtrip graded
-    "simhash_exact",  # sketch-dedup twin: minhash_lsh_exact graded
-    "chunk_dedup",  # sub-document dedup: substring_dedup graded
-    "events_dedup_streamed",  # streamed dedup: events_enriched_streamed graded
-    "user_stats_streamed",  # stateful stream: events_hll_streamed graded
-    "events_sliding_streamed",  # windowed stream: events_enriched_streamed graded
-    "click_purchase_streamed",  # stream-stream join: events_enriched_streamed graded
-    "weighted_reservoir_sample",  # sampling: stratified_sample graded
-    "dup_cluster_sizes",  # exact-dedup rollup: dedup_exact graded
-    "token_bigram_pmi",  # text stats: vocab_top_terms graded
-    "zipf_fit",  # text stats: vocab_top_terms graded
-    "local_supplier_volume",  # equi-join: bucketed_fact_join graded
-    "token_counts",  # text analysis: vocab_top_terms graded
-    "media_decode_features",  # multimodal: media_audio_energy graded
-    "pii_scrub",  # corpus-prep flags: benchmark_contamination graded
-    "pack_sequences",  # llm_prep: stratified_sample graded
-    "mixture_plan",  # llm_prep: stratified_sample graded
-    "dedup_components",  # components: corpus_prep_pipeline_minhash runs them end-to-end
-    "cosine_topk",  # cosine kernel: knn_per_label graded
-    "repetition_signals",  # quality metrics: gopher_quality_flags graded
-    "unigram_logprob",  # corpus LM: quality_logit_score graded
-    "dsir_importance",  # curation: curation_funnel graded
-    "semantic_dedup",  # block-pair GEMM kernel: embedding_near_dup graded
-    "user_sessions_batch",  # window family: top_customers_per_nation graded
-    "cube_order_stats",  # §2.5 rollup/cube/pivot: rollup_sales graded
-    "hll_distinct_exact",  # sketch family: histogram_quantiles + events_cms_streamed graded
-    "pq_adc_topk",  # compressed-ANN twin: ann_lsh_exact keeps the family graded
-    #   (displaced mid-r6 by wordpiece_merges — new entries grade first)
-    "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop;
-    #   displaced mid-r6 by events_cms_streamed — new entries grade first
-    "wordpiece_encode",  # MaxMatch inference: wordpiece_merges grades the
-    #   trainer in-window; the encode oracle is exercised by the medium gate
-    "corpus_prep_pipeline",  # naive-edge composition twin:
-    #   corpus_prep_pipeline_minhash grades the shared funnel body in-window
-    #   (displaced mid-r6 by tokenize_pack_pipeline — new entries grade first)
-    "count_min_exact",  # count-min family: events_cms_streamed grades the
-    #   same portable hash family as a REAL streamed run (displaced mid-r6
-    #   by bigram_logprob — new entries grade first)
-    # --- long-deferred with unchanged family representation ---
-    "clamp_small_values",  # P4 map/filter: pricing_summary graded
+    # --- graded green in r6, rotated out by the r7/r8 window ---
+    "pricing_summary",  # P4 map/filter: clamp_small_values in-window
+    "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats in-window
+    "top_customers_per_nation",  # window family: user_sessions_batch in-window
+    "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
+    "histogram_quantiles",  # sketch family: hll_distinct_exact in-window
+    "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
+    "events_minutely_gapfill",  # events time agg: events_hourly in-window
+    "dedup_exact",  # exact-dedup family: dup_cluster_sizes in-window
+    "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
+    "minhash_lsh_exact",  # sketch-dedup twin: simhash_exact in-window
+    "embedding_near_dup",  # block-pair GEMM: semantic_dedup in-window
+    "jaccard_prefix_filtered",  # Jaccard family: jaccard_token_pairs in-window
+    "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline in-window
+    "knn_per_label",  # cosine kernel: cosine_topk in-window
+    "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
+    "doc_fingerprints",  # winnowing twin: rolling_fingerprints in-window
+    "vocab_top_terms",  # text stats: token_counts in-window
+    "quality_logit_score",  # corpus LM: unigram_logprob in-window
+    "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
+    "bpe_merges",  # BPE trainer: bpe_encode in-window grades the lifecycle
+    "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
+    "gopher_quality_flags",  # quality metrics: repetition_signals in-window
+    "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
+    "stratified_sample",  # sampling: weighted_reservoir_sample in-window
+    "bigram_logprob",  # corpus LM: unigram_logprob in-window
+    "substring_dedup",  # sub-document dedup: chunk_dedup in-window
+    "curation_funnel",  # curation: dsir_importance in-window
+    "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
+    "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
+    "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window
+    "events_hll_streamed",  # stateful stream: events_dedup_streamed in-window
+    "events_cms_streamed",  # count-min family: count_min_exact in-window
+    # --- rotated out in earlier rounds; in-window sibling per r8 window ---
+    "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop
+    "binmatrix_stream_scan",  # binmatrix stream: binmatrix_source_scan in-window
+    "user_stats_streamed",  # stateful stream: events_dedup_streamed in-window
+    "zipf_fit",  # text stats: token_counts in-window
+    "media_decode_features",  # multimodal: media_audio_energy in-window
+    "mixture_plan",  # llm_prep: pack_sequences in-window
+    "dedup_components",  # components: corpus_prep_pipeline runs them end-to-end
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
-    # --- rotated out earlier; family representation unchanged ---
     "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
-    "centroid_lines_scan",  # S6 text lines: text_points_scan graded
+    "centroid_lines_scan",  # S6 text lines: text_points_scan in-window
     "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the pairing
-    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_sink_roundtrip graded
-    "events_hourly_streamed",  # tumbling stream: events_enriched_streamed graded
-    "user_sessions_streamed",  # session windows: events_hll_streamed keeps stateful graded
+    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_source_scan (same connector)
+    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed in-window
+    "user_sessions_streamed",  # session windows: user_sessions_batch in-window
     "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
-    "dup_span_coverage",  # Lee et al. span coverage: substring_dedup graded
+    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup in-window
     "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
-    # --- oracle-bearing twins of queries that stay graded ---
-    "jaccard_token_pairs",  # naive twin: jaccard_shingle_pairs graded
-    "event_followups_range_join",  # interval-join twin: asof_click_purchase graded
-    "nation_set_ops",  # §2.5 set ops: rollup_sales graded
-    "text_quality_by_lang",  # quality ratios: quality_logit_score graded
-    "lang_id_heuristic",  # text family: vocab_top_terms graded
-    "orders_by_priority",  # keyed reduce: label_centroid_udaf graded
-    "orders_with_returns",  # semi-join: user_funnel_full_outer graded
-    "top_orders_by_price",  # sort+limit: top_customers_per_nation keeps windows graded
-    "order_price_unpivot",  # pivot family: rollup_sales graded
-    "event_type_pivot",  # pivot twin: rollup_sales graded
-    "monthly_revenue_trend",  # trend window: top_customers_per_nation graded
-    "running_order_totals",  # cumulative window: top_customers_per_nation graded
-    "customers_without_orders",  # anti-join: user_funnel_full_outer graded
-    "suppliers_with_large_lineitems",  # semi-join variant: user_funnel_full_outer graded
-    "events_json_props",  # JSON extraction: events_enriched_streamed graded
-    "distinct_part_types",  # DISTINCT: dedup_exact graded
-    "media_resize_estimate",  # metadata arithmetic: media_audio_energy graded
-    "salted_event_totals",  # salted partial agg: kmeans_centroid_update graded
-    "economy_revenue_share",  # global sum: mds_stress graded
-    "customer_order_gaps",  # lag window: top_customers_per_nation graded
-    "events_hourly",  # events time agg: events_minutely_gapfill graded
-    "shipping_priority",  # equi-join: bucketed_fact_join graded
-    "quantity_percentiles",  # ordered analytics: top_customers_per_nation graded
-    "global_stats",  # DoubleStatistics: short_matrix_stats graded
-    "media_metadata",  # metadata projection: media_audio_energy graded
-    "media_frame_sample",  # frame explode: media_audio_energy graded
-    "rolling_fingerprints",  # winnowing twin: doc_fingerprints graded
+    "nation_set_ops",  # §2.5 set ops: cube_order_stats in-window
+    "text_quality_by_lang",  # quality ratios: repetition_signals in-window
+    "lang_id_heuristic",  # text family: token_counts in-window
+    "orders_by_priority",  # keyed reduce: label_centroid_udaf in-window
+    "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
+    "order_price_unpivot",  # pivot family: cube_order_stats in-window
+    "event_type_pivot",  # pivot twin: cube_order_stats in-window
+    "monthly_revenue_trend",  # trend window: user_sessions_batch in-window
+    "running_order_totals",  # cumulative window: user_sessions_batch in-window
+    "customers_without_orders",  # anti-join: orders_with_returns in-window
+    "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
+    "events_json_props",  # JSON extraction: events_hourly in-window
+    "distinct_part_types",  # DISTINCT: dup_cluster_sizes in-window
+    "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
+    "salted_event_totals",  # salted partial agg: kmeans_centroid_update in-window
+    "economy_revenue_share",  # global sum: mds_stress in-window
+    "customer_order_gaps",  # lag window: user_sessions_batch in-window
+    "shipping_priority",  # equi-join: local_supplier_volume in-window
+    "quantity_percentiles",  # ordered analytics: user_sessions_batch in-window
+    "global_stats",  # DoubleStatistics: short_matrix_stats in-window
+    "media_metadata",  # metadata projection: media_audio_energy in-window
+    "media_frame_sample",  # frame explode: media_audio_energy in-window
     # --- approximate / iterative rows-only entries (no_oracle either way) ---
     "kmeans_full_demo",  # float-space demo; kmeans_full grades the loop exactly
     "damds_embed_demo",  # long anneal demo; damds_embed grades the lifecycle
@@ -249,7 +240,12 @@ DEFER: list[str] = [
 
 
 def ordered_names() -> list[str]:
-    """Registry names in grading-priority order: PROMOTE, middle, DEFER."""
+    """Registry names in grading-priority order: PROMOTE, middle, DEFER.
+
+    Since r8, PROMOTE+DEFER cover the registry and the middle is empty
+    (tests/test_registry_order.py::test_no_unordered_middle); the middle
+    slot remains so a not-yet-placed new entry still registers (it grades
+    ahead of DEFER until the invariant test forces its placement)."""
     promote = [n for n in PROMOTE if n in QUERIES]
     defer = [n for n in DEFER if n in QUERIES]
     placed = set(promote) | set(defer)

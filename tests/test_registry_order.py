@@ -74,92 +74,105 @@ def test_core_workloads_registered_first():
     ]
 
 
+def test_no_unordered_middle():
+    """PROMOTE + DEFER must cover the whole registry (r8 invariant).
+
+    The r7 rotation bug happened because entries could silently live in the
+    unordered middle: PROMOTE was rewritten, DEFER was not, and nothing
+    failed until the duplicate-detection tests did. With full coverage,
+    every rotation is an explicit PROMOTE<->DEFER swap.
+    """
+    placed = set(registry.PROMOTE) | set(registry.DEFER)
+    middle = [n for n in registry.QUERIES if n not in placed]
+    assert not middle, f"registry entries in neither PROMOTE nor DEFER: {middle}"
+
+
 def test_every_deferred_query_has_a_graded_family_sibling():
     """A deferred oracle query must leave its family represented in-window.
 
-    Round-6 SENTINEL window (VERDICT r5 ask #7): all 115 oracle entries are
-    driver-proven at least once across r1-r5, so the window mixes the pinned
-    §2 core, the r6 new entries + r5/r6-changed-code sentinels, and a
-    rotating third of entries last graded r2-r4; the 30 rows graded green in
-    r5 rotate out and point at the promoted member of their family.
+    Round-8 window = the round-7 window (50/50 green in CORRECTNESS_r07;
+    all 122 oracle entries driver-proven at least once across r1-r7).
+    Every sibling below is a member of that window; the r6-graded entries
+    that the r7 rotation left in the unordered middle now sit in DEFER and
+    point back at their in-window representative.
     """
     graded = set(window())
     siblings = {
-        # graded green in r5, rotated out in the r6 sentinel window
-        "binmatrix_source_scan": "binmatrix_sink_roundtrip",
-        "binmatrix_stream_scan": "binmatrix_sink_roundtrip",
-        "simhash_exact": "minhash_lsh_exact",
-        "chunk_dedup": "substring_dedup",
-        "events_dedup_streamed": "events_enriched_streamed",
-        "user_stats_streamed": "events_hll_streamed",
-        "events_sliding_streamed": "events_enriched_streamed",
-        "click_purchase_streamed": "events_enriched_streamed",
-        "weighted_reservoir_sample": "stratified_sample",
-        "dup_cluster_sizes": "dedup_exact",
-        "token_bigram_pmi": "vocab_top_terms",
-        "zipf_fit": "vocab_top_terms",
-        "local_supplier_volume": "bucketed_fact_join",
-        "token_counts": "vocab_top_terms",
-        "media_decode_features": "media_audio_energy",
-        "pii_scrub": "benchmark_contamination",
-        "pack_sequences": "stratified_sample",
-        "mixture_plan": "stratified_sample",
-        "dedup_components": "corpus_prep_pipeline_minhash",
-        "corpus_prep_pipeline": "corpus_prep_pipeline_minhash",
-        "count_min_exact": "events_cms_streamed",
-        "cosine_topk": "knn_per_label",
-        "repetition_signals": "gopher_quality_flags",
-        "unigram_logprob": "quality_logit_score",
-        "dsir_importance": "curation_funnel",
-        "semantic_dedup": "embedding_near_dup",
-        "user_sessions_batch": "top_customers_per_nation",
-        "cube_order_stats": "rollup_sales",
-        "hll_distinct_exact": "histogram_quantiles",
-        "pq_adc_topk": "ann_lsh_exact",
+        # graded green in r6, rotated out by the r7/r8 window
+        "pricing_summary": "clamp_small_values",
+        "rollup_sales": "cube_order_stats",
+        "top_customers_per_nation": "user_sessions_batch",
+        "asof_click_purchase": "event_followups_range_join",
+        "histogram_quantiles": "hll_distinct_exact",
+        "user_funnel_full_outer": "orders_with_returns",
+        "events_minutely_gapfill": "events_hourly",
+        "dedup_exact": "dup_cluster_sizes",
+        "jaccard_shingle_pairs": "jaccard_token_pairs",
+        "minhash_lsh_exact": "simhash_exact",
+        "embedding_near_dup": "semantic_dedup",
+        "jaccard_prefix_filtered": "jaccard_token_pairs",
+        "corpus_prep_pipeline_minhash": "corpus_prep_pipeline",
+        "knn_per_label": "cosine_topk",
+        "ann_lsh_exact": "pq_adc_topk",
+        "doc_fingerprints": "rolling_fingerprints",
+        "vocab_top_terms": "token_counts",
+        "quality_logit_score": "unigram_logprob",
+        "bm25_topk": "token_bigram_pmi",
+        "bpe_merges": "bpe_encode",
+        "wordpiece_merges": "wordpiece_encode",
+        "gopher_quality_flags": "repetition_signals",
+        "benchmark_contamination": "pii_scrub",
+        "stratified_sample": "weighted_reservoir_sample",
+        "bigram_logprob": "unigram_logprob",
+        "substring_dedup": "chunk_dedup",
+        "curation_funnel": "dsir_importance",
+        "binmatrix_sink_roundtrip": "binmatrix_source_scan",
+        "bucketed_fact_join": "local_supplier_volume",
+        "events_enriched_streamed": "events_sliding_streamed",
+        "events_hll_streamed": "events_dedup_streamed",
+        "events_cms_streamed": "count_min_exact",
+        # rotated out in earlier rounds
         "kmeans_empty_repair": "kmeans_full",
-        "wordpiece_encode": "wordpiece_merges",
-        # long-deferred, family representation per the r6 window
-        "clamp_small_values": "pricing_summary",
+        "binmatrix_stream_scan": "binmatrix_source_scan",
+        "user_stats_streamed": "events_dedup_streamed",
+        "zipf_fit": "token_counts",
+        "media_decode_features": "media_audio_energy",
+        "mixture_plan": "pack_sequences",
+        "dedup_components": "corpus_prep_pipeline",
         "damds_varray_vp": "damds_embed",
         "matrix_generators_roundtrip": "binary_f64_scan",
         "centroid_lines_scan": "text_points_scan",
         "damds_sidefile_scan": "damds_embed",
-        "partitioned_sink_roundtrip": "binmatrix_sink_roundtrip",
-        "events_hourly_streamed": "events_enriched_streamed",
-        "user_sessions_streamed": "events_hll_streamed",
+        "partitioned_sink_roundtrip": "binmatrix_source_scan",
+        "events_hourly_streamed": "events_sliding_streamed",
+        "user_sessions_streamed": "user_sessions_batch",
         "damds_bofz_bc": "damds_embed",
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
-        "dup_span_coverage": "substring_dedup",
+        "dup_span_coverage": "chunk_dedup",
         "quantize_roundtrip": "binary_i16_scan",
-        # long-deferred twins
-        "jaccard_token_pairs": "jaccard_shingle_pairs",
-        "event_followups_range_join": "asof_click_purchase",
-        "nation_set_ops": "rollup_sales",
-        "text_quality_by_lang": "quality_logit_score",
-        "lang_id_heuristic": "vocab_top_terms",
+        "nation_set_ops": "cube_order_stats",
+        "text_quality_by_lang": "repetition_signals",
+        "lang_id_heuristic": "token_counts",
         "orders_by_priority": "label_centroid_udaf",
-        "orders_with_returns": "user_funnel_full_outer",
-        "top_orders_by_price": "top_customers_per_nation",
-        "order_price_unpivot": "rollup_sales",
-        "event_type_pivot": "rollup_sales",
-        "monthly_revenue_trend": "top_customers_per_nation",
-        "running_order_totals": "top_customers_per_nation",
-        "customers_without_orders": "user_funnel_full_outer",
-        "suppliers_with_large_lineitems": "user_funnel_full_outer",
-        "events_json_props": "events_enriched_streamed",
-        "distinct_part_types": "dedup_exact",
+        "top_orders_by_price": "user_sessions_batch",
+        "order_price_unpivot": "cube_order_stats",
+        "event_type_pivot": "cube_order_stats",
+        "monthly_revenue_trend": "user_sessions_batch",
+        "running_order_totals": "user_sessions_batch",
+        "customers_without_orders": "orders_with_returns",
+        "suppliers_with_large_lineitems": "orders_with_returns",
+        "events_json_props": "events_hourly",
+        "distinct_part_types": "dup_cluster_sizes",
         "media_resize_estimate": "media_audio_energy",
         "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",
-        "customer_order_gaps": "top_customers_per_nation",
-        "events_hourly": "events_minutely_gapfill",
-        "shipping_priority": "bucketed_fact_join",
-        "quantity_percentiles": "top_customers_per_nation",
+        "customer_order_gaps": "user_sessions_batch",
+        "shipping_priority": "local_supplier_volume",
+        "quantity_percentiles": "user_sessions_batch",
         "global_stats": "short_matrix_stats",
         "media_metadata": "media_audio_energy",
         "media_frame_sample": "media_audio_energy",
-        "rolling_fingerprints": "doc_fingerprints",
         # rows-only demos keep their exactly-graded twins in-window
         "kmeans_full_demo": "kmeans_full",
         "damds_embed_demo": "damds_embed",
