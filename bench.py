@@ -76,6 +76,8 @@ HEADLINE = [
                                 # (word-count shuffle + driver-local merges)
     "events_cms_streamed",      # r6: count-min cells as streaming state
                                 # (sum-merge complement of the HLL stream)
+    "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
+    #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment
                                 # distinct words + broadcast rollup)
     "tokenize_pack_pipeline",   # r6: composed train -> encode -> pack

@@ -91,6 +91,7 @@ AUDITED = [
     "wordpiece_merges",  # expect ~bpe_encode's 0.18: one word-count exchange
     "events_cms_streamed",  # expect ~0: 256 sketch cells of state, 4 probes
     "wordpiece_encode",  # two word-count-shaped exchanges + broadcast join
+    "wordpiece_encode_holdout",  # same shape + the part-name word explode
     "tokenize_pack_pipeline",  # bpe_encode's exchanges + ONE range exchange
     "bigram_logprob",  # pair-key shuffle + gram-keyed scoring join
 ]
