@@ -51,6 +51,8 @@ HEADLINE = [
     "pii_scrub",                # regex redaction chain (codegen scan)
     "benchmark_contamination",  # eval-shingle broadcast decontamination
     "pack_sequences",           # two-pass distributed prefix-sum packing
+    "mixture_pack_pipeline",    # r8: mixture APPLY -> epoch replicate -> pack
+    "shard_manifest",           # r8: shard rollup + xor content fingerprints
     "repetition_signals",       # r3 curation: explode + double hash agg (pure JVM)
     "semantic_dedup",           # r3 curation: assign + cluster-keyed block-pair GEMM
     "bm25_topk",                # r3: posting-filtered BM25 retrieval ranking

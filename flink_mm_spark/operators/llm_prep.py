@@ -473,33 +473,14 @@ _MIXTURE_ORACLE = f"""
 """
 
 
-@register("mixture_plan", oracle=_MIXTURE_ORACLE)
-def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-driven domain-mixture PLANNER — the data-mixing stage between
-    curation and sequence packing (The Pile / DoReMi / Llama recipes):
-    given per-source target weights and a global token budget
-    (``MIX_BUDGET_FACTOR``× the corpus), derive each source's sampling
-    plan — ``full_epochs`` whole passes plus a deterministic hash-sampled
-    fractional epoch at ``sample_ppm`` parts-per-million — and grade the
-    realized document/token counts of the fractional epoch EXACTLY.
-
-    Complements ``stratified_sample`` (which applies FIXED rates): here the
-    rates are derived FROM the data (per-source token totals vs the weight
-    share of the budget), and over-weighted small domains correctly come
-    out as multi-epoch repetition rather than a rate clamped at 1 — the
-    upsampling semantics pretraining recipes actually use.
-
-    Exactness: every quantity is integer arithmetic (floor divisions in
-    both engines) on token counts and a 32-bit md5 bucket, so the driver
-    value-hash must match. Scale shape: pass 1 is a column-pruned
-    per-source aggregate joined against two broadcast scalars (corpus
-    totals); pass 2 re-scans with the per-source plan broadcast — at
-    100 TB you persist the 3-column (source, n_tok, bucket) projection (or
-    read token counts from ingest metadata) instead of re-tokenizing,
-    and the same keep-predicate pushes into the writer that materializes
-    the mixed corpus.
-    """
+def _mixture_inputs(spark: SparkSession, sf_dir: str):
+    """Shared by the mixture PLANNER and its APPLY consumers: the per-doc
+    (doc_id, source, w, n_tok, bucket) projection and the per-source plan
+    (full_epochs + sample_ppm) derived from it. The plan is two
+    aggregates over the projection; every consumer re-attaches it by
+    broadcast (it is |sources| rows)."""
     d = table(spark, sf_dir, "documents").select(
+        "doc_id",
         "source",
         (_src_num() % 4 + 1).alias("w"),
         _ws_token_count().alias("n_tok"),
@@ -536,6 +517,36 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_tokens", "full_epochs", "sample_ppm",
         )
     )
+    return d, plan
+
+
+@register("mixture_plan", oracle=_MIXTURE_ORACLE)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven domain-mixture PLANNER — the data-mixing stage between
+    curation and sequence packing (The Pile / DoReMi / Llama recipes):
+    given per-source target weights and a global token budget
+    (``MIX_BUDGET_FACTOR``× the corpus), derive each source's sampling
+    plan — ``full_epochs`` whole passes plus a deterministic hash-sampled
+    fractional epoch at ``sample_ppm`` parts-per-million — and grade the
+    realized document/token counts of the fractional epoch EXACTLY.
+
+    Complements ``stratified_sample`` (which applies FIXED rates): here the
+    rates are derived FROM the data (per-source token totals vs the weight
+    share of the budget), and over-weighted small domains correctly come
+    out as multi-epoch repetition rather than a rate clamped at 1 — the
+    upsampling semantics pretraining recipes actually use.
+
+    Exactness: every quantity is integer arithmetic (floor divisions in
+    both engines) on token counts and a 32-bit md5 bucket, so the driver
+    value-hash must match. Scale shape: pass 1 is a column-pruned
+    per-source aggregate joined against two broadcast scalars (corpus
+    totals); pass 2 re-scans with the per-source plan broadcast — at
+    100 TB you persist the 3-column (source, n_tok, bucket) projection (or
+    read token counts from ingest metadata) instead of re-tokenizing,
+    and the same keep-predicate pushes into the writer that materializes
+    the mixed corpus.
+    """
+    d, plan = _mixture_inputs(spark, sf_dir)
     return (
         d.select("source", "n_tok", "bucket")
         .join(F.broadcast(plan), "source")
@@ -695,15 +706,25 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_counts(spark, docs)
 
 
-def pack_by_counts(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def pack_by_counts(
+    spark: SparkSession, docs: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
     """The two-pass distributed prefix-sum packer over an arbitrary
-    (doc_id, n_tok) table — the counts source is the caller's choice
+    (*key_cols, n_tok) table — the counts source is the caller's choice
     (whitespace tokens for ``pack_sequences``, trained-tokenizer subword
-    counts for ``tokenize_pack_pipeline``). See ``pack_sequences`` for the
-    scale argument; the shuffle key is derived here so every caller packs
-    in the same reproducible pseudo-shuffled order."""
+    counts for ``tokenize_pack_pipeline``, the replicated (doc_id, epoch)
+    mixture stream for ``mixture_pack_pipeline``). See ``pack_sequences``
+    for the scale argument; the shuffle key is derived here
+    (md5 of the ':'-joined key tuple — for the default single key this is
+    byte-identical to the original md5(doc_id)) so every caller packs in
+    the same reproducible pseudo-shuffled order."""
+    key_cols = key_cols or ["doc_id"]
     docs = docs.select(
-        "doc_id", "n_tok", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+        *key_cols,
+        "n_tok",
+        F.md5(
+            F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+        ).alias("shuffle_key"),
     )
     n_parts = spark.sparkContext.defaultParallelism
     while _PACK_CACHE:
@@ -717,9 +738,9 @@ def pack_by_counts(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # load-bearing assumption: a non-deterministic upstream (e.g. a sample)
     # would need a checkpoint here instead of a persist.
     parts = (
-        docs.repartitionByRange(n_parts, "shuffle_key", "doc_id")
-        .sortWithinPartitions("shuffle_key", "doc_id")
-        .select(F.spark_partition_id().alias("pid"), "doc_id", "n_tok")
+        docs.repartitionByRange(n_parts, "shuffle_key", *key_cols)
+        .sortWithinPartitions("shuffle_key", *key_cols)
+        .select(F.spark_partition_id().alias("pid"), *key_cols, "n_tok")
         .persist()
     )
     _PACK_CACHE.append(parts)
@@ -744,15 +765,208 @@ def pack_by_counts(spark: SparkSession, docs: DataFrame) -> DataFrame:
             n = pdf["n_tok"].to_numpy().astype("int64")
             cum_before = start + n.cumsum() - n
             running += int(n.sum())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tok": pdf["n_tok"],
-                    "seq_id": cum_before // SEQ_TOKEN_BUDGET,
-                    "seq_off": cum_before % SEQ_TOKEN_BUDGET,
-                }
-            )
+            out = {c: pdf[c] for c in key_cols}
+            out["n_tok"] = pdf["n_tok"]
+            out["seq_id"] = cum_before // SEQ_TOKEN_BUDGET
+            out["seq_off"] = cum_before % SEQ_TOKEN_BUDGET
+            yield pd.DataFrame(out)
 
-    return parts.mapInPandas(
-        assign, "doc_id long, n_tok int, seq_id long, seq_off long"
-    ).orderBy("doc_id")
+    schema = (
+        ", ".join(f"{c} long" for c in key_cols)
+        + ", n_tok int, seq_id long, seq_off long"
+    )
+    return parts.mapInPandas(assign, schema).orderBy(*key_cols)
+
+
+# --- mixture APPLY: materialize the planned stream and pack/shard it --------
+
+# Shards are fixed runs of consecutive training sequences — the unit a data
+# loader reads and checkpoints by. 8 × 512-token sequences per shard keeps
+# the local testdata at a meaningful shard count; production uses the same
+# arithmetic at ~100k-sequence shards.
+MIX_SEQS_PER_SHARD = 8
+
+# The oracle prefix reuses _MIXTURE_ORACLE's d/s/g/plan CTE chain verbatim,
+# with doc_id added to the per-doc projection (first SELECT only).
+_MIXPACK_PREFIX = (
+    _MIXTURE_ORACLE.split("SELECT p.source")[0].replace(
+        "SELECT source,", "SELECT doc_id, source,", 1
+    )
+    + f"""
+    , copies AS (
+      -- CAST: plan's floor divisions ride on SUM()=HUGEINT upstream, and
+      -- DuckDB range() only binds BIGINT (the SUM(int)->HUGEINT gotcha)
+      SELECT d.doc_id, d.n_tok,
+             CAST(p.full_epochs
+               + (CASE WHEN d.bucket < p.sample_ppm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_copies
+      FROM d JOIN plan p USING (source)
+    ),
+    rep AS (
+      SELECT doc_id, n_tok, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+      FROM copies WHERE n_copies > 0
+    ),
+    keyed AS (
+      SELECT doc_id, epoch, n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+               AS shuffle_key
+      FROM rep
+    ),
+    ordered AS (
+      SELECT doc_id, epoch, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY shuffle_key, doc_id, epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM keyed
+    )
+    """
+)
+
+_MIXPACK_ORACLE = (
+    _MIXPACK_PREFIX
+    + f"""
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(n_tok AS INTEGER) AS n_tok,
+           CAST(cum_before // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_off
+    FROM ordered ORDER BY doc_id, epoch
+    """
+)
+
+
+def _mixture_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized mixture stream, packed: every document appears
+    ``full_epochs`` times plus once more iff its md5 bucket lands under
+    the source's ``sample_ppm``; the (doc_id, epoch) copies then run
+    through the shared two-pass prefix-sum packer keyed on the copy
+    tuple. UNSORTED — ``mixture_pack_pipeline`` adds the presentation
+    sort; ``shard_manifest`` aggregates instead."""
+    d, plan = _mixture_inputs(spark, sf_dir)
+    rep = (
+        d.select("doc_id", "source", "n_tok", "bucket")
+        .join(
+            F.broadcast(plan.select("source", "full_epochs", "sample_ppm")),
+            "source",
+        )
+        .withColumn(
+            "n_copies",
+            (
+                F.col("full_epochs")
+                + (F.col("bucket") < F.col("sample_ppm")).cast("bigint")
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.explode(F.expr("sequence(0L, n_copies - 1)")).alias("epoch"),
+        )
+    )
+    return pack_by_counts(
+        spark,
+        rep.select("doc_id", "epoch", "n_tok"),
+        key_cols=["doc_id", "epoch"],
+    )
+
+
+@register("mixture_pack_pipeline", oracle=_MIXPACK_ORACLE)
+def mixture_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture APPLY → sequence packing: materialize the domain-mixture
+    plan (every document repeated ``full_epochs`` times, plus the
+    deterministic hash-sampled fractional-epoch copy) and pack the
+    replicated stream into fixed-token-budget training sequences — the
+    composed step a pretraining pipeline runs between ``mixture_plan``
+    and the data loader. ``mixture_plan`` grades the PLAN's arithmetic;
+    this grades the materialized stream row-for-row: each (doc_id,
+    epoch) copy's sequence id and offset under the reproducible
+    pseudo-shuffled order md5(doc_id:epoch).
+
+    Scale shape: the replication is a broadcast join (|sources| plan
+    rows) + one JVM ``sequence``/``explode`` — no shuffle added to the
+    plan side; the packer contributes its single range exchange (over
+    budget-factor × corpus rows now, same shape). Epoch copies of a
+    document land at unrelated shuffle positions (the hash key includes
+    the epoch), which is exactly the decorrelation repeated-epoch
+    training wants.
+
+    Upsampling semantics follow the repeated-epoch recipes (The Pile,
+    Llama): repeats are whole extra passes, graded exactly; the
+    fractional pass reuses ``stratified_sample``'s md5-bucket rule.
+    """
+    return _mixture_packed(spark, sf_dir).orderBy("doc_id", "epoch")
+
+
+_SHARD_ORACLE = (
+    _MIXPACK_PREFIX
+    + f"""
+    SELECT CAST(cum_before // {SEQ_TOKEN_BUDGET} // {MIX_SEQS_PER_SHARD} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_slices,
+           CAST(COUNT(DISTINCT cum_before // {SEQ_TOKEN_BUDGET}) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(CAST('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) || ':'
+                 || CAST(cum_before // {SEQ_TOKEN_BUDGET} AS VARCHAR) || ':'
+                 || CAST(cum_before % {SEQ_TOKEN_BUDGET} AS VARCHAR)), 1, 15)
+               AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM ordered
+    GROUP BY 1 ORDER BY shard_id
+    """
+)
+
+
+@register("shard_manifest", oracle=_SHARD_ORACLE)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard planning over the packed mixture stream: group consecutive
+    training sequences into fixed-size shards (``MIX_SEQS_PER_SHARD``)
+    and emit each shard's manifest — slice count, distinct sequences
+    STARTING in the shard, token mass of those slices, and an
+    order-insensitive 60-bit content fingerprint (``bit_xor`` of the
+    md5 of each slice's (doc_id, epoch, seq_id, seq_off) tuple). The
+    manifest is what a data-loader layer checks before and after
+    materializing shard files: counts say a shard is complete,
+    the fingerprint says it is the RIGHT content, and xor makes the
+    check order-independent (shard writers emit slices in task order).
+
+    Token accounting note: a slice that straddles a shard's last
+    sequence boundary is counted in the shard its sequence STARTS in —
+    the same convention ``pack_sequences`` uses for documents straddling
+    sequence boundaries.
+
+    Scale shape: reuses the packed stream's single range exchange, then
+    one hash aggregate keyed on shard_id (integer division of seq_id) —
+    manifests are O(shards) rows; nothing corpus-sized reaches the
+    driver. Exactness: every column is integer arithmetic or a 60-bit
+    xor of md5 prefixes both engines compute byte-identically.
+    """
+    packed = _mixture_packed(spark, sf_dir)
+    slice_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                    F.col("seq_id").cast("string"),
+                    F.col("seq_off").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        packed.withColumn(
+            "shard_id", F.expr(f"seq_id div {MIX_SEQS_PER_SHARD}").cast("bigint")
+        )
+        .withColumn("slice_h", slice_h)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slices"),
+            F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(slice_h)").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("shard_id")
+    )

@@ -107,9 +107,16 @@ PROMOTE: list[str] = [
     "pq_adc_topk",
     "corpus_prep_pipeline",
     "count_min_exact",
-    # --- r8 new entry: held-out encode with REAL UNK rows (r7 ask #6);
-    #     displaces kmeans_empty_repair (green r7; kmeans_full covers I4) ---
+    # --- r8 new entries ---
+    # held-out encode with REAL UNK rows (r7 ask #6); displaces
+    # kmeans_empty_repair (green r7; kmeans_full covers I4)
     "wordpiece_encode_holdout",
+    # mixture APPLY -> pack, and shard manifests over the packed stream
+    # (the train-data pipeline's last mile); displace cosine_topk and
+    # click_purchase_streamed (green r7; pq_adc_topk keeps similarity
+    # graded, events_sliding_streamed keeps streaming graded)
+    "mixture_pack_pipeline",
+    "shard_manifest",
     # --- r8-changed-code sentinels (exhaustion-safe encode oracles +
     #     the _encoded_words_join broadcast guard; wordpiece_encode above
     #     covers the WordPiece side of both changes) ---
@@ -121,7 +128,6 @@ PROMOTE: list[str] = [
     "chunk_dedup",
     "events_dedup_streamed",
     "events_sliding_streamed",
-    "click_purchase_streamed",
     "weighted_reservoir_sample",
     "dup_cluster_sizes",
     "token_bigram_pmi",
@@ -129,7 +135,6 @@ PROMOTE: list[str] = [
     "token_counts",
     "pii_scrub",
     "pack_sequences",
-    "cosine_topk",
     "repetition_signals",
     "unigram_logprob",
     "dsir_importance",
@@ -182,11 +187,13 @@ DEFER: list[str] = [
     "events_cms_streamed",  # count-min family: count_min_exact in-window
     # --- rotated out in earlier rounds; in-window sibling per r8 window ---
     "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop
+    "cosine_topk",  # cosine kernel: pq_adc_topk keeps similarity graded
+    "click_purchase_streamed",  # stream-stream join: events_sliding_streamed in-window
     "binmatrix_stream_scan",  # binmatrix stream: binmatrix_source_scan in-window
     "user_stats_streamed",  # stateful stream: events_dedup_streamed in-window
     "zipf_fit",  # text stats: token_counts in-window
     "media_decode_features",  # multimodal: media_audio_energy in-window
-    "mixture_plan",  # llm_prep: pack_sequences in-window
+    "mixture_plan",  # mixture family: mixture_pack_pipeline applies the plan in-window
     "dedup_components",  # components: corpus_prep_pipeline runs them end-to-end
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
     "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output

@@ -64,6 +64,8 @@ AUDITED = [
     "repetition_signals",
     "unigram_logprob",
     "pack_sequences",
+    "mixture_pack_pipeline",  # broadcast plan + explode + ONE range exchange
+    "shard_manifest",  # same + the shard-id hash aggregate
     "benchmark_contamination",
     # text / retrieval
     "bm25_topk",

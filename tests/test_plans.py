@@ -592,3 +592,31 @@ def test_unigram_encode_segments_distributed(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # the persisted word table feeds seg
+
+
+def test_mixture_pack_is_broadcast_replicate_plus_range_exchange(spark):
+    """mixture_pack_pipeline (r8): the plan re-attaches by BROADCAST
+    (|sources| rows), replication is a JVM sequence/explode (no Python
+    before the packer), and the packer contributes the same single range
+    exchange as pack_sequences — never a SinglePartition global window."""
+    df = registry.QUERIES["mixture_pack_pipeline"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # replication is explode(sequence(...)): a Generate node, JVM-side
+    assert "Generate explode" in plan, plan[:3000]
+
+
+def test_shard_manifest_is_one_hash_aggregate_over_packed(spark):
+    """shard_manifest (r8): shard rollup adds hash aggregates keyed on the
+    integer-division shard id over the packed stream — no extra sort, no
+    Python beyond the packer's one Arrow stage, manifests are O(shards)."""
+    df = registry.QUERIES["shard_manifest"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan[:3000]
+    assert plan.count("MapInPandas") >= 1, plan[:3000]  # the packer's assign
+    assert "Window" not in plan, plan[:3000]

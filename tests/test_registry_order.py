@@ -112,7 +112,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline",
-        "knn_per_label": "cosine_topk",
+        "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
         "doc_fingerprints": "rolling_fingerprints",
         "vocab_top_terms": "token_counts",
@@ -133,11 +133,13 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_cms_streamed": "count_min_exact",
         # rotated out in earlier rounds
         "kmeans_empty_repair": "kmeans_full",
+        "cosine_topk": "pq_adc_topk",
+        "click_purchase_streamed": "events_sliding_streamed",
         "binmatrix_stream_scan": "binmatrix_source_scan",
         "user_stats_streamed": "events_dedup_streamed",
         "zipf_fit": "token_counts",
         "media_decode_features": "media_audio_energy",
-        "mixture_plan": "pack_sequences",
+        "mixture_plan": "mixture_pack_pipeline",
         "dedup_components": "corpus_prep_pipeline",
         "damds_varray_vp": "damds_embed",
         "matrix_generators_roundtrip": "binary_f64_scan",
