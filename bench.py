@@ -86,6 +86,8 @@ HEADLINE = [
                                 # (real-subword-count sequence packing)
     "bigram_logprob",           # r6: add-one bigram-LM perplexity filter
                                 # (pair shuffle + broadcast marginals)
+    "unigram_viterbi_encode",   # r8: integer-weight Viterbi decoder
+                                # (bounded substring agg + Arrow segment pass)
 ]
 
 

@@ -1662,3 +1662,220 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- unigram Viterbi encode under a frequency-seeded table, r8 ---------------
+
+# The EM-trained unigram table is inherently float-iterative (rows-only
+# forever), but the Viterbi DECODER itself — the deploy-side algorithm — is
+# exactly gradeable once the piece weights are integers: seed the table
+# directly from substring frequencies (stage 1 of `train_unigram`, no EM),
+# quantize each log-probability to integer MICRO-NATS with the repo's
+# floor(x*1e6 + 0.5) contract (pq_adc_topk's exactness pattern), and the DP
+# then sums integers — bit-identical across engines. Python `math.log` and
+# DuckDB `ln` are the same libm call on this box (verified on 20k samples,
+# and re-verified per run by the value-hash gate); quantization happens per
+# PIECE (O(vocab) values), never per score sum.
+_UVE_SENT = -(10**15)  # "unreachable" DP cell; |real scores| < 20 pieces * 4e7
+
+# DuckDB Viterbi via a rolling-window recursive CTE: recursion sees only the
+# PREVIOUS iteration's rows, but best[i] needs best[i-1..i-4] — so each row
+# carries the last 4 (score, n_pieces) cells as columns and advances one
+# character per step. Tie-break matches `_viterbi`'s `>=`-ascending update
+# (prefer the LONGEST final piece): the CASE tests candidates in DESCENDING
+# length order. Gotchas baked in (learned r5-r7, see CLAUDE.md): vocab
+# dedupe via GROUP BY — NOT `UNION` (DuckDB loses UNION's set semantics when
+# the CTE chain is re-evaluated inside a recursive term: the seed∪chars
+# overlap double-counted and shifted every weight by ln(1.56)); the total via
+# `SUM(cnt) OVER ()` — NOT a scalar subquery (those read NULL inside
+# recursion); `weights` a PLAIN CTE referenced from the ANCHOR by a
+# load-bearing no-op.
+_UVE_ORACLE = f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(trim(text)), '{WORD_REGEX}')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+subs AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INT), CAST(ln AS INT)) AS piece,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM words,
+       unnest(range(1, len(w) + 1)) AS t(i),
+       unnest(range(1, least({{L}}, len(w) - CAST(i AS INT) + 1) + 1)) AS u(ln)
+  GROUP BY 1
+),
+vocab AS MATERIALIZED (
+  SELECT piece, MAX(cnt) AS cnt FROM (
+    SELECT piece, cnt FROM (
+      SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece ASC LIMIT {{SEED}}
+    )
+    UNION ALL
+    SELECT piece, cnt FROM subs WHERE len(piece) = 1
+  ) GROUP BY piece
+),
+weights AS (
+  SELECT piece,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) /
+              CAST(SUM(cnt) OVER () AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wgt
+  FROM vocab
+),
+vit AS (
+  SELECT w, 0 AS j,
+         CAST(0 AS BIGINT) AS s1, 0 AS n1,
+         CAST({{SENT}} AS BIGINT) AS s2, 0 AS n2,
+         CAST({{SENT}} AS BIGINT) AS s3, 0 AS n3,
+         CAST({{SENT}} AS BIGINT) AS s4, 0 AS n4
+  FROM words
+  WHERE (SELECT COUNT(*) FROM weights) >= 0
+  UNION ALL
+  SELECT w, j + 1,
+         best_s,
+         CASE WHEN c4 = best_s THEN n4 + 1
+              WHEN c3 = best_s THEN n3 + 1
+              WHEN c2 = best_s THEN n2 + 1
+              ELSE n1 + 1 END,
+         s1, n1, s2, n2, s3, n3
+  FROM (
+    SELECT w, j, s1, n1, s2, n2, s3, n3, s4, n4,
+           c1, c2, c3, c4, greatest(c1, c2, c3, c4) AS best_s
+    FROM (
+      SELECT v.*,
+        s1 + COALESCE((SELECT wt.wgt FROM weights wt
+                       WHERE wt.piece = substr(v.w, v.j + 1, 1)), {{SENT}}) AS c1,
+        CASE WHEN v.j >= 1 THEN s2 + COALESCE((SELECT wt.wgt FROM weights wt
+                       WHERE wt.piece = substr(v.w, v.j, 2)), {{SENT}})
+             ELSE {{SENT}} END AS c2,
+        CASE WHEN v.j >= 2 THEN s3 + COALESCE((SELECT wt.wgt FROM weights wt
+                       WHERE wt.piece = substr(v.w, v.j - 1, 3)), {{SENT}})
+             ELSE {{SENT}} END AS c3,
+        CASE WHEN v.j >= 3 THEN s4 + COALESCE((SELECT wt.wgt FROM weights wt
+                       WHERE wt.piece = substr(v.w, v.j - 2, 4)), {{SENT}})
+             ELSE {{SENT}} END AS c4
+      FROM vit v WHERE v.j < len(v.w)
+    )
+  )
+),
+enc AS MATERIALIZED (
+  SELECT w, s1 AS score, n1 AS n_pieces FROM vit WHERE j = len(w)
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '{WORD_REGEX}')) AS w
+  FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_vit_pieces,
+       CAST(SUM(e.score) AS BIGINT) AS vit_score_micronats,
+       ROUND(CAST(SUM(e.n_pieces) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+FROM dw JOIN enc e USING (w)
+GROUP BY dw.doc_id
+ORDER BY dw.doc_id
+""".replace("{L}", str(UNI_MAX_PIECE_LEN)).replace(
+    "{SEED}", str(UNI_SEED_SIZE)
+).replace("{SENT}", str(_UVE_SENT))
+
+_UVE_CACHE: list = []  # persisted word/substring tables (unpersisted next call)
+
+
+@register("unigram_viterbi_encode", oracle=_UVE_ORACLE)
+def unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi ENCODE under a frequency-seeded piece table —
+    the deploy-side decoder graded EXACTLY (value-hash), closing the gap
+    `unigram_encode` (rows-only: its table comes from float EM) leaves.
+
+    Table: top ``UNI_SEED_SIZE`` substrings of length ≤
+    ``UNI_MAX_PIECE_LEN`` by frequency-weighted occurrence count
+    (cnt DESC, piece ASC — deterministic) plus every single character
+    (guaranteed segmentability), weight = floor(ln(cnt/total)·1e6 + 0.5)
+    integer micro-nats. The Viterbi DP then sums INTEGERS, so the best
+    score, the tie-break (equal score → longest final piece, `_viterbi`'s
+    `>=` update = the oracle's descending CASE), and the backtracked piece
+    count are all cross-engine exact.
+
+    Scale shape (`bpe_encode`'s two-tier story): the corpus is touched by
+    one word-count shuffle; the substring aggregate is bounded by
+    alphabet^len ≤ O(1M) rows regardless of corpus size; only the top-96
+    pieces + the alphabet land on the driver (O(vocab), KBs); the DISTINCT
+    word table is segmented DISTRIBUTED in one Arrow-batched mapInPandas
+    pass (weights in the closure); per-word results rejoin the exploded
+    word stream via the guarded vocab-broadcast (`_encoded_words_join`);
+    per-doc rollups are integer sums. The word table feeds the substring
+    aggregate (two actions) and the segmentation pass, so it stays
+    persisted for the run via the module cache (the returned DataFrame
+    executes after this function returns).
+    """
+    import math
+
+    import pandas as pd
+
+    while _UVE_CACHE:
+        _UVE_CACHE.pop().unpersist()
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0")
+        )
+        .select(F.lower(F.trim(F.col("w0"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    _UVE_CACHE.append(words)
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)),"
+                    f" i -> transform(sequence(1, least({UNI_MAX_PIECE_LEN}, length(w) - i + 1)),"
+                    " ln -> substring(w, i, ln))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .persist()
+    )
+    _UVE_CACHE.append(subs)
+    seed = (
+        subs.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(UNI_SEED_SIZE)
+        .collect()
+    )
+    chars = subs.filter(F.length("piece") == 1).collect()
+    vocab = {r["piece"]: int(r["cnt"]) for r in seed}
+    for r in chars:
+        vocab[r["piece"]] = int(r["cnt"])
+    total = sum(vocab.values())
+    # float-valued INTEGER weights: _viterbi's float sums stay exact below
+    # 2^53, and int(score) recovers the micro-nat sum losslessly
+    wgt = {p: float(math.floor(math.log(c / total) * 1e6 + 0.5)) for p, c in vocab.items()}
+
+    def seg(batches):
+        for pdf in batches:
+            ns, ss = [], []
+            for w in pdf["w"]:
+                pieces, score = _viterbi(w, wgt, UNI_MAX_PIECE_LEN)
+                ns.append(len(pieces))
+                ss.append(int(score))
+            yield pd.DataFrame({"w": pdf["w"], "n_pieces": ns, "score": ss})
+
+    enc = words.select("w").mapInPandas(seg, "w string, n_pieces int, score long")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0"),
+    ).select("doc_id", F.lower(F.trim(F.col("w0"))).alias("w"))
+    return (
+        _encoded_words_join(dw, enc)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_vit_pieces"),
+            F.sum("score").cast("bigint").alias("vit_score_micronats"),
+            F.round(F.sum("n_pieces").cast("double") / F.count("*"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )

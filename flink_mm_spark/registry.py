@@ -122,6 +122,10 @@ PROMOTE: list[str] = [
     #     covers the WordPiece side of both changes) ---
     "bpe_encode",
     "tokenize_pack_pipeline",
+    # exactly-graded Viterbi decoder (integer micro-nat weights) — the
+    # unigram family's first value-hash entry; displaces pack_sequences
+    # (green r7; tokenize_pack_pipeline keeps the packer graded)
+    "unigram_viterbi_encode",
     # --- graded r5, rotated out in r6, back in for freshness ---
     "binmatrix_source_scan",
     "simhash_exact",
@@ -134,7 +138,6 @@ PROMOTE: list[str] = [
     "local_supplier_volume",
     "token_counts",
     "pii_scrub",
-    "pack_sequences",
     "repetition_signals",
     "unigram_logprob",
     "dsir_importance",
@@ -186,6 +189,7 @@ DEFER: list[str] = [
     "events_hll_streamed",  # stateful stream: events_dedup_streamed in-window
     "events_cms_streamed",  # count-min family: count_min_exact in-window
     # --- rotated out in earlier rounds; in-window sibling per r8 window ---
+    "pack_sequences",  # packer: tokenize_pack_pipeline runs it in-window
     "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop
     "cosine_topk",  # cosine kernel: pq_adc_topk keeps similarity graded
     "click_purchase_streamed",  # stream-stream join: events_sliding_streamed in-window

@@ -96,6 +96,7 @@ AUDITED = [
     "wordpiece_encode_holdout",  # same shape + the part-name word explode
     "tokenize_pack_pipeline",  # bpe_encode's exchanges + ONE range exchange
     "bigram_logprob",  # pair-key shuffle + gram-keyed scoring join
+    "unigram_viterbi_encode",  # word-count + bounded substring exchanges
 ]
 
 

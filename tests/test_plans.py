@@ -594,6 +594,23 @@ def test_unigram_encode_segments_distributed(spark):
     assert "InMemoryTableScan" in plan  # the persisted word table feeds seg
 
 
+def test_unigram_viterbi_encode_segments_distributed(spark):
+    """unigram_viterbi_encode (r8): same deploy shape as the other three
+    encodes — the integer-weight Viterbi runs as ONE Arrow-batched
+    mapInPandas stage over the distinct-word table (weights in the
+    closure, only the O(vocab) seed/char rows ever reach the driver) and
+    the per-word (n_pieces, score) rows re-attach to the corpus word
+    stream via the guarded vocab broadcast."""
+    plan = _plan(spark, "unigram_viterbi_encode")
+    assert plan.count("MapInPandas") >= 1, plan[:3000]
+    # driver-loop regression signature: a collected-then-parallelized enc
+    # table would plan as LocalTableScan with no Arrow stage
+    assert "LocalTableScan" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted word table feeds seg
+
+
 def test_mixture_pack_is_broadcast_replicate_plus_range_exchange(spark):
     """mixture_pack_pipeline (r8): the plan re-attaches by BROADCAST
     (|sources| rows), replication is a JVM sequence/explode (no Python

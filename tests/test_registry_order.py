@@ -132,6 +132,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_hll_streamed": "events_dedup_streamed",
         "events_cms_streamed": "count_min_exact",
         # rotated out in earlier rounds
+        "pack_sequences": "tokenize_pack_pipeline",
         "kmeans_empty_repair": "kmeans_full",
         "cosine_topk": "pq_adc_topk",
         "click_purchase_streamed": "events_sliding_streamed",
