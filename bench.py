@@ -88,6 +88,8 @@ HEADLINE = [
                                 # (pair shuffle + broadcast marginals)
     "unigram_viterbi_encode",   # r8: integer-weight Viterbi decoder
                                 # (bounded substring agg + Arrow segment pass)
+    "dedup_keep_best",          # r8: pairwise near-dup pruning over the
+                                # exact-twin band join (keep best per pair)
 ]
 
 

@@ -448,6 +448,7 @@ def _banded_pairs(
     rows_per_band: int,
     threshold: float,
     hot_cap: bool,
+    sort: bool = True,
 ) -> DataFrame:
     """Shared banded-LSH candidate pipeline — ONE implementation behind both
     the xxhash64 throughput path (``minhash_lsh_pairs``) and the
@@ -525,12 +526,15 @@ def _banded_pairs(
         sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
         "doc_b",
     )
-    return (
+    out = (
         pairs.withColumn("est_jaccard", _slot_match_udf()("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    # sort=False: consumers that immediately re-join the pair list
+    # (dedup_keep_best) skip the presentation sort — a wasted range
+    # exchange right before a hash-join destroys the order anyway
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 # --- exactly-graded MinHash twin -------------------------------------------
@@ -549,12 +553,15 @@ _MHX_B = _mhx_rng.randint(0, 1 << 29, size=MHX_PERM).astype(np.int64)
 MHX_THRESHOLD = 0.25
 
 
-def _mhx_oracle() -> str:
+def _mhx_ctes() -> str:
+    """The md5-MinHash band-join replay as a CTE chain (``sets`` … ``cand``)
+    — shared by ``_mhx_oracle`` (the pair listing) and ``_keep_best_oracle``
+    (pairwise pruning over the same candidates), so the two entries grade
+    one machinery."""
     a_list = ", ".join(str(int(a)) for a in _MHX_A)
     b_list = ", ".join(str(int(b)) for b in _MHX_B)
     rows_per_band = MHX_PERM // MHX_BANDS
-    return f"""
-    WITH sets AS MATERIALIZED (
+    return f"""sets AS MATERIALIZED (
       SELECT doc_id, source,
              list_distinct(list_transform(
                range(1, len(toks) - 1),
@@ -594,7 +601,12 @@ def _mhx_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.source = b.source AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _mhx_oracle() -> str:
+    return f"""
+    WITH {_mhx_ctes()}
     SELECT doc_a, doc_b,
            list_sum(list_transform(range(1, {MHX_PERM} + 1),
                                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
@@ -605,6 +617,41 @@ def _mhx_oracle() -> str:
           / {MHX_PERM}.0 >= {MHX_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
+
+
+def _mhx_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
+    """The md5-MinHash exact-twin pair pipeline (the body of
+    ``minhash_lsh_exact``) — also consumed unsorted by ``dedup_keep_best``,
+    which prunes the loser side of each candidate pair."""
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    sh = shingles_expr(3)
+    base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
+    x = lambda s: (  # noqa: E731 — 32-bit-folded md5 base hash
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        .bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
+
+    # r5: the 32 permutations ran as interpreted array_min(transform(...))
+    # folds — ~32·|shingles| interpreted lambda evaluations per document,
+    # the dominant cost of this entry. The flat numpy kernel computes the
+    # same exact int64 arithmetic one permutation-vector at a time
+    # (md5-derived xs are already 32-bit-folded JVM-side, which the oracle
+    # replays verbatim).
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mhx_sig(xs: pd.Series) -> pd.Series:
+        return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
+
+    return _banded_pairs(
+        hs.select("doc_id", "source", mhx_sig("xs").alias("sig")),
+        n_bands=MHX_BANDS,
+        rows_per_band=MHX_PERM // MHX_BANDS,
+        threshold=MHX_THRESHOLD,
+        # the oracle replays EVERY candidate — the exact twin cannot drop
+        # hot buckets
+        hot_cap=False,
+        sort=sort,
+    )
 
 
 @register("minhash_lsh_exact", oracle=_mhx_oracle())
@@ -634,33 +681,121 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-bucket cap: the oracle replays every candidate, so the exact twin
     cannot drop buckets.
     """
-    d = parallelize_scan(table(spark, sf_dir, "documents"))
-    sh = shingles_expr(3)
-    base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
-    x = lambda s: (  # noqa: E731 — 32-bit-folded md5 base hash
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        .bitwiseAND(F.lit(0xFFFFFFFF))
+    return _mhx_pairs(spark, sf_dir)
+
+
+# --- pairwise near-dup pruning: keep the best side of each pair, r8 --------
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH {_mhx_ctes()},
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand
+      WHERE list_sum(list_transform(range(1, {MHX_PERM} + 1),
+                                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+            / {MHX_PERM}.0 >= {MHX_THRESHOLD}
+    ),
+    q AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tok
+      FROM documents
+    ),
+    pq AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b, qa.n_tok AS ta, qb.n_tok AS tb
+      FROM pairs p
+      JOIN q qa ON p.doc_a = qa.doc_id
+      JOIN q qb ON p.doc_b = qb.doc_id
+    ),
+    losers AS MATERIALIZED (
+      SELECT DISTINCT CASE WHEN ta < tb THEN doc_a
+                           WHEN tb < ta THEN doc_b
+                           ELSE doc_b END AS doc_id
+      FROM pq
+    ),
+    np AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
     )
-    hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
+    SELECT q.doc_id, q.n_tok,
+           COALESCE(np.n_dup_pairs, 0) AS n_dup_pairs,
+           CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM q
+    LEFT JOIN np ON q.doc_id = np.doc_id
+    LEFT JOIN losers l ON q.doc_id = l.doc_id
+    ORDER BY q.doc_id
+    """
 
-    # r5: the 32 permutations ran as interpreted array_min(transform(...))
-    # folds — ~32·|shingles| interpreted lambda evaluations per document,
-    # the dominant cost of this entry. The flat numpy kernel computes the
-    # same exact int64 arithmetic one permutation-vector at a time
-    # (md5-derived xs are already 32-bit-folded JVM-side, which the oracle
-    # replays verbatim).
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mhx_sig(xs: pd.Series) -> pd.Series:
-        return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
 
-    return _banded_pairs(
-        hs.select("doc_id", "source", mhx_sig("xs").alias("sig")),
-        n_bands=MHX_BANDS,
-        rows_per_band=MHX_PERM // MHX_BANDS,
-        threshold=MHX_THRESHOLD,
-        # the oracle replays EVERY candidate — the exact twin cannot drop
-        # hot buckets
-        hot_cap=False,
+_KB_CACHE: list = []  # persisted quality/pair tables (unpersisted next call)
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dup pruning: for every MinHash-LSH candidate pair,
+    DROP the lower-quality side — the production alternative to full
+    connected components (one local decision per pair, no iteration; the
+    standard near-dedup shape in large-corpus pipelines such as The Pile /
+    RefinedWeb, where one side of each candidate pair is discarded).
+
+    Quality = whitespace token count (integer, deterministic); ties keep
+    the LOWER doc_id (pairs are oriented doc_a < doc_b, so the tie loser
+    is always doc_b — no cross-engine argmax hazard, everything is integer
+    CASE logic). Output: one row per document with its token count, its
+    candidate-pair degree, and the keep/drop flag.
+
+    Grading: the oracle replays the ENTIRE md5-MinHash band machinery (the
+    `_mhx_ctes` chain `minhash_lsh_exact` grades) plus the pruning logic,
+    so this entry value-hash-covers both in one row set.
+
+    Scale: pair-list-LINEAR and corpus-LINEAR — the quality table attaches
+    to the pair list by two doc_id equi-joins, losers are one DISTINCT
+    over the pair list, degrees one map-side-combined count, and the final
+    assembly two doc_id left joins; no component iteration, no driver
+    state. The pair list and quality table are each consumed by 2+
+    downstream joins, so both persist via the module cache (re-execution
+    of the banded self-join per consumer is the repo's documented
+    re-compute hazard)."""
+    while _KB_CACHE:
+        _KB_CACHE.pop().unpersist()
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    q = docs.select(
+        "doc_id", F.size(tokens_expr()).cast("int").alias("n_tok")
+    ).persist()
+    _KB_CACHE.append(q)
+    pq = (
+        _mhx_pairs(spark, sf_dir, sort=False)
+        .select("doc_a", "doc_b")
+        .join(q.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("ta")), "doc_a")
+        .join(q.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("tb")), "doc_b")
+        .persist()
+    )
+    _KB_CACHE.append(pq)
+    losers = pq.select(
+        F.when(F.col("ta") < F.col("tb"), F.col("doc_a"))
+        .when(F.col("tb") < F.col("ta"), F.col("doc_b"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    degrees = (
+        pq.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pq.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+    return (
+        q.join(degrees, "doc_id", "left")
+        .join(losers.withColumn("is_loser", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+            F.when(F.col("is_loser").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
     )
 
 

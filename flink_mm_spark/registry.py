@@ -126,9 +126,13 @@ PROMOTE: list[str] = [
     # unigram family's first value-hash entry; displaces pack_sequences
     # (green r7; tokenize_pack_pipeline keeps the packer graded)
     "unigram_viterbi_encode",
+    # pairwise near-dup pruning (keep the best side of each candidate
+    # pair) — its oracle replays the ENTIRE md5-MinHash band chain, so it
+    # grades the exact-twin machinery too; displaces simhash_exact
+    # (green r7; this entry keeps the banded-sketch family value-hashed)
+    "dedup_keep_best",
     # --- graded r5, rotated out in r6, back in for freshness ---
     "binmatrix_source_scan",
-    "simhash_exact",
     "chunk_dedup",
     "events_dedup_streamed",
     "events_sliding_streamed",
@@ -165,7 +169,8 @@ DEFER: list[str] = [
     "events_minutely_gapfill",  # events time agg: events_hourly in-window
     "dedup_exact",  # exact-dedup family: dup_cluster_sizes in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
-    "minhash_lsh_exact",  # sketch-dedup twin: simhash_exact in-window
+    "minhash_lsh_exact",  # dedup_keep_best's oracle replays its whole chain
+    "simhash_exact",  # banded-sketch family: dedup_keep_best in-window
     "embedding_near_dup",  # block-pair GEMM: semantic_dedup in-window
     "jaccard_prefix_filtered",  # Jaccard family: jaccard_token_pairs in-window
     "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline in-window

@@ -97,6 +97,7 @@ AUDITED = [
     "tokenize_pack_pipeline",  # bpe_encode's exchanges + ONE range exchange
     "bigram_logprob",  # pair-key shuffle + gram-keyed scoring join
     "unigram_viterbi_encode",  # word-count + bounded substring exchanges
+    "dedup_keep_best",  # pair-list-linear pruning joins over the exact twin
 ]
 
 

@@ -594,6 +594,18 @@ def test_unigram_encode_segments_distributed(spark):
     assert "InMemoryTableScan" in plan  # the persisted word table feeds seg
 
 
+def test_dedup_keep_best_skips_pair_sort(spark):
+    """dedup_keep_best (r8) consumes the exact-twin pair pipeline UNSORTED
+    (sort=False): the only range exchange in the plan is the final
+    presentation sort on doc_id — a doc_a/doc_b range partitioning would
+    mean the wasted pre-join pair sort crept back in. The pair list and
+    quality table are persisted (2+ downstream joins each)."""
+    plan = _plan(spark, "dedup_keep_best")
+    assert "rangepartitioning(doc_a" not in plan, plan[:3000]
+    assert "rangepartitioning(doc_id" in plan, plan[:3000]
+    assert "InMemoryTableScan" in plan  # q + pq module-cache persists
+
+
 def test_unigram_viterbi_encode_segments_distributed(spark):
     """unigram_viterbi_encode (r8): same deploy shape as the other three
     encodes — the integer-weight Viterbi runs as ONE Arrow-batched

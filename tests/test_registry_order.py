@@ -108,7 +108,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_minutely_gapfill": "events_hourly",
         "dedup_exact": "dup_cluster_sizes",
         "jaccard_shingle_pairs": "jaccard_token_pairs",
-        "minhash_lsh_exact": "simhash_exact",
+        "minhash_lsh_exact": "dedup_keep_best",
+        "simhash_exact": "dedup_keep_best",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline",
