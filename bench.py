@@ -90,6 +90,8 @@ HEADLINE = [
                                 # (bounded substring agg + Arrow segment pass)
     "dedup_keep_best",          # r8: pairwise near-dup pruning over the
                                 # exact-twin band join (keep best per pair)
+    "cross_source_overlap",     # r8: source-pair 5-gram contamination
+                                # matrix (md5-folded gram keys)
 ]
 
 

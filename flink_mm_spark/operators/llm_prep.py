@@ -970,3 +970,112 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- cross-source n-gram overlap matrix, r8 --------------------------------
+
+_XSO_K = 5  # word-gram order: long enough that shared grams mean duplication
+
+
+def _xso_oracle() -> str:
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS g
+      FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(toks) - {_XSO_K - 2}),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+        FROM (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= {_XSO_K}
+      )
+    ),
+    tot AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
+    ),
+    sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_grams
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_grams,
+           ta.n AS grams_a, tb.n AS grams_b,
+           ROUND(CAST(shared_grams AS DOUBLE) / (ta.n + tb.n - shared_grams), 6)
+             AS jaccard
+    FROM sh
+    JOIN tot ta ON sh.source_a = ta.source
+    JOIN tot tb ON sh.source_b = tb.source
+    ORDER BY source_a, source_b
+    """
+
+
+_XSO_CACHE: list = []  # persisted (source, gram-hash) table
+
+
+@register("cross_source_overlap", oracle=_xso_oracle())
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for every pair of corpus
+    sources, the number of shared distinct 5-word grams and the
+    gram-set Jaccard — the leakage diagnostic run BETWEEN training
+    subsets (`benchmark_contamination` is the train-vs-eval half of the
+    same check; this is its source×source generalization, the matrix a
+    mixture planner consults before weighting sources that heavily
+    overlap).
+
+    Scale: gram-keyed and corpus-LINEAR, never doc×doc or source-set
+    materialization — grams fold to 60-bit md5 integers JVM-side (the
+    `substring_dedup` portability trick, so the oracle replays every key
+    bit and shuffled bytes are fixed 8 B/key), the distinct (source, gram)
+    table is one map-side-combined aggregate, and the gram equi-self-join
+    emits at most |sources|² rows per gram (sources ≪ corpus; 20 here).
+    Per-source totals re-attach by broadcast (|sources| rows). The gram
+    table feeds the totals aggregate AND the self-join, so it persists via
+    the module cache."""
+    while _XSO_CACHE:
+        _XSO_CACHE.pop().unpersist()
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    g = (
+        d.select("source", F.explode(shingles_expr(_XSO_K)).alias("gram"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    _XSO_CACHE.append(g)
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    sh = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    return (
+        sh.join(
+            F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("grams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("grams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

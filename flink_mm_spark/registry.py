@@ -184,6 +184,7 @@ DEFER: list[str] = [
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
+    "cross_source_overlap",  # contamination family (r8): pii_scrub in-window
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
     "bigram_logprob",  # corpus LM: unigram_logprob in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window

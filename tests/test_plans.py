@@ -594,6 +594,18 @@ def test_unigram_encode_segments_distributed(spark):
     assert "InMemoryTableScan" in plan  # the persisted word table feeds seg
 
 
+def test_cross_source_overlap_broadcasts_totals(spark):
+    """cross_source_overlap (r8): the per-source gram totals (|sources|
+    rows) re-attach by EXPLICIT broadcast; the only big join is the
+    gram-keyed equi-self-join over the persisted md5-folded gram table
+    (no doc-by-doc comparison anywhere in the plan)."""
+    plan = _plan(spark, "cross_source_overlap")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "InMemoryTableScan" in plan  # the (source, gram-hash) persist
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_keep_best_skips_pair_sort(spark):
     """dedup_keep_best (r8) consumes the exact-twin pair pipeline UNSORTED
     (sort=False): the only range exchange in the plan is the final

@@ -123,6 +123,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
+        "cross_source_overlap": "pii_scrub",
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "unigram_logprob",
         "substring_dedup": "chunk_dedup",
