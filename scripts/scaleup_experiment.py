@@ -92,6 +92,12 @@ OPERATORS = [
     # driver-local merges; growth tracks the distinct-word collect).
     "corpus_prep_pipeline_minhash",
     "wordpiece_merges",
+    # r8: pairwise pruning over the exact-twin band join (pair-list-linear
+    # on this near-unique-shingle corpus) and the source-pair 5-gram
+    # matrix (gram-keyed, |sources| fixed at 8 here so the self-join emits
+    # a bounded constant per gram; growth tracks the distinct-gram table).
+    "dedup_keep_best",
+    "cross_source_overlap",
 ]
 EMB_DIM = 64
 
