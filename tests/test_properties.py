@@ -176,3 +176,28 @@ def test_connected_components_random_graph_matches_union_find(spark):
     labels.unpersist()
     assert got == want
     assert 1 <= rounds <= 14
+
+
+from tests.conftest import SF_DIR
+
+
+def test_module_caches_swap_not_accumulate(spark):
+    """The r8 module caches (_UVE/_KB/_XSO) follow the repo's swap
+    contract: a second invocation unpersists the previous call's tables
+    before persisting its own, so repeated use holds the persisted-block
+    count steady instead of growing it run over run (a leak here would
+    fill the block manager across a long interactive session)."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    for name in ("unigram_viterbi_encode", "dedup_keep_best", "cross_source_overlap"):
+        fn = registry.QUERIES[name].fn
+        fn(spark, SF_DIR).count()
+        n1 = n_persistent()
+        fn(spark, SF_DIR).count()
+        n2 = n_persistent()
+        assert n2 <= n1, f"{name}: persisted blocks grew {n1} -> {n2}"
