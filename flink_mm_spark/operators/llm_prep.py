@@ -978,6 +978,10 @@ _XSO_K = 5  # word-gram order: long enough that shared grams mean duplication
 
 
 def _xso_oracle() -> str:
+    # fully parametric on _XSO_K (review r8: a half-parametric template —
+    # range bound derived, concat hardcoded — would silently desync the
+    # oracle's gram order from shingles_expr(_XSO_K) if K ever changed)
+    concat = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(_XSO_K))
     return f"""
     WITH g AS MATERIALIZED (
       SELECT DISTINCT source,
@@ -985,8 +989,7 @@ def _xso_oracle() -> str:
       FROM (
         SELECT source,
                unnest(list_transform(range(1, len(toks) - {_XSO_K - 2}),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                      || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+                 i -> {concat})) AS gram
         FROM (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS toks
               FROM documents)
         WHERE len(toks) >= {_XSO_K}
@@ -1017,9 +1020,10 @@ _XSO_CACHE: list = []  # persisted (source, gram-hash) table
 
 @register("cross_source_overlap", oracle=_xso_oracle())
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-source contamination matrix: for every pair of corpus
-    sources, the number of shared distinct 5-word grams and the
-    gram-set Jaccard — the leakage diagnostic run BETWEEN training
+    """Inter-source contamination matrix: for every OVERLAPPING pair of
+    corpus sources (pairs sharing zero grams emit no row — absence means
+    zero overlap, the consistent convention on both engines), the number
+    of shared distinct 5-word grams and the gram-set Jaccard — the leakage diagnostic run BETWEEN training
     subsets (`benchmark_contamination` is the train-vs-eval half of the
     same check; this is its source×source generalization, the matrix a
     mixture planner consults before weighting sources that heavily

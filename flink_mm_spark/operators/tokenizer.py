@@ -1775,6 +1775,12 @@ ORDER BY dw.doc_id
     "{SEED}", str(UNI_SEED_SIZE)
 ).replace("{SENT}", str(_UVE_SENT))
 
+# The oracle's rolling-window recursion carries exactly FOUR (score, n)
+# cells (s1..s4/c1..c4) — it is NOT parametric on UNI_MAX_PIECE_LEN even
+# though the subs CTE above is (review r8): fail fast here rather than as
+# an opaque value-hash mismatch if the piece length ever changes.
+assert UNI_MAX_PIECE_LEN == 4, "_UVE_ORACLE's DP window is hardcoded to 4 cells"
+
 _UVE_CACHE: list = []  # persisted word/substring tables (unpersisted next call)
 
 
