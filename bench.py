@@ -92,6 +92,8 @@ HEADLINE = [
                                 # exact-twin band join (keep best per pair)
     "cross_source_overlap",     # r8: source-pair 5-gram contamination
                                 # matrix (md5-folded gram keys)
+    "dedup_components_exact",   # r8: star-algorithm components, exactly
+                                # graded vs a recursive-CTE closure
 ]
 
 

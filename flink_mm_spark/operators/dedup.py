@@ -687,15 +687,21 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pairwise near-dup pruning: keep the best side of each pair, r8 --------
 
 
-def _keep_best_oracle() -> str:
-    return f"""
-    WITH {_mhx_ctes()},
-    pairs AS MATERIALIZED (
+def _mhx_pairs_cte() -> str:
+    """``pairs`` CTE: the threshold-filtered candidate pairs from the
+    ``_mhx_ctes`` chain — shared by the keep-best and components oracles."""
+    return f"""pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM cand
       WHERE list_sum(list_transform(range(1, {MHX_PERM} + 1),
                                     i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
             / {MHX_PERM}.0 >= {MHX_THRESHOLD}
-    ),
+    )"""
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH {_mhx_ctes()},
+    {_mhx_pairs_cte()},
     q AS MATERIALIZED (
       SELECT doc_id,
              CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tok
@@ -1540,6 +1546,83 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     labels, _rounds = connected_components(pairs, docs)
     return labels
+
+
+# --- exactly-graded connected components, r8 --------------------------------
+
+
+def _cc_exact_oracle() -> str:
+    # Transitive closure by recursive-CTE fixpoint: UNION set semantics ARE
+    # the termination mechanism here (rows stop being new when every
+    # (doc, reachable-label) pair exists), which DuckDB recursion supports
+    # natively — distinct from the non-recursive-CTE UNION decay gotcha.
+    # `edges` is referenced only from the recursive term, so the anchor
+    # carries the load-bearing COUNT(*) no-op (the ...EXCEPT gotcha).
+    return f"""
+    WITH RECURSIVE {_mhx_ctes()},
+    {_mhx_pairs_cte()},
+    nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS doc, doc_id AS lbl FROM nodes
+      WHERE (SELECT COUNT(*) FROM edges) >= 0
+      UNION
+      SELECT e.u AS doc, r.lbl
+      FROM reach r JOIN edges e ON r.doc = e.v
+    ),
+    comp AS MATERIALIZED (
+      SELECT doc AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY doc
+    ),
+    sz AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, c.component_id, s.component_size
+    FROM comp c JOIN sz s USING (component_id)
+    ORDER BY c.doc_id
+    """
+
+
+@register("dedup_components_exact", oracle=_cc_exact_oracle())
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-twin MinHash pair graph,
+    value-hash graded — upgrading the components family from rows-only
+    (``dedup_components`` runs over the naive-Jaccard edges and was graded
+    on row counts) to exact: every document's component label (= the
+    component's minimum doc_id) and component size must match DuckDB's
+    recursive-CTE transitive closure over the identical md5-replayed edge
+    set. Singletons label themselves with size 1.
+
+    The two sides converge by DIFFERENT algorithms to the same fixpoint:
+    Spark runs alternating large-star/small-star (O(log n) rounds on any
+    graph shape — `connected_components`, measured in SCALE.md), the
+    oracle floods labels to closure (O(diameter) iterations, fine at
+    grading scale) — so the grade pins the RESULT, not the iteration
+    schedule, exactly like ``kmeans_full``'s trajectory oracle pins
+    centroids rather than task placement.
+
+    Scale: the star rounds are short-key id-pair exchanges that shrink
+    toward one star per component; labels and sizes attach by two
+    label-keyed aggregates/joins. Nothing here is new machinery — this
+    entry exists to put an exactness grade ON the existing machinery."""
+    pairs = _mhx_pairs(spark, sf_dir, sort=False).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(pairs, docs)
+    sizes = labels.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return (
+        labels.select("doc_id", F.col("label").alias("component_id"))
+        .join(sizes, "component_id")
+        .select("doc_id", "component_id", "component_size")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -148,7 +148,11 @@ PROMOTE: list[str] = [
     "semantic_dedup",
     "user_sessions_batch",
     "cube_order_stats",
-    "hll_distinct_exact",
+    # exactly-graded connected components over the md5-MinHash edge graph
+    # (recursive-CTE closure oracle) — upgrades the components family from
+    # rows-only; displaces hll_distinct_exact (green r7; count_min_exact
+    # keeps the sketch family value-hashed)
+    "dedup_components_exact",
     # --- long-deferred (last graded r2-r3), back in for freshness ---
     "jaccard_token_pairs",
     "clamp_small_values",
@@ -164,7 +168,8 @@ DEFER: list[str] = [
     "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats in-window
     "top_customers_per_nation",  # window family: user_sessions_batch in-window
     "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
-    "histogram_quantiles",  # sketch family: hll_distinct_exact in-window
+    "histogram_quantiles",  # sketch family: count_min_exact in-window
+    "hll_distinct_exact",  # sketch family: count_min_exact in-window
     "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
     "events_minutely_gapfill",  # events time agg: events_hourly in-window
     "dedup_exact",  # exact-dedup family: dup_cluster_sizes in-window
@@ -204,7 +209,7 @@ DEFER: list[str] = [
     "zipf_fit",  # text stats: token_counts in-window
     "media_decode_features",  # multimodal: media_audio_energy in-window
     "mixture_plan",  # mixture family: mixture_pack_pipeline applies the plan in-window
-    "dedup_components",  # components: corpus_prep_pipeline runs them end-to-end
+    "dedup_components",  # components: dedup_components_exact in-window (exact grade)
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
     "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
     "centroid_lines_scan",  # S6 text lines: text_points_scan in-window

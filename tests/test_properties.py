@@ -201,3 +201,55 @@ def test_module_caches_swap_not_accumulate(spark):
         fn(spark, SF_DIR).count()
         n2 = n_persistent()
         assert n2 <= n1, f"{name}: persisted blocks grew {n1} -> {n2}"
+
+
+def test_cc_exact_oracle_closure_pattern_on_deep_graphs():
+    """dedup_components_exact's oracle floods labels by recursive-CTE
+    fixpoint; the grading corpus's pair graph is shallow (largest
+    component = 2 members), so this pins the closure PATTERN itself on
+    graphs the corpus can't produce: a 60-node chain (diameter ≫ 1), a
+    star, two blobs bridged by one edge, and singletons — against
+    union-find."""
+    import duckdb
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "star": [(0, i) for i in range(1, 20)],
+        "bridged": [(1, 2), (2, 3), (10, 11), (11, 12), (3, 10)],
+        "rev_chain": [(i + 1, i) for i in range(30)],
+    }
+    for name, edges in cases.items():
+        nodes = sorted({u for e in edges for u in e} | {900, 901})
+        parent = {d: d for d in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = sorted((d, find(d)) for d in nodes)
+
+        node_rows = ", ".join(f"({d})" for d in nodes)
+        edge_rows = ", ".join(f"({a}, {b})" for a, b in edges)
+        got = duckdb.connect().execute(f"""
+            WITH RECURSIVE
+            nodes(doc_id) AS (VALUES {node_rows}),
+            pairs(doc_a, doc_b) AS (VALUES {edge_rows}),
+            edges AS MATERIALIZED (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              SELECT doc_id AS doc, doc_id AS lbl FROM nodes
+              WHERE (SELECT COUNT(*) FROM edges) >= 0
+              UNION
+              SELECT e.u, r.lbl FROM reach r JOIN edges e ON r.doc = e.v
+            )
+            SELECT doc, MIN(lbl) FROM reach GROUP BY doc ORDER BY doc
+        """).fetchall()
+        assert [tuple(r) for r in got] == want, name

@@ -103,7 +103,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "rollup_sales": "cube_order_stats",
         "top_customers_per_nation": "user_sessions_batch",
         "asof_click_purchase": "event_followups_range_join",
-        "histogram_quantiles": "hll_distinct_exact",
+        "histogram_quantiles": "count_min_exact",
+        "hll_distinct_exact": "count_min_exact",
         "user_funnel_full_outer": "orders_with_returns",
         "events_minutely_gapfill": "events_hourly",
         "dedup_exact": "dup_cluster_sizes",
@@ -143,7 +144,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "zipf_fit": "token_counts",
         "media_decode_features": "media_audio_energy",
         "mixture_plan": "mixture_pack_pipeline",
-        "dedup_components": "corpus_prep_pipeline",
+        "dedup_components": "dedup_components_exact",
         "damds_varray_vp": "damds_embed",
         "matrix_generators_roundtrip": "binary_f64_scan",
         "centroid_lines_scan": "text_points_scan",
