@@ -94,6 +94,8 @@ HEADLINE = [
                                 # matrix (md5-folded gram keys)
     "dedup_components_exact",   # r8: star-algorithm components, exactly
                                 # graded vs a recursive-CTE closure
+    "ngram_novelty",            # r8: corpus-unique gram fraction per doc
+                                # (two gram-keyed linear exchanges)
 ]
 
 

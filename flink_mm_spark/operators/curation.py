@@ -977,3 +977,102 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = kmeans(e.select(F.col("emb").alias("features")), init, n_iters=5)
     cm = trained / np.linalg.norm(trained, axis=1, keepdims=True)
     return _assign_and_pair(e, cm)
+
+
+# --- per-document n-gram novelty, r8 ----------------------------------------
+
+NOVELTY_K = 5  # gram order: shared 5-grams mean copying, not chance
+
+
+def _novelty_oracle() -> str:
+    # parametric concat (review r8 lesson: never hardcode the gram arity
+    # next to a derived range bound)
+    concat = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(NOVELTY_K)
+    )
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {NOVELTY_K - 2}),
+                 i -> {concat})) AS gram
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= {NOVELTY_K}
+      )
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN dfreq d USING (g)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """
+
+
+_NOV_CACHE: list = []  # persisted (doc_id, gram-hash) table
+
+
+@register("ngram_novelty", oracle=_novelty_oracle())
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct 5-word
+    grams that appear in NO other document — the inverse boilerplate
+    signal (license headers, navigation chrome, and template text score
+    near 0; original prose scores near 1). The positive-side complement of
+    the duplication metrics: `substring_dedup` REMOVES repeated spans,
+    `dup_span_coverage` measures them, this ranks what remains by how much
+    of it is corpus-unique — a standard curation feature for up-weighting
+    original content. Documents with fewer than 5 tokens have no grams and
+    emit no row (consistent on both engines).
+
+    Exactness: everything is integer (distinct-gram counts, document
+    frequencies, df=1 indicator sums) until one final rounded ratio of
+    small integers. Grams fold to 60-bit md5 integers JVM-side, so the
+    oracle replays every key bit.
+
+    Scale: two gram-keyed corpus-LINEAR exchanges — the per-doc DISTINCT
+    gram table (map-side combined) and the doc-frequency aggregate — plus
+    one gram-keyed rejoin; never doc×doc. The hot-gram skew (a boilerplate
+    gram appearing in n/7 docs) is absorbed by partial aggregation exactly
+    as in `substring_dedup`'s audited shape. The gram table feeds the
+    frequency aggregate AND the rejoin, so it persists via the module
+    cache."""
+    from flink_mm_spark.operators.dedup import shingles_expr
+
+    while _NOV_CACHE:
+        _NOV_CACHE.pop().unpersist()
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
+    g = (
+        d.select("doc_id", F.explode(shingles_expr(NOVELTY_K)).alias("gram"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    _NOV_CACHE.append(g)
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -194,6 +194,7 @@ DEFER: list[str] = [
     "bigram_logprob",  # corpus LM: unigram_logprob in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
     "curation_funnel",  # curation: dsir_importance in-window
+    "ngram_novelty",  # quality signal (r8): repetition_signals in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
     "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window

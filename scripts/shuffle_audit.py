@@ -100,6 +100,7 @@ AUDITED = [
     "dedup_keep_best",  # pair-list-linear pruning joins over the exact twin
     "cross_source_overlap",  # 8B md5-folded gram keys, sources^2-bounded join
     "dedup_components_exact",  # star rounds: shrinking id-pair exchanges
+    "ngram_novelty",  # two gram-keyed linear exchanges + rejoin
 ]
 
 

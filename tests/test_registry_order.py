@@ -129,6 +129,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "bigram_logprob": "unigram_logprob",
         "substring_dedup": "chunk_dedup",
         "curation_funnel": "dsir_importance",
+        "ngram_novelty": "repetition_signals",
         "binmatrix_sink_roundtrip": "binmatrix_source_scan",
         "bucketed_fact_join": "local_supplier_volume",
         "events_enriched_streamed": "events_sliding_streamed",
