@@ -1,10 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Mirrors SURVEY §7.1 M6 / BASELINE.md
-"operative baseline": the k-means loop (10 iters, d=2, k=100 on sf-derived
-points — the reference's benchmarked workload, kmeans/KMeansBlock.java),
-GEMM, and the relational/LLM-pipeline suite.
+"median_of": N, "queries": {name: sec}, "sf": ...}. Mirrors SURVEY §7.1 M6 /
+BASELINE.md "operative baseline": the k-means loop (10 iters, d=2, k=100 on
+sf-derived points — the reference's benchmarked workload,
+kmeans/KMeansBlock.java), GEMM, and the relational/LLM-pipeline suite.
+
+Every recorded number is the MEDIAN of ``BENCH_REPS`` same-boot runs
+(VERDICT r8 ask #5): single samples on this shared box swing 2-4x with
+neighbor load and first-call AQE/worker overheads (the r5-r8
+"drift" investigations all traced to this), so one-sample suite totals
+mostly measured the neighbor. Medians make BENCH_r{N} self-interpreting;
+BASELINE.md compares medians from r9 on. Override with
+SPARK_GRAFT_BENCH_REPS=1 for a quick smoke pass.
 
 DataFrame results are forced with the noop sink (full execution, no
 collect-to-driver cost in the measurement).
@@ -27,6 +35,19 @@ from flink_mm_spark.session import get_spark
 from flink_mm_spark.sources.tables import table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def timed_median(fn) -> float:
+    """Median wall of BENCH_REPS same-boot runs of ``fn`` (see module doc)."""
+    import statistics
+
+    runs = []
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
 
 # Registry queries that represent each operator family at benchmark scale.
 HEADLINE = [
@@ -302,21 +323,22 @@ def bench_bucketed_join(spark, sf_dir: str, timings: dict) -> None:
         write_bucketed(orders, "bench_b_orders", "o_orderkey", n_buckets=32)
         write_bucketed(lineitem, "bench_b_lineitem", "l_orderkey", n_buckets=32)
 
-        t0 = time.perf_counter()
-        force(
-            colocated_join(spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey", "l_orderkey")
-            .groupBy("o_orderkey")
-            .agg(F.sum("l_quantity"))
+        timings["bucketed_fact_join"] = timed_median(
+            lambda: force(
+                colocated_join(
+                    spark, "bench_b_orders", "bench_b_lineitem", "o_orderkey", "l_orderkey"
+                )
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_quantity"))
+            )
         )
-        timings["bucketed_fact_join"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        force(
-            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-            .groupBy("o_orderkey")
-            .agg(F.sum("l_quantity"))
+        timings["shuffle_fact_join"] = timed_median(
+            lambda: force(
+                orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_quantity"))
+            )
         )
-        timings["shuffle_fact_join"] = round(time.perf_counter() - t0, 3)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS bench_b_orders")
@@ -346,34 +368,33 @@ def main() -> None:
     force(spark.range(0, ncpu, 1, ncpu).mapInPandas(_noop, "id long"))
 
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(registry.QUERIES[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed_median(
+            lambda name=name: force(registry.QUERIES[name].fn(spark, SF_DIR))
+        )
 
-    t0 = time.perf_counter()
-    bench_kmeans(spark, SF_DIR)
-    timings["kmeans_d2_k100_i10"] = round(time.perf_counter() - t0, 3)
+    timings["kmeans_d2_k100_i10"] = timed_median(lambda: bench_kmeans(spark, SF_DIR))
+    timings["kmeans_d2_k1000_i10"] = timed_median(
+        lambda: bench_kmeans_k1000(spark, SF_DIR)
+    )
+    timings["damds_n500_d3"] = timed_median(lambda: bench_damds(spark, SF_DIR))
+    timings["streaming_tumbling_availablenow"] = timed_median(
+        lambda: bench_streaming(spark, SF_DIR)
+    )
 
-    t0 = time.perf_counter()
-    bench_kmeans_k1000(spark, SF_DIR)
-    timings["kmeans_d2_k1000_i10"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    bench_damds(spark, SF_DIR)
-    timings["damds_n500_d3"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    bench_streaming(spark, SF_DIR)
-    timings["streaming_tumbling_availablenow"] = round(time.perf_counter() - t0, 3)
+    # incremental MDS times its own append phase (the build is setup);
+    # median the returned append walls
+    import statistics
 
     timings["incremental_mds_append_n2000_b100x3"] = round(
-        bench_incremental_mds(spark, SF_DIR), 3
+        statistics.median(bench_incremental_mds(spark, SF_DIR) for _ in range(BENCH_REPS)),
+        3,
     )
 
     bench_bucketed_join(spark, SF_DIR, timings)
 
+    # collectives were per-round medians already (×10 per entry, r2) —
+    # unchanged, they satisfy the median contract as-is
     vecs = _collective_vectors(spark, size=1000, n_part=32)
-    import statistics
 
     bench_allreduce(spark, vecs, n_iters=2)  # warm both collective paths
     timings["collectives_reduce_i10"] = round(statistics.median(bench_reduce(spark, vecs)) * 10, 3)
@@ -391,6 +412,7 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
+                "median_of": BENCH_REPS,
                 "queries": timings,
                 "sf": float(sf) if isinstance(sf, str) and sf.replace(".", "").isdigit() else sf,
             }

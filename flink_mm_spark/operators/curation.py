@@ -985,24 +985,12 @@ NOVELTY_K = 5  # gram order: shared 5-grams mean copying, not chance
 
 
 def _novelty_oracle() -> str:
-    # parametric concat (review r8 lesson: never hardcode the gram arity
-    # next to a derived range bound)
-    concat = " || ' ' || ".join(
-        f"toks[i+{j}]" if j else "toks[i]" for j in range(NOVELTY_K)
-    )
+    # gram CTE rendered from the shared template next to shingles_expr
+    # (ADVICE r8 #3; see gram_hash_cte for the desync hazard it removes)
+    from flink_mm_spark.operators.dedup import gram_hash_cte
+
     return f"""
-    WITH g AS MATERIALIZED (
-      SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS g
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - {NOVELTY_K - 2}),
-                 i -> {concat})) AS gram
-        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-              FROM documents)
-        WHERE len(toks) >= {NOVELTY_K}
-      )
-    ),
+    WITH {gram_hash_cte("doc_id", NOVELTY_K)},
     dfreq AS MATERIALIZED (
       SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g
     )

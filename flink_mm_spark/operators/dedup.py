@@ -68,6 +68,34 @@ def shingles_expr(k: int, col: str = "text") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def gram_hash_cte(key: str, k: int, name: str = "g") -> str:
+    """DuckDB CTE body for the distinct (key, 60-bit md5 gram hash) table —
+    the oracle-side mirror of ``explode(shingles_expr(k))`` folded through
+    ``conv(substring(md5(gram), 1, 15), 16, 10)``.
+
+    Shared by ``cross_source_overlap`` (key=source) and ``ngram_novelty``
+    (key=doc_id) so the two oracles cannot desync from each other or from
+    the Spark-side shingle arity (ADVICE r8 #3: the template was duplicated
+    verbatim in two modules, keyed by two independent K constants — the
+    half-parametric-desync hazard its inline comments warned about).
+    Fully parametric on k: the concat chain AND the range bound derive from
+    the same value.
+    """
+    concat = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return f"""{name} AS MATERIALIZED (
+      SELECT DISTINCT {key},
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS g
+      FROM (
+        SELECT {key},
+               unnest(list_transform(range(1, len(toks) - {k - 2}),
+                 i -> {concat})) AS gram
+        FROM (SELECT {key}, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= {k}
+      )
+    )"""
+
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1456,6 +1484,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CC_CACHE: list[DataFrame] = []  # last persisted labels (all component entries)
+
+
 def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50):
     """(doc_id, label = component min) via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -1477,6 +1508,15 @@ def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50
       its minimum — collapses chains of smalls onto the center.
     """
     from flink_mm_spark.algos.damds import free_local_checkpoint
+
+    # module-cache swap (ADVICE r8 #1): the labels table below is persisted
+    # because every caller consumes it at least twice (label join + size
+    # aggregate); without the swap each invocation leaked one persisted
+    # DataFrame into the block manager for the life of the session. The
+    # swap lives HERE rather than per-caller so all four component entry
+    # points (dedup_components[_exact], both corpus_prep funnels) share it.
+    while _CC_CACHE:
+        _CC_CACHE.pop().unpersist()
 
     # each round references the previous edge set several times (sym view,
     # both stars, the fixpoint anti-join): without per-round lineage
@@ -1533,6 +1573,7 @@ def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50
     )
     labels = labels.persist()
     labels.count()
+    _CC_CACHE.append(labels)
     free_local_checkpoint(e)
     return labels, rounds
 

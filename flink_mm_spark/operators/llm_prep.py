@@ -978,23 +978,13 @@ _XSO_K = 5  # word-gram order: long enough that shared grams mean duplication
 
 
 def _xso_oracle() -> str:
-    # fully parametric on _XSO_K (review r8: a half-parametric template —
-    # range bound derived, concat hardcoded — would silently desync the
-    # oracle's gram order from shingles_expr(_XSO_K) if K ever changed)
-    concat = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(_XSO_K))
+    # gram CTE rendered from the shared template next to shingles_expr
+    # (ADVICE r8 #3: this body was duplicated verbatim from
+    # curation._novelty_oracle, recreating the desync hazard between copies)
+    from flink_mm_spark.operators.dedup import gram_hash_cte
+
     return f"""
-    WITH g AS MATERIALIZED (
-      SELECT DISTINCT source,
-             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS g
-      FROM (
-        SELECT source,
-               unnest(list_transform(range(1, len(toks) - {_XSO_K - 2}),
-                 i -> {concat})) AS gram
-        FROM (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS toks
-              FROM documents)
-        WHERE len(toks) >= {_XSO_K}
-      )
-    ),
+    WITH {gram_hash_cte("source", _XSO_K)},
     tot AS MATERIALIZED (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
     ),

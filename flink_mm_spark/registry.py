@@ -61,23 +61,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-8 window (base = the round-7 window, which graded 50/50 green in
-# CORRECTNESS_r07.json; with it, all 122 oracle entries are driver-green at
-# least once across r1-r7), with SIX r8 swaps — every new r8 operator enters
-# the window the round it lands, displacing an r7-green entry whose family
-# stays represented (each swap annotated inline below and mirrored in the
-# DEFER comments + tests/test_registry_order.py's sibling map):
-# - wordpiece_encode_holdout      in, kmeans_empty_repair     out
-# - mixture_pack_pipeline         in, cosine_topk             out
-# - shard_manifest                in, click_purchase_streamed out
-# - unigram_viterbi_encode        in, pack_sequences          out
-# - dedup_keep_best               in, simhash_exact           out
-# - dedup_components_exact        in, hll_distinct_exact      out
-# The three encode entries (bpe_encode, wordpiece_encode,
-# tokenize_pack_pipeline) stay in-window as the sentinels for the r8 encode
-# work (broadcast-size guard, exhaustion-safe encode oracles — landed in
-# operators/tokenizer.py this round; r7's comment claimed these a round
-# early, VERDICT r7 What's-wrong #2/#3).
+# Round-9 window (base = the round-8 window, 50/50 green in
+# CORRECTNESS_r08.json), with the r9 swaps — every new/never-graded oracle
+# entry enters the window the round it lands, displacing an r8-green entry
+# whose family stays represented (each swap annotated inline below and
+# mirrored in the DEFER comments + tests/test_registry_order.py's sibling
+# map):
+# - cross_source_overlap  in, binmatrix_source_scan out  (VERDICT r8 ask #1:
+#   the only 2 of 130 oracle entries never driver-graded; binmatrix family
+#   re-points to binary_f64_scan, which reads the same format)
+# - ngram_novelty         in, clamp_small_values    out  (ditto; P4/map-
+#   filter family re-points to local_supplier_volume)
+# Further r9 swaps are annotated inline at their PROMOTE entries as each
+# new operator LANDS (never before — the r7 docs-ahead-of-code lesson).
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
@@ -131,8 +127,11 @@ PROMOTE: list[str] = [
     # grades the exact-twin machinery too; displaces simhash_exact
     # (green r7; this entry keeps the banded-sketch family value-hashed)
     "dedup_keep_best",
-    # --- graded r5, rotated out in r6, back in for freshness ---
-    "binmatrix_source_scan",
+    # --- r9 rotation: the 2 never-driver-graded oracle entries (r8 ask #1);
+    #     with them green, all 130 oracle entries are driver-proven ---
+    "cross_source_overlap",
+    "ngram_novelty",
+    # --- graded r5, rotated out in r6, back in r8 for freshness ---
     "chunk_dedup",
     "events_dedup_streamed",
     "events_sliding_streamed",
@@ -153,9 +152,8 @@ PROMOTE: list[str] = [
     # rows-only; displaces hll_distinct_exact (green r7; count_min_exact
     # keeps the sketch family value-hashed)
     "dedup_components_exact",
-    # --- long-deferred (last graded r2-r3), back in for freshness ---
+    # --- long-deferred (last graded r2-r3), back in r8 for freshness ---
     "jaccard_token_pairs",
-    "clamp_small_values",
     "orders_with_returns",
     "event_followups_range_join",
     "events_hourly",
@@ -189,12 +187,14 @@ DEFER: list[str] = [
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
-    "cross_source_overlap",  # contamination family (r8): pii_scrub in-window
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
     "bigram_logprob",  # corpus LM: unigram_logprob in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
     "curation_funnel",  # curation: dsir_importance in-window
-    "ngram_novelty",  # quality signal (r8): repetition_signals in-window
+    # r9 rotation: out for the 2 never-graded entries (green r8; families
+    # keep graded members)
+    "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
+    "clamp_small_values",  # P4 map/filter: local_supplier_volume in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
     "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window

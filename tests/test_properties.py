@@ -194,7 +194,13 @@ def test_module_caches_swap_not_accumulate(spark):
     def n_persistent() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
-    for name in ("unigram_viterbi_encode", "dedup_keep_best", "cross_source_overlap"):
+    for name in (
+        "unigram_viterbi_encode",
+        "dedup_keep_best",
+        "cross_source_overlap",
+        "ngram_novelty",  # _NOV_CACHE (ADVICE r8 #2: was unguarded)
+        "dedup_components_exact",  # _CC_CACHE in connected_components (ADVICE r8 #1)
+    ):
         fn = registry.QUERIES[name].fn
         fn(spark, SF_DIR).count()
         n1 = n_persistent()

@@ -99,7 +99,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     graded = set(window())
     siblings = {
         # graded green in r6, rotated out by the r7/r8 window
-        "pricing_summary": "clamp_small_values",
+        "pricing_summary": "local_supplier_volume",
         "rollup_sales": "cube_order_stats",
         "top_customers_per_nation": "user_sessions_batch",
         "asof_click_purchase": "event_followups_range_join",
@@ -124,13 +124,14 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
-        "cross_source_overlap": "pii_scrub",
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "unigram_logprob",
         "substring_dedup": "chunk_dedup",
         "curation_funnel": "dsir_importance",
-        "ngram_novelty": "repetition_signals",
-        "binmatrix_sink_roundtrip": "binmatrix_source_scan",
+        # r9 rotation: out for the 2 never-graded oracle entries
+        "binmatrix_source_scan": "binary_f64_scan",
+        "clamp_small_values": "local_supplier_volume",
+        "binmatrix_sink_roundtrip": "binary_f64_scan",
         "bucketed_fact_join": "local_supplier_volume",
         "events_enriched_streamed": "events_sliding_streamed",
         "events_hll_streamed": "events_dedup_streamed",
@@ -140,7 +141,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "kmeans_empty_repair": "kmeans_full",
         "cosine_topk": "pq_adc_topk",
         "click_purchase_streamed": "events_sliding_streamed",
-        "binmatrix_stream_scan": "binmatrix_source_scan",
+        "binmatrix_stream_scan": "binary_f64_scan",
         "user_stats_streamed": "events_dedup_streamed",
         "zipf_fit": "token_counts",
         "media_decode_features": "media_audio_energy",
@@ -150,7 +151,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "matrix_generators_roundtrip": "binary_f64_scan",
         "centroid_lines_scan": "text_points_scan",
         "damds_sidefile_scan": "damds_embed",
-        "partitioned_sink_roundtrip": "binmatrix_source_scan",
+        "partitioned_sink_roundtrip": "binary_f64_scan",
         "events_hourly_streamed": "events_sliding_streamed",
         "user_sessions_streamed": "user_sessions_batch",
         "damds_bofz_bc": "damds_embed",

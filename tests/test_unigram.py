@@ -78,3 +78,76 @@ def test_unigram_encode_consistency(spark):
     pt = QUERIES["unigram_pieces"].fn(spark, SF_DIR).collect()
     assert len(pt) >= 2
     assert any(len(r["piece"]) > 1 for r in pt)  # learned multi-char pieces
+
+
+def test_uve_oracle_recursion_on_duckdb_fixture():
+    """Regression pin for _UVE_ORACLE's most fragile dependency (VERDICT r8
+    ask #7): correlated scalar subqueries against a plain CTE INSIDE a
+    recursive term (4 `weights` lookups per row per character step). A
+    DuckDB upgrade that breaks that pattern — the family that already ate
+    the UNION-set-semantics and referenced-only-from-recursion gotchas —
+    must fail HERE in the fast suite with real values, not as an opaque
+    driver value-hash mismatch at grading time.
+
+    Runs the production oracle SQL verbatim on a 2-document fixture and
+    checks the full output against an independent Python replay of the
+    spec (seeded vocab -> integer micro-nat weights -> the engine's own
+    `_viterbi`), plus literal spot pins that would catch a silently-NULL
+    weights table (the observed failure mode reads COALESCE's sentinel and
+    collapses every word to per-char pieces with huge negative scores)."""
+    import math
+    import re
+
+    import duckdb
+
+    texts = {0: "aa ab aa b", 1: "cab ab"}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in texts.items())
+        + ") AS t(doc_id, text)"
+    )
+    got = con.execute(tk._UVE_ORACLE).fetchall()
+
+    # --- independent replay of the oracle's spec ---
+    words: dict[str, int] = {}
+    doc_words = {
+        i: re.findall(tk.WORD_REGEX, t.lower().strip()) for i, t in texts.items()
+    }
+    for ws in doc_words.values():
+        for w in ws:
+            words[w] = words.get(w, 0) + 1
+    subs: dict[str, int] = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(tk.UNI_MAX_PIECE_LEN, len(w) - i) + 1):
+                subs[w[i : i + ln]] = subs.get(w[i : i + ln], 0) + f
+    seed = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[: tk.UNI_SEED_SIZE]
+    vocab = dict(seed)
+    for p, c in subs.items():
+        if len(p) == 1:
+            vocab[p] = c
+    total = sum(vocab.values())
+    wgt = {p: float(math.floor(math.log(c / total) * 1e6 + 0.5)) for p, c in vocab.items()}
+    expected = []
+    for i in sorted(texts):
+        ns = ss = 0
+        for w in doc_words[i]:
+            pieces, score = tk._viterbi(w, wgt, tk.UNI_MAX_PIECE_LEN)
+            ns += len(pieces)
+            ss += int(score)
+        n = len(doc_words[i])
+        expected.append((i, n, ns, ss, round(ns / n, 6)))
+    assert got == expected, (got, expected)
+    # literal spot pins (independent of the replay code): both docs emit,
+    # multi-char pieces won ('aa'/'ab'/'cab' are one piece each -> fewer
+    # pieces than characters), and no score touched the unreachable
+    # sentinel (a NULL weights table would drag scores toward _UVE_SENT)
+    assert len(got) == 2
+    # doc 0 "aa ab aa b": 'aa' splits to chars (2*ln(7/21) beats ln(2/21))
+    # but 'ab' stays one piece (ln(3/21) beats ln(7/21)+ln(4/21)) -> 6, and
+    # doc 1 "cab ab" keeps both words whole -> 2. Weight-driven splits in
+    # BOTH directions, so a NULL/empty weights table (everything char-split)
+    # AND an always-longest-match bug both fail these pins.
+    assert got[0][2] == 6 and got[1][2] == 2
+    assert all(r[3] > tk._UVE_SENT // 2 for r in got)
