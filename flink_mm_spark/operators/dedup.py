@@ -40,6 +40,44 @@ EMB_BLOCK_ROWS = 2048
 WORD_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
 
 
+# Tiny per-language stopword lists (heuristic language ID + quality logit).
+# Deterministic + ASCII so Spark and DuckDB tokenize identically. They live
+# HERE (the import leaf of the operators package) rather than in text.py so
+# oracle builders that run at dedup import time can reference them without a
+# circular import; text.py re-exports them under the same names.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def quality_logit_sql(toks: str = "toks", text_col: str = "text", nt: str = "nt") -> str:
+    """DuckDB expression for the fixed-weight quality logit of
+    ``quality_logit_score`` (text.py) over a row exposing ``toks``
+    (whitespace-split normalized tokens), the raw ``text``, and ``nt`` =
+    lower(trim(text)) — shared so consumers (the keep-best tiebreak) cannot
+    drift from the graded scorer. Same left-associated term order as the
+    Spark expression; every feature is a ratio of small integers, so the
+    doubles are bit-identical cross-engine (see quality_logit_score's
+    determinism note)."""
+    sr = (
+        f"(CAST(len(list_filter({toks}, t -> list_contains("
+        f"{_sql_list(STOPWORDS['en'])}, t))) AS DOUBLE) / len({toks}))"
+    )
+    dr = (
+        f"(CAST(len(regexp_extract_all({text_col}, '[0-9]')) AS DOUBLE)"
+        f" / length({text_col}))"
+    )
+    atl = f"(CAST(length({nt}) - (len({toks}) - 1) AS DOUBLE) / len({toks}))"
+    return f"(2.0 * {sr} - 4.0 * {dr} + 0.15 * {atl} - 1.0)"
+
+
 def norm_text(col: str = "text") -> Column:
     return F.lower(F.trim(F.col(col)))
 
@@ -727,16 +765,26 @@ def _mhx_pairs_cte() -> str:
 
 
 def _keep_best_oracle() -> str:
+    # q_score: quality_logit_score's linear model, quantized to integer
+    # micro-units with the repo's floor(x*1e6 + 0.5) contract (never
+    # rint/ROUND at .5 boundaries) so the tiebreak comparison is an integer
+    # compare on both engines.
     return f"""
     WITH {_mhx_ctes()},
     {_mhx_pairs_cte()},
     q AS MATERIALIZED (
       SELECT doc_id,
-             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tok
-      FROM documents
+             CAST(len(toks) AS INTEGER) AS n_tok,
+             CAST(floor({quality_logit_sql()} * 1e6 + 0.5) AS BIGINT) AS q_score
+      FROM (
+        SELECT doc_id, text, lower(trim(text)) AS nt,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      )
     ),
     pq AS MATERIALIZED (
-      SELECT p.doc_a, p.doc_b, qa.n_tok AS ta, qb.n_tok AS tb
+      SELECT p.doc_a, p.doc_b, qa.n_tok AS ta, qb.n_tok AS tb,
+             qa.q_score AS sa, qb.q_score AS sb
       FROM pairs p
       JOIN q qa ON p.doc_a = qa.doc_id
       JOIN q qb ON p.doc_b = qb.doc_id
@@ -744,6 +792,8 @@ def _keep_best_oracle() -> str:
     losers AS MATERIALIZED (
       SELECT DISTINCT CASE WHEN ta < tb THEN doc_a
                            WHEN tb < ta THEN doc_b
+                           WHEN sa < sb THEN doc_a
+                           WHEN sb < sa THEN doc_b
                            ELSE doc_b END AS doc_id
       FROM pq
     ),
@@ -754,7 +804,7 @@ def _keep_best_oracle() -> str:
         SELECT doc_b AS doc_id FROM pairs
       ) GROUP BY doc_id
     )
-    SELECT q.doc_id, q.n_tok,
+    SELECT q.doc_id, q.n_tok, q.q_score,
            COALESCE(np.n_dup_pairs, 0) AS n_dup_pairs,
            CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
     FROM q
@@ -767,6 +817,23 @@ def _keep_best_oracle() -> str:
 _KB_CACHE: list = []  # persisted quality/pair tables (unpersisted next call)
 
 
+def _kb_loser_expr() -> Column:
+    """The keep-best LOSER decision over pair columns (doc_a, doc_b, ta,
+    tb, sa, sb): fewer tokens loses; token ties lose on the lower integer
+    micro-quality score; full ties lose doc_b (keep the lower id). The
+    grading corpus has no token-count ties among its candidate pairs (so
+    the driver grade cannot reach the quality branch); the branch
+    semantics are pinned against the oracle's CASE chain on synthetic
+    ties in tests/test_properties.py::test_keep_best_tiebreak_chain."""
+    return (
+        F.when(F.col("ta") < F.col("tb"), F.col("doc_a"))
+        .when(F.col("tb") < F.col("ta"), F.col("doc_b"))
+        .when(F.col("sa") < F.col("sb"), F.col("doc_a"))
+        .when(F.col("sb") < F.col("sa"), F.col("doc_b"))
+        .otherwise(F.col("doc_b"))
+    )
+
+
 @register("dedup_keep_best", oracle=_keep_best_oracle())
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dup pruning: for every MinHash-LSH candidate pair,
@@ -775,11 +842,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard near-dedup shape in large-corpus pipelines such as The Pile /
     RefinedWeb, where one side of each candidate pair is discarded).
 
-    Quality = whitespace token count (integer, deterministic); ties keep
-    the LOWER doc_id (pairs are oriented doc_a < doc_b, so the tie loser
-    is always doc_b — no cross-engine argmax hazard, everything is integer
-    CASE logic). Output: one row per document with its token count, its
-    candidate-pair degree, and the keep/drop flag.
+    Quality rule (the RefinedWeb-style decision chain, r9): primary key =
+    whitespace token count (integer, deterministic); token-count ties
+    break on ``quality_logit_score``'s fixed-weight model quantized to
+    integer micro-units (floor(score·1e6 + 0.5) — the repo's exactness
+    contract for float-fed comparisons, never ROUND at .5 boundaries);
+    full ties keep the LOWER doc_id (pairs are oriented doc_a < doc_b, so
+    the final-tie loser is always doc_b — no cross-engine argmax hazard,
+    every comparison is integer CASE logic). The Spark score expression
+    and the oracle's render from ONE shared definition each side
+    (text.quality_logit_expr / dedup.quality_logit_sql), the same
+    anti-drift pattern as gram_hash_cte. Output: one row per document
+    with its token count, micro-quality score, candidate-pair degree, and
+    the keep/drop flag.
 
     Grading: the oracle replays the ENTIRE md5-MinHash band machinery (the
     `_mhx_ctes` chain `minhash_lsh_exact` grades) plus the pruning logic,
@@ -793,27 +868,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream joins, so both persist via the module cache (re-execution
     of the banded self-join per consumer is the repo's documented
     re-compute hazard)."""
+    # runtime-lazy: text.py imports dedup at module load (dedup is the
+    # import leaf), so the reverse edge must not exist at import time
+    from flink_mm_spark.operators.text import quality_logit_expr
+
     while _KB_CACHE:
         _KB_CACHE.pop().unpersist()
     docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    q_score = F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     q = docs.select(
-        "doc_id", F.size(tokens_expr()).cast("int").alias("n_tok")
+        "doc_id",
+        F.size(tokens_expr()).cast("int").alias("n_tok"),
+        q_score.alias("q_score"),
     ).persist()
     _KB_CACHE.append(q)
     pq = (
         _mhx_pairs(spark, sf_dir, sort=False)
         .select("doc_a", "doc_b")
-        .join(q.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("ta")), "doc_a")
-        .join(q.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("tb")), "doc_b")
+        .join(
+            q.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_tok").alias("ta"),
+                F.col("q_score").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            q.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_tok").alias("tb"),
+                F.col("q_score").alias("sb"),
+            ),
+            "doc_b",
+        )
         .persist()
     )
     _KB_CACHE.append(pq)
-    losers = pq.select(
-        F.when(F.col("ta") < F.col("tb"), F.col("doc_a"))
-        .when(F.col("tb") < F.col("ta"), F.col("doc_b"))
-        .otherwise(F.col("doc_b"))
-        .alias("doc_id")
-    ).distinct()
+    losers = pq.select(_kb_loser_expr().alias("doc_id")).distinct()
     degrees = (
         pq.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pq.select(F.col("doc_b").alias("doc_id")))
@@ -826,6 +917,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tok",
+            "q_score",
             F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
             F.when(F.col("is_loser").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )

@@ -13,26 +13,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_mm_spark.operators.dedup import WORD_REGEX, norm_text, tokens_expr
+from flink_mm_spark.operators.dedup import (  # noqa: F401 — STOPWORDS/_sql_list
+    STOPWORDS,  # re-exported: they moved to dedup (the import leaf) so
+    WORD_REGEX,  # dedup-side oracle builders can use them at import time
+    _sql_list,
+    norm_text,
+    tokens_expr,
+)
 from flink_mm_spark.registry import register
 from flink_mm_spark.sources.tables import parallelize_scan, table
-
-# Tiny per-language stopword lists for the heuristic language ID. Chosen
-# deterministic + ASCII so Spark and DuckDB tokenize identically.
-STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
-}
 
 # "BPE-ish" token regex (WORD_REGEX, imported from dedup — the import leaf):
 # letter runs, digit runs, single punctuation marks — same semantics under
 # Java regex (Spark) and RE2 (DuckDB).
-
-
-def _sql_list(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 @register(
@@ -59,6 +52,20 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("n_chars"),
         )
         .orderBy("doc_id")
+    )
+
+
+def quality_logit_expr() -> Column:
+    """The fixed-weight linear quality score of ``quality_logit_score`` as a
+    raw Column — shared with the ``dedup_keep_best`` tiebreak so the two
+    consumers cannot drift. Left-associated in the exact term order of
+    ``quality_logit_sql`` (dedup.py), its DuckDB mirror."""
+    q = quality_columns()
+    return (
+        F.lit(2.0) * q["stopword_ratio"]
+        - F.lit(4.0) * q["digit_ratio"]
+        + F.lit(0.15) * q["avg_token_len"]
+        - F.lit(1.0)
     )
 
 
@@ -390,12 +397,7 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     q = quality_columns()
-    lin = (
-        F.lit(2.0) * q["stopword_ratio"]
-        - F.lit(4.0) * q["digit_ratio"]
-        + F.lit(0.15) * q["avg_token_len"]
-        - F.lit(1.0)
-    )
+    lin = quality_logit_expr()
     return d.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),

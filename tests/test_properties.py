@@ -259,3 +259,82 @@ def test_cc_exact_oracle_closure_pattern_on_deep_graphs():
             SELECT doc, MIN(lbl) FROM reach GROUP BY doc ORDER BY doc
         """).fetchall()
         assert [tuple(r) for r in got] == want, name
+
+
+def test_keep_best_tiebreak_chain(spark):
+    """The r9 quality tiebreak of dedup_keep_best cannot fire on the
+    grading corpus (its candidate pairs have NO token-count ties —
+    measured at sf0.001 and sf0.01), so the driver grade alone would pass
+    with the quality branch dead. Pin the full decision chain on
+    synthetic pair rows, through BOTH engines' expressions: fewer tokens
+    loses; token ties lose on the lower micro-quality score; full ties
+    lose doc_b."""
+    import duckdb
+
+    from flink_mm_spark.operators.dedup import _kb_loser_expr
+
+    rows = [
+        # (doc_a, doc_b, ta, tb, sa, sb, expected_loser)
+        (1, 2, 5, 9, 0, 0, 1),  # fewer tokens on a
+        (3, 4, 9, 5, 0, 0, 4),  # fewer tokens on b
+        (5, 6, 7, 7, -100, 50, 5),  # token tie, worse quality on a
+        (7, 8, 7, 7, 50, -100, 8),  # token tie, worse quality on b
+        (9, 10, 7, 7, 42, 42, 10),  # full tie -> doc_b (keep lower id)
+    ]
+    pq = spark.createDataFrame(
+        [r[:6] for r in rows],
+        "doc_a long, doc_b long, ta int, tb int, sa long, sb long",
+    )
+    got = [r["loser"] for r in pq.select(_kb_loser_expr().alias("loser")).collect()]
+    assert got == [r[6] for r in rows]
+    # the oracle's CASE chain on the same rows (verbatim from
+    # _keep_best_oracle's losers CTE)
+    vals = ", ".join(f"({a},{b},{ta},{tb},{sa},{sb})" for a, b, ta, tb, sa, sb, _ in rows)
+    dk = duckdb.sql(
+        f"""SELECT CASE WHEN ta < tb THEN doc_a
+                        WHEN tb < ta THEN doc_b
+                        WHEN sa < sb THEN doc_a
+                        WHEN sb < sa THEN doc_b
+                        ELSE doc_b END AS loser
+            FROM (VALUES {vals}) AS t(doc_a, doc_b, ta, tb, sa, sb)"""
+    ).fetchall()
+    assert [r[0] for r in dk] == [r[6] for r in rows]
+
+
+def test_quality_micro_score_cross_engine(spark):
+    """quality_logit_sql (dedup, the oracle side) and quality_logit_expr
+    (text, the Spark side) must produce IDENTICAL integer micro-scores —
+    the keep-best tiebreak compares these across engines. Fixture docs
+    share a token count but differ in digit ratio / token length, so the
+    scores differ where the tiebreak needs them to."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.dedup import quality_logit_sql
+    from flink_mm_spark.operators.text import quality_logit_expr
+
+    texts = [
+        (0, "the cat sat on 99 mats"),
+        (1, "the cat sat on the mat"),
+        (2, "a of to in is that and"),
+        (3, "zzzz 123 456 789 0 11"),
+    ]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string")
+    micro = F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    got = {
+        r["doc_id"]: r["q"]
+        for r in sdf.select("doc_id", micro.alias("q")).collect()
+    }
+    vals = ", ".join(f"({i}, '{t}')" for i, t in texts)
+    want = dict(
+        duckdb.sql(
+            f"""SELECT doc_id,
+                       CAST(floor({quality_logit_sql()} * 1e6 + 0.5) AS BIGINT)
+                FROM (SELECT doc_id, text, lower(trim(text)) AS nt,
+                             string_split_regex(lower(trim(text)), '\\s+') AS toks
+                      FROM (VALUES {vals}) AS t(doc_id, text))"""
+        ).fetchall()
+    )
+    assert got == want, (got, want)
+    assert len(set(got.values())) > 1  # scores genuinely separate the ties
