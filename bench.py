@@ -73,7 +73,8 @@ HEADLINE = [
     "benchmark_contamination",  # eval-shingle broadcast decontamination
     "pack_sequences",           # two-pass distributed prefix-sum packing
     "mixture_pack_pipeline",    # r8: mixture APPLY -> epoch replicate -> pack
-    "shard_manifest",           # r8: shard rollup + xor content fingerprints
+    "shard_write_roundtrip",    # r9: shard files written + read back + manifest
+                                # recomputed (supersedes shard_manifest's rollup)
     "repetition_signals",       # r3 curation: explode + double hash agg (pure JVM)
     "semantic_dedup",           # r3 curation: assign + cluster-keyed block-pair GEMM
     "bm25_topk",                # r3: posting-filtered BM25 retrieval ranking
@@ -87,6 +88,8 @@ HEADLINE = [
     "bpe_encode",               # r5: tokenizer lifecycle (train via the two-tier
                                 # trainer + broadcast-encode) — band tracks the
                                 # reworked training path
+    "bpe_bytes_encode",         # r9: byte-level tier (hex-pair symbols, held-out
+                                # apply to part names, UNK-free by construction)
     "weighted_reservoir_sample",  # r5: A-ES weighted top-K (TakeOrderedAndProject)
     "dup_cluster_sizes",        # r5: dedup-cluster histogram (two keyed shuffles)
     "token_bigram_pmi",         # r5: collocation PMI (pair shuffle + broadcast marginals)

@@ -938,7 +938,22 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. Exactness: every column is integer arithmetic or a 60-bit
     xor of md5 prefixes both engines compute byte-identically.
     """
-    packed = _mixture_packed(spark, sf_dir)
+    return _shard_rollup(_with_shard_id(_mixture_packed(spark, sf_dir)))
+
+
+def _with_shard_id(packed: DataFrame) -> DataFrame:
+    return packed.withColumn(
+        "shard_id", F.expr(f"seq_id div {MIX_SEQS_PER_SHARD}").cast("bigint")
+    )
+
+
+def _shard_rollup(slices: DataFrame) -> DataFrame:
+    """Manifest aggregate over a (doc_id, epoch, seq_id, seq_off, n_tok,
+    shard_id) slice stream — shared by ``shard_manifest`` (over the live
+    packed stream) and ``shard_write_roundtrip`` (over slices READ BACK
+    from shard files), so the planned and verified manifests cannot drift.
+    The fingerprint is recomputed from the slice COLUMNS each time — the
+    round-trip verifies written content, never a stored hash."""
     slice_h = F.conv(
         F.substring(
             F.md5(
@@ -957,10 +972,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     return (
-        packed.withColumn(
-            "shard_id", F.expr(f"seq_id div {MIX_SEQS_PER_SHARD}").cast("bigint")
-        )
-        .withColumn("slice_h", slice_h)
+        slices.withColumn("slice_h", slice_h)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_slices"),
@@ -970,6 +982,45 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register("shard_write_roundtrip", oracle=_SHARD_ORACLE)
+def shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard WRITE → READ-BACK → VERIFY: the pipeline's true last mile,
+    graded (VERDICT r8 ask #2). The packed mixture stream is materialized
+    to real per-shard parquet files (``partitionBy(shard_id)`` through
+    Spark's file-sink commit protocol — per-task temp files atomically
+    promoted on job commit, the same temp-then-commit contract as the
+    binmatrix sink at sources/datasource.py:228-330), read back from disk,
+    and the manifest — counts, token mass, and the xor-of-md5 content
+    fingerprint — is RECOMPUTED from the read-back slices and graded
+    against the same oracle that grades the planned manifest
+    (``shard_manifest``). A lost, duplicated, or corrupted slice anywhere
+    in the write/read cycle breaks the value hash. Reference analogue:
+    mm/MatrixMultiply.java:88-103's write-then-compare oracle pattern.
+
+    Scale shape: the write reuses the packed stream's single range
+    exchange — tasks are range-partitioned in pack order, shard_id is a
+    monotone function of that order, so each task writes slices for a
+    CONTIGUOUS shard range and ``partitionBy`` adds files (≤ shards +
+    tasks), not an exchange. The verify side is one parquet scan of the
+    shard files plus one shard-keyed hash aggregate — it never re-derives
+    the mixture stream (plan-pinned in tests/test_plans.py). The
+    destination is a per-invocation scratch dir (concurrent bench/driver/
+    pytest sessions must not race one path)."""
+    from flink_mm_spark.session import scratch_dir
+
+    dst = scratch_dir("shard_rt_")
+    _with_shard_id(_mixture_packed(spark, sf_dir)).write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(dst)
+    back = spark.read.parquet(dst).withColumn(
+        # partition-directory discovery infers int32; the manifest contract
+        # (and the oracle's CAST) is bigint
+        "shard_id",
+        F.col("shard_id").cast("bigint"),
+    )
+    return _shard_rollup(back)
 
 
 # --- cross-source n-gram overlap matrix, r8 --------------------------------

@@ -335,7 +335,7 @@ def _select_merge_batch(
 
 
 def _train_merges_from_words(
-    words: DataFrame, n_merges: int = N_MERGES
+    words: DataFrame, n_merges: int = N_MERGES, sym_regex: str = "."
 ) -> list[tuple]:
     """BPE merge training over a (w, freq) word table — the vocab-scale
     half of the trainer (the corpus was already reduced to this table by
@@ -363,7 +363,16 @@ def _train_merges_from_words(
 
     Both tiers produce the identical merge table (tests/test_bpe_trainer.py
     proves them equal to the sequential replay and to each other).
+
+    ``sym_regex`` sets the INITIAL symbol segmentation of a word: "." =
+    one symbol per character (classic BPE), ".." = one symbol per hex
+    octet pair (the byte-level tier, where ``w`` is the uppercase hex of
+    the word's UTF-8 bytes — ``bpe_bytes_encode``). Identical under
+    Python re and Java regex for these patterns; symbols never contain
+    spaces, so the padded-replace machinery is unchanged.
     """
+    import re as _re
+
     # one aggregate decides the tier: the count cap bounds rows, the char
     # cap bounds collected bytes (pathological no-whitespace corpora can
     # blow word sizes without blowing the count — VERDICT r5 ask #6)
@@ -372,12 +381,14 @@ def _train_merges_from_words(
         F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("chars"),
     ).collect()[0]
     if bound["n"] <= BPE_LOCAL_MAX_VOCAB and bound["chars"] <= BPE_LOCAL_MAX_CHARS:
-        items = [(r["w"], int(r["freq"])) for r in words.collect()]
+        items = [
+            (_re.findall(sym_regex, r["w"]), int(r["freq"])) for r in words.collect()
+        ]
         return _train_merges_local(items, n_merges)
     seqs = words.select(
         "w",
         "freq",
-        F.array_join(F.regexp_extract_all("w", F.lit("."), 0), " ").alias("seq"),
+        F.array_join(F.regexp_extract_all("w", F.lit(sym_regex), 0), " ").alias("seq"),
     )
     out: list[tuple] = []
     rounds_since_ckpt = 0
@@ -578,6 +589,159 @@ def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bpe_per_word"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2-style production symbol space, r9)
+# ---------------------------------------------------------------------------
+
+BYTES_N_MERGES = 6
+
+# Holdout APPLY stage: replay merge k (the TRAINING chain's best{k}) on the
+# held-out word table h{prev} -> h{k} with the same padded non-overlapping
+# replace and the same COALESCE exhaustion guard as _BPE_STAGE — encoding an
+# unseen word IS applying the trained merges in training order.
+_BPE_APPLY_STAGE = """
+, h{k} AS MATERIALIZED (
+  SELECT w,
+         COALESCE(
+           trim(replace(' ' || seq || ' ',
+                        ' ' || (SELECT p FROM best{k}) || ' ',
+                        ' ' || replace((SELECT p FROM best{k}), ' ', '') || ' ')),
+           seq) AS seq
+  FROM h{prev}
+)
+"""
+
+# Training chain over byte symbols: words are the UPPERCASE HEX of each raw
+# (case-preserved) word's UTF-8 bytes, and the initial segmentation is one
+# symbol per octet pair — regexp '..' instead of '.'. The _BPE_STAGE merge
+# machinery is reused verbatim (symbols never contain spaces).
+_BPE_BYTES_ORACLE = (
+    f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT hex(encode(w0)) AS w FROM (
+          SELECT unnest(regexp_extract_all(text, '{WORD_REGEX}')) AS w0
+          FROM documents
+        )
+      ) GROUP BY w
+    ),
+    w0 AS (
+      SELECT w, freq, array_to_string(regexp_extract_all(w, '..'), ' ') AS seq
+      FROM words
+    )
+    """
+    + "".join(_BPE_STAGE.format(k=k, prev=k - 1) for k in range(1, BYTES_N_MERGES + 1))
+    + f"""
+    , pw AS MATERIALIZED (
+      SELECT part_id, hex(encode(w0)) AS w FROM (
+        SELECT p_partkey AS part_id,
+               unnest(regexp_extract_all(p_name, '{WORD_REGEX}')) AS w0
+        FROM part
+      )
+    ),
+    h0 AS (
+      SELECT DISTINCT w, array_to_string(regexp_extract_all(w, '..'), ' ') AS seq
+      FROM pw
+    )
+    """
+    + "".join(
+        _BPE_APPLY_STAGE.format(k=k, prev=k - 1) for k in range(1, BYTES_N_MERGES + 1)
+    )
+    + f"""
+    , enc AS (SELECT w, len(string_split(seq, ' ')) AS n_sub FROM h{BYTES_N_MERGES})
+    SELECT pw.part_id,
+           CAST(COUNT(*) AS INTEGER) AS n_words,
+           CAST(SUM(len(pw.w) // 2) AS BIGINT) AS n_bytes,
+           CAST(SUM(e.n_sub) AS BIGINT) AS n_byte_tokens,
+           ROUND(CAST(SUM(len(pw.w) // 2) AS DOUBLE) / SUM(e.n_sub), 6)
+             AS bytes_per_token
+    FROM pw JOIN enc e USING (w)
+    GROUP BY pw.part_id
+    ORDER BY pw.part_id
+    """
+)
+
+
+def _hex_word(col: str) -> "F.Column":
+    """Uppercase hex of a word's UTF-8 bytes — identical in Spark
+    (hex(encode(..))) and DuckDB (hex(encode(..)))."""
+    return F.hex(F.encode(F.col(col), "UTF-8"))
+
+
+@register("bpe_bytes_encode", oracle=_BPE_BYTES_ORACLE)
+def bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE, trained on ``documents`` and applied HELD-OUT to the
+    ``part`` names (VERDICT r8 ask #3) — the production GPT-style symbol
+    space: words pretokenize from RAW text (case-preserved — byte-level
+    tokenizers do not normalize), each word becomes its UTF-8 byte
+    sequence, and merges operate on byte symbols. Byte fallback makes UNK
+    STRUCTURALLY IMPOSSIBLE: an out-of-vocabulary word — 'x'/'z' part-name
+    words defeat the char-level corpus vocab today — simply keeps its
+    unmerged octets (asserted in tests/test_bpe_trainer.py), where
+    ``wordpiece_encode_holdout`` collapses the same words to [UNK].
+
+    Implementation reuses the whole BPE machinery unchanged: bytes are
+    carried as uppercase hex pairs (one symbol per octet — Spark ``hex(
+    encode(w))`` ≡ DuckDB ``hex(encode(w))`` byte-for-byte), so training is
+    ``_train_merges_from_words`` with the ".."-pair initial segmentation,
+    encoding is the same chained padded-replace projection, and the oracle
+    replays training AND the held-out application per merge stage with the
+    shared exhaustion guard.
+
+    Scale shape (``bpe_encode``'s, unchanged by the symbol space): one
+    corpus word-count shuffle to train; the DISTINCT holdout word table
+    encodes via N_MERGES JVM replaces; per-word counts rejoin the exploded
+    word stream through the guarded vocab broadcast
+    (``_encoded_words_join``); per-part rollups are integer sums — bytes
+    per word derive from hex length, never a second pass over the text.
+    """
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0")
+        )
+        .select(_hex_word("w0").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        merges = _train_merges_from_words(words, BYTES_N_MERGES, sym_regex="..")
+    finally:
+        words.unpersist()
+    pw = (
+        table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.explode(F.regexp_extract_all("p_name", F.lit(WORD_REGEX), 0)).alias("w0"),
+        )
+        .select("part_id", _hex_word("w0").alias("w"))
+    )
+    seq = F.array_join(F.regexp_extract_all("w", F.lit(".."), 0), " ")
+    for _, left, right, merged, _cnt in merges:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    enc = pw.select("w").distinct().select("w", F.size(F.split(seq, " ")).alias("n_sub"))
+    return (
+        _encoded_words_join(pw, enc)
+        .groupBy("part_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum(F.expr("length(w) div 2")).cast("bigint").alias("n_bytes"),
+            F.sum("n_sub").cast("bigint").alias("n_byte_tokens"),
+            F.round(
+                F.sum(F.expr("length(w) div 2")).cast("double") / F.sum("n_sub"), 6
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("part_id")
     )
 
 

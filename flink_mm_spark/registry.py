@@ -107,16 +107,19 @@ PROMOTE: list[str] = [
     # held-out encode with REAL UNK rows (r7 ask #6); displaces
     # kmeans_empty_repair (green r7; kmeans_full covers I4)
     "wordpiece_encode_holdout",
-    # mixture APPLY -> pack, and shard manifests over the packed stream
-    # (the train-data pipeline's last mile); displace cosine_topk and
-    # click_purchase_streamed (green r7; pq_adc_topk keeps similarity
-    # graded, events_sliding_streamed keeps streaming graded)
+    # mixture APPLY -> pack (r8); displaced cosine_topk (pq_adc_topk keeps
+    # similarity graded)
     "mixture_pack_pipeline",
-    "shard_manifest",
-    # --- r8-changed-code sentinels (exhaustion-safe encode oracles +
-    #     the _encoded_words_join broadcast guard; wordpiece_encode above
-    #     covers the WordPiece side of both changes) ---
-    "bpe_encode",
+    # r9 swap: shard_write_roundtrip in, shard_manifest out — the write-
+    # and-verify round-trip (r8 ask #2) grades the SAME manifest oracle
+    # over slices read back from real shard files, superseding the
+    # plan-only entry (green r8, now its DEFER sibling)
+    "shard_write_roundtrip",
+    # r9 swap: bpe_bytes_encode in, bpe_encode out — the byte-level tier
+    # (GPT-style symbol space, held-out apply to part names, structurally
+    # UNK-free) becomes the BPE family sentinel; the char-level encode
+    # (green r8) moves to DEFER with this entry as its sibling
+    "bpe_bytes_encode",
     "tokenize_pack_pipeline",
     # exactly-graded Viterbi decoder (integer micro-nat weights) — the
     # unigram family's first value-hash entry; displaces pack_sequences
@@ -183,7 +186,8 @@ DEFER: list[str] = [
     "vocab_top_terms",  # text stats: token_counts in-window
     "quality_logit_score",  # corpus LM: unigram_logprob in-window
     "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
-    "bpe_merges",  # BPE trainer: bpe_encode in-window grades the lifecycle
+    "bpe_merges",  # BPE trainer: bpe_bytes_encode in-window (same machinery)
+    "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
@@ -195,6 +199,7 @@ DEFER: list[str] = [
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
     "clamp_small_values",  # P4 map/filter: local_supplier_volume in-window
+    "shard_manifest",  # r9: shard_write_roundtrip grades the same oracle + the files
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
     "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window

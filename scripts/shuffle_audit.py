@@ -66,6 +66,7 @@ AUDITED = [
     "pack_sequences",
     "mixture_pack_pipeline",  # broadcast plan + explode + ONE range exchange
     "shard_manifest",  # same + the shard-id hash aggregate
+    "shard_write_roundtrip",  # r9: + partitionBy file write, scan-only verify
     "benchmark_contamination",
     # text / retrieval
     "bm25_topk",
@@ -77,6 +78,7 @@ AUDITED = [
     # exact-twin / pipeline flagships
     "minhash_lsh_exact",
     "bpe_encode",
+    "bpe_bytes_encode",  # r9: byte-symbol train + held-out broadcast encode
     "curation_funnel",
     "corpus_prep_pipeline",
     # r5 batch 2: the new corpus-analytics operators

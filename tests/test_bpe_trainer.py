@@ -162,3 +162,55 @@ def test_local_tier_byte_cap(spark, monkeypatch):
     monkeypatch.setattr(tk, "BPE_LOCAL_MAX_CHARS", 256 * 1024 * 1024)
     assert tk._train_merges_from_words(df, 8) == got
     assert calls
+
+
+def test_bpe_bytes_holdout_is_unk_free_with_unseen_octets(spark):
+    """Byte-fallback contract of bpe_bytes_encode (r9): part names contain
+    octets the documents corpus never produced ('x'/'z' are absent from its
+    alphabet), yet EVERY holdout word encodes — unseen octets simply stay
+    unmerged singles, where the char-level WordPiece holdout collapses the
+    same words to [UNK]. Also pins that trained merges genuinely fire on
+    the holdout (some parts compress) so the apply stages are not dead."""
+    from pyspark.sql import functions as F
+
+    import flink_mm_spark.operators.tokenizer as tk
+    from flink_mm_spark.registry import QUERIES
+    from flink_mm_spark.sources.tables import parallelize_scan, table
+    from tests.conftest import SF_DIR
+
+    docs = parallelize_scan(table(spark, SF_DIR, "documents"))
+    corpus_octets = {
+        r["o"]
+        for r in docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    tk._hex_word("text").substr(F.lit(1), F.length("text") * 2),
+                    F.lit(".."),
+                    0,
+                )
+            ).alias("o")
+        )
+        .distinct()
+        .collect()
+    }
+    part_words = (
+        table(spark, SF_DIR, "part")
+        .select(F.explode(F.regexp_extract_all("p_name", F.lit(tk.WORD_REGEX), 0)).alias("w0"))
+        .select(tk._hex_word("w0").alias("w"))
+        .distinct()
+        .collect()
+    )
+    part_octets = {
+        w["w"][i : i + 2] for w in part_words for i in range(0, len(w["w"]), 2)
+    }
+    unseen = part_octets - corpus_octets
+    assert unseen, "fixture drift: part names no longer carry unseen octets"
+    assert {"78", "7A"} & unseen  # 'x' and/or 'z'
+
+    rows = QUERIES["bpe_bytes_encode"].fn(spark, SF_DIR).collect()
+    n_parts = table(spark, SF_DIR, "part").count()
+    assert len(rows) == n_parts  # every part encoded — no UNK path exists
+    for r in rows:
+        assert r["n_words"] >= 1
+        assert r["n_words"] <= r["n_byte_tokens"] <= r["n_bytes"]
+    assert any(r["n_byte_tokens"] < r["n_bytes"] for r in rows)  # merges fired

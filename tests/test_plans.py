@@ -661,3 +661,35 @@ def test_shard_manifest_is_one_hash_aggregate_over_packed(spark):
     assert "HashAggregate" in plan, plan[:3000]
     assert plan.count("MapInPandas") >= 1, plan[:3000]  # the packer's assign
     assert "Window" not in plan, plan[:3000]
+
+
+def test_shard_write_roundtrip_verify_side_scans_only_shard_files(spark):
+    """shard_write_roundtrip (r9): the VERIFY side must be one parquet scan
+    of the written shard files plus one shard-keyed hash aggregate — never
+    a re-derivation of the mixture stream. The builder performs the write
+    eagerly, so the returned plan IS the verify plan: a regression that
+    rebuilt the manifest from the live packed stream would show the
+    mixture machinery (joins, a range exchange, Arrow packer stage)."""
+    plan = _plan(spark, "shard_write_roundtrip")
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "HashAggregate" in plan
+    # no mixture machinery on the verify path
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan  # the packer never re-runs
+    assert "rangepartitioning(shuffle" not in plan
+    # exactly one exchange family: the partial->final shard_id aggregate
+    # (plus the presentation sort)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_bpe_bytes_encode_broadcasts_and_stays_jvm(spark):
+    """bpe_bytes_encode (r9): same deploy shape as the char tier — the
+    DISTINCT holdout word table encodes through chained JVM replaces (no
+    Python anywhere: hex/encode/replace are codegen expressions) and
+    rejoins the exploded part-word stream via the guarded vocab
+    broadcast."""
+    plan = _plan(spark, "bpe_bytes_encode")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan

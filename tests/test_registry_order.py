@@ -120,7 +120,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "vocab_top_terms": "token_counts",
         "quality_logit_score": "unigram_logprob",
         "bm25_topk": "token_bigram_pmi",
-        "bpe_merges": "bpe_encode",
+        "bpe_merges": "bpe_bytes_encode",
+        "bpe_encode": "bpe_bytes_encode",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
@@ -131,6 +132,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "local_supplier_volume",
+        "shard_manifest": "shard_write_roundtrip",
         "binmatrix_sink_roundtrip": "binary_f64_scan",
         "bucketed_fact_join": "local_supplier_volume",
         "events_enriched_streamed": "events_sliding_streamed",
