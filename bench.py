@@ -102,6 +102,8 @@ HEADLINE = [
                                 # (word-count shuffle + driver-local merges)
     "events_cms_streamed",      # r6: count-min cells as streaming state
                                 # (sum-merge complement of the HLL stream)
+    "minhash_dedup_streamed",   # r9: incremental band-store dedup (stateful
+                                # probe-then-add, 4 micro-batch arrivals)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

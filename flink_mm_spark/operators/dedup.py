@@ -548,14 +548,7 @@ def _banded_pairs(
     bands = sigs.select(
         "doc_id",
         "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws(
-                    "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band_id", "band_key"),
+        band_key_exprs(n_bands, rows_per_band).alias("band_id", "band_key"),
     )
     if hot_cap:
         hot = (
@@ -685,11 +678,18 @@ def _mhx_oracle() -> str:
     """
 
 
-def _mhx_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
-    """The md5-MinHash exact-twin pair pipeline (the body of
-    ``minhash_lsh_exact``) — also consumed unsorted by ``dedup_keep_best``,
-    which prunes the loser side of each candidate pair."""
-    d = parallelize_scan(table(spark, sf_dir, "documents"))
+def mhx_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, source, sig): md5-MinHash exact-twin signatures over any
+    (doc_id, source, text) frame — BATCH OR STREAMING (the expression tree
+    is stateless, so streaming/documents.py reuses it per micro-batch for
+    the incremental band store). Documents with no shingles emit no row.
+
+    r5 note: the 32 permutations ran as interpreted array_min(transform())
+    folds — ~32·|shingles| interpreted lambda evaluations per document, the
+    dominant cost of this family. The flat numpy kernel computes the same
+    exact int64 arithmetic one permutation-vector at a time (md5-derived xs
+    are already 32-bit-folded JVM-side, which the oracle replays verbatim).
+    """
     sh = shingles_expr(3)
     base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
     x = lambda s: (  # noqa: E731 — 32-bit-folded md5 base hash
@@ -698,18 +698,36 @@ def _mhx_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame
     )
     hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
 
-    # r5: the 32 permutations ran as interpreted array_min(transform(...))
-    # folds — ~32·|shingles| interpreted lambda evaluations per document,
-    # the dominant cost of this entry. The flat numpy kernel computes the
-    # same exact int64 arithmetic one permutation-vector at a time
-    # (md5-derived xs are already 32-bit-folded JVM-side, which the oracle
-    # replays verbatim).
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mhx_sig(xs: pd.Series) -> pd.Series:
         return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
 
+    return hs.select("doc_id", "source", mhx_sig("xs").alias("sig"))
+
+
+def band_key_exprs(n_bands: int, rows_per_band: int) -> Column:
+    """``posexplode`` producing (band_id, band_key) from a ``sig`` column —
+    the SINGLE band-key definition, shared by ``_banded_pairs`` (batch) and
+    streaming/documents.py's incremental band store so the stream's state
+    keys bucket identically to the batch self-join (and to the oracles'
+    ``array_to_string(sig[b*r+1:(b+1)*r], '_')``)."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.concat_ws(
+                "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            ),
+        )
+    )
+
+
+def _mhx_pairs(spark: SparkSession, sf_dir: str, sort: bool = True) -> DataFrame:
+    """The md5-MinHash exact-twin pair pipeline (the body of
+    ``minhash_lsh_exact``) — also consumed unsorted by ``dedup_keep_best``,
+    which prunes the loser side of each candidate pair."""
+    d = parallelize_scan(table(spark, sf_dir, "documents"))
     return _banded_pairs(
-        hs.select("doc_id", "source", mhx_sig("xs").alias("sig")),
+        mhx_signatures(d),
         n_bands=MHX_BANDS,
         rows_per_band=MHX_PERM // MHX_BANDS,
         threshold=MHX_THRESHOLD,

@@ -136,7 +136,12 @@ PROMOTE: list[str] = [
     "ngram_novelty",
     # --- graded r5, rotated out in r6, back in r8 for freshness ---
     "chunk_dedup",
-    "events_dedup_streamed",
+    # r9 swap: minhash_dedup_streamed in, events_dedup_streamed out — the
+    # incremental band-store dedup (applyInPandasWithState probing state
+    # populated by earlier micro-batches, r8 ask #4) keeps the stateful-
+    # stream family graded; the watermark-dedup entry (green r8) is its
+    # DEFER sibling
+    "minhash_dedup_streamed",
     "events_sliding_streamed",
     "weighted_reservoir_sample",
     "dup_cluster_sizes",
@@ -200,6 +205,7 @@ DEFER: list[str] = [
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
     "clamp_small_values",  # P4 map/filter: local_supplier_volume in-window
     "shard_manifest",  # r9: shard_write_roundtrip grades the same oracle + the files
+    "events_dedup_streamed",  # stateful stream (r9): minhash_dedup_streamed in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
     "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window
@@ -300,3 +306,4 @@ def load_all() -> None:
     import flink_mm_spark.operators.collectives  # noqa: F401
     import flink_mm_spark.sources.bucketing  # noqa: F401
     import flink_mm_spark.streaming.events  # noqa: F401
+    import flink_mm_spark.streaming.documents  # noqa: F401

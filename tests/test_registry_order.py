@@ -133,10 +133,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "local_supplier_volume",
         "shard_manifest": "shard_write_roundtrip",
+        "events_dedup_streamed": "minhash_dedup_streamed",
         "binmatrix_sink_roundtrip": "binary_f64_scan",
         "bucketed_fact_join": "local_supplier_volume",
         "events_enriched_streamed": "events_sliding_streamed",
-        "events_hll_streamed": "events_dedup_streamed",
+        "events_hll_streamed": "minhash_dedup_streamed",
         "events_cms_streamed": "count_min_exact",
         # rotated out in earlier rounds
         "pack_sequences": "tokenize_pack_pipeline",
@@ -144,7 +145,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "cosine_topk": "pq_adc_topk",
         "click_purchase_streamed": "events_sliding_streamed",
         "binmatrix_stream_scan": "binary_f64_scan",
-        "user_stats_streamed": "events_dedup_streamed",
+        "user_stats_streamed": "minhash_dedup_streamed",
         "zipf_fit": "token_counts",
         "media_decode_features": "media_audio_energy",
         "mixture_plan": "mixture_pack_pipeline",

@@ -556,3 +556,71 @@ def test_checkpoint_recovery_exactly_once(spark, batch_events, tmp_path):
         for r in agg_of(batch_events).collect()
     }
     assert got == want
+
+
+def test_minhash_dedup_stream_restart_recovery(spark, tmp_path):
+    """Restart recovery for the incremental MinHash band store (r9): life 1
+    streams only the doc_id < 250 half of the corpus (availableNow drains
+    it and commits the band-store state to the checkpoint); the other half
+    lands before life 2 resumes from the SAME checkpoint. Pairs whose
+    members straddle the halves (asserted to exist) can be emitted by
+    life 2 ONLY if life 1's store was recovered — and the union of both
+    lives' emissions must equal the batch exact-twin pair list, each pair
+    exactly once per shared band (deduped here exactly like the batch
+    pipeline). Sink is foreachBatch: the memory sink refuses checkpoint
+    recovery outside complete mode (the repo's documented gotcha)."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.dedup import _mhx_pairs
+    from flink_mm_spark.sources.tables import table
+    from flink_mm_spark.streaming.documents import (
+        documents_stream,
+        minhash_band_rows,
+        minhash_band_store,
+    )
+    from tests.conftest import SF_DIR
+
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in _mhx_pairs(spark, SF_DIR).collect()
+    }
+    half = 250
+    cross = {(a, b) for (a, b) in batch if a < half <= b}
+    assert cross, "fixture drift: no pair straddles the split"
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_split")
+    docs.filter(F.col("doc_id") < half).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "mds_rr_ckpt")
+    got: list = []
+
+    def run_life():
+        q = (
+            minhash_band_store(
+                minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+            )
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_life()  # life 1: first half only
+    n_life1 = len(got)
+    docs.filter(F.col("doc_id") >= half).repartition(2).write.mode("append").parquet(src)
+    run_life()  # life 2: resumes the band store from the checkpoint
+
+    pairs: dict = {}
+    for r in got:
+        pairs[(r["doc_a"], r["doc_b"])] = r["est_jaccard"]
+    assert pairs == batch, (sorted(pairs), sorted(batch))
+    # the straddling pairs were emitted only AFTER the restart — i.e. by
+    # probing recovered life-1 state, not by rebuilding it from life-2 input
+    life2 = {(r["doc_a"], r["doc_b"]) for r in got[n_life1:]}
+    assert cross <= life2
+    life1 = {(r["doc_a"], r["doc_b"]) for r in got[:n_life1]}
+    assert not (cross & life1)
