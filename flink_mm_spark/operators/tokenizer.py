@@ -617,8 +617,9 @@ _BPE_APPLY_STAGE = """
 # Training chain over byte symbols: words are the UPPERCASE HEX of each raw
 # (case-preserved) word's UTF-8 bytes, and the initial segmentation is one
 # symbol per octet pair — regexp '..' instead of '.'. The _BPE_STAGE merge
-# machinery is reused verbatim (symbols never contain spaces).
-_BPE_BYTES_ORACLE = (
+# machinery is reused verbatim (symbols never contain spaces). The prefix is
+# shared by the merges oracle and the held-out encode oracle.
+_BPE_BYTES_TRAIN = (
     f"""
     WITH words AS MATERIALIZED (
       SELECT w, COUNT(*) AS freq FROM (
@@ -634,6 +635,26 @@ _BPE_BYTES_ORACLE = (
     )
     """
     + "".join(_BPE_STAGE.format(k=k, prev=k - 1) for k in range(1, BYTES_N_MERGES + 1))
+)
+
+_BPE_BYTES_MERGES_ORACLE = (
+    _BPE_BYTES_TRAIN
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"""
+      SELECT {k} AS round,
+             split_part((SELECT p FROM best{k}), ' ', 1) AS left_sym,
+             split_part((SELECT p FROM best{k}), ' ', 2) AS right_sym,
+             replace((SELECT p FROM best{k}), ' ', '') AS merged,
+             CAST((SELECT cnt FROM best{k}) AS BIGINT) AS pair_freq"""
+        for k in range(1, BYTES_N_MERGES + 1)
+    )
+    + ") WHERE pair_freq IS NOT NULL ORDER BY round"
+)
+
+_BPE_BYTES_ORACLE = (
+    _BPE_BYTES_TRAIN
     + f"""
     , pw AS MATERIALIZED (
       SELECT part_id, hex(encode(w0)) AS w FROM (
@@ -671,6 +692,44 @@ def _hex_word(col: str) -> "F.Column":
     return F.hex(F.encode(F.col(col), "UTF-8"))
 
 
+def _train_bytes_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Train the byte-level merge table over the documents corpus (raw
+    case-preserved words → hex-octet symbols) — shared by
+    ``bpe_bytes_merges`` (returns the table) and ``bpe_bytes_encode``
+    (applies it held-out)."""
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0")
+        )
+        .select(_hex_word("w0").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        return _train_merges_from_words(words, BYTES_N_MERGES, sym_regex="..")
+    finally:
+        words.unpersist()
+
+
+@register("bpe_bytes_merges", oracle=_BPE_BYTES_MERGES_ORACLE)
+def bpe_bytes_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level BPE merge TABLE itself, graded exactly — the byte
+    analogue of ``bpe_merges``: symbols are uppercase hex octet pairs of
+    the raw (case-preserved) word bytes, so left/right/merged symbols and
+    the frequency-weighted argmax replay bit-for-bit through the shared
+    ``_BPE_STAGE`` oracle machinery on the '..'-pair initial segmentation.
+    Scale shape identical to ``bpe_merges``: one corpus word-count
+    shuffle, then vocab-scale training (driver-local incremental heap at
+    any collectable vocabulary, batched-exact distributed loop above)."""
+    out = _train_bytes_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, merged string, pair_freq bigint",
+    )
+
+
 @register("bpe_bytes_encode", oracle=_BPE_BYTES_ORACLE)
 def bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-LEVEL BPE, trained on ``documents`` and applied HELD-OUT to the
@@ -698,20 +757,7 @@ def bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_encoded_words_join``); per-part rollups are integer sums — bytes
     per word derive from hex length, never a second pass over the text.
     """
-    docs = parallelize_scan(table(spark, sf_dir, "documents"))
-    words = (
-        docs.select(
-            F.explode(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0)).alias("w0")
-        )
-        .select(_hex_word("w0").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
-    )
-    try:
-        merges = _train_merges_from_words(words, BYTES_N_MERGES, sym_regex="..")
-    finally:
-        words.unpersist()
+    merges = _train_bytes_merges(spark, sf_dir)
     pw = (
         table(spark, sf_dir, "part")
         .select(

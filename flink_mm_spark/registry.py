@@ -193,6 +193,7 @@ DEFER: list[str] = [
     "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
     "bpe_merges",  # BPE trainer: bpe_bytes_encode in-window (same machinery)
     "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
+    "bpe_bytes_merges",  # byte trainer table (r9): bpe_bytes_encode in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window

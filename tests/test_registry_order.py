@@ -122,6 +122,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "bm25_topk": "token_bigram_pmi",
         "bpe_merges": "bpe_bytes_encode",
         "bpe_encode": "bpe_bytes_encode",
+        "bpe_bytes_merges": "bpe_bytes_encode",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
