@@ -693,3 +693,36 @@ def test_bpe_bytes_encode_broadcasts_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "Python" not in plan and "MapInPandas" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shard_sizing_knob_bounds_file_count(spark, tmp_path):
+    """The r9 scale finding, pinned: shard-FILE count is governed by
+    MIX_SEQS_PER_SHARD at RUNTIME (the scale-up harness and any
+    production deployment size shards to a byte budget by scaling it —
+    at the fixed grading-scale 8 the count grows linearly with the corpus
+    and the write becomes a small-files metadata storm, measured 185 s vs
+    10 s at 300k docs in SCALE.md r9). A regression that froze the knob
+    into the plan at import time would silently bring the storm back."""
+    import os
+
+    from flink_mm_spark.operators import llm_prep
+    from flink_mm_spark.operators.llm_prep import _mixture_packed, _with_shard_id
+
+    sf = SF_DIR
+    saved = llm_prep.MIX_SEQS_PER_SHARD
+    try:
+        counts = {}
+        for sps in (2, 64):
+            llm_prep.MIX_SEQS_PER_SHARD = sps
+            dst = str(tmp_path / f"shards_{sps}")
+            _with_shard_id(_mixture_packed(spark, sf)).write.mode(
+                "overwrite"
+            ).partitionBy("shard_id").parquet(dst)
+            counts[sps] = sum(
+                1 for e in os.listdir(dst) if e.startswith("shard_id=")
+            )
+    finally:
+        llm_prep.MIX_SEQS_PER_SHARD = saved
+    # 32x the knob => ~1/32 the shard dirs (ceil effects aside)
+    assert counts[64] < counts[2] / 8, counts
+    assert counts[64] >= 1

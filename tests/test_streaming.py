@@ -624,3 +624,29 @@ def test_minhash_dedup_stream_restart_recovery(spark, tmp_path):
     assert cross <= life2
     life1 = {(r["doc_a"], r["doc_b"]) for r in got[:n_life1]}
     assert not (cross & life1)
+
+
+def test_minhash_dedup_split_cache_reuses_files(spark):
+    """minhash_dedup_streamed caches its 4-file arrival split per
+    (process, sf_dir): the second invocation must stream the IDENTICAL
+    files (same source dir, no rewrite) — results are arrival-order
+    independent either way, so the cache changes cost, not semantics;
+    this pins that it actually engages (bench medians re-run the entry
+    3x per sample)."""
+    import os
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.streaming import documents as docmod
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    fn = registry.QUERIES["minhash_dedup_streamed"].fn
+    r1 = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    src = docmod._SRC_SPLIT_CACHE[SF_DIR]
+    mtimes = {f: os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)}
+    r2 = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    assert docmod._SRC_SPLIT_CACHE[SF_DIR] == src
+    assert {
+        f: os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
+    } == mtimes  # not rewritten
+    assert r1 == r2  # identical files -> identical batches -> identical pairs
