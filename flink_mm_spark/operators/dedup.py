@@ -57,15 +57,29 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+# The quality-logit model: ONE weight vector for (stopword_ratio,
+# digit_ratio, avg_token_len, intercept), consumed by all three renderers —
+# quality_logit_sql below, text.quality_logit_expr, and
+# text.quality_logit_score's oracle — so a re-weighting cannot desync the
+# graded scorer from the keep-best tiebreak (review r9: the weights were
+# hardcoded in three places, the same hazard class gram_hash_cte removed
+# for the gram templates).
+QUALITY_LOGIT_WEIGHTS = (2.0, -4.0, 0.15, -1.0)
+
+
 def quality_logit_sql(toks: str = "toks", text_col: str = "text", nt: str = "nt") -> str:
     """DuckDB expression for the fixed-weight quality logit of
     ``quality_logit_score`` (text.py) over a row exposing ``toks``
     (whitespace-split normalized tokens), the raw ``text``, and ``nt`` =
     lower(trim(text)) — shared so consumers (the keep-best tiebreak) cannot
     drift from the graded scorer. Same left-associated term order as the
-    Spark expression; every feature is a ratio of small integers, so the
-    doubles are bit-identical cross-engine (see quality_logit_score's
-    determinism note)."""
+    Spark expression (w0·sr + w1·dr + w2·atl + w3, with x + (−y)·z ≡
+    x − y·z exactly in IEEE); every feature is a ratio of small integers,
+    so the doubles are bit-identical cross-engine. Weight literals are CAST
+    to DOUBLE per the repo's oracle-float contract (a bare 0.15 parses as
+    DECIMAL in DuckDB — today it converts to the identical double, but the
+    CAST makes that a guarantee rather than a coincidence)."""
+    w = QUALITY_LOGIT_WEIGHTS
     sr = (
         f"(CAST(len(list_filter({toks}, t -> list_contains("
         f"{_sql_list(STOPWORDS['en'])}, t))) AS DOUBLE) / len({toks}))"
@@ -75,7 +89,10 @@ def quality_logit_sql(toks: str = "toks", text_col: str = "text", nt: str = "nt"
         f" / length({text_col}))"
     )
     atl = f"(CAST(length({nt}) - (len({toks}) - 1) AS DOUBLE) / len({toks}))"
-    return f"(2.0 * {sr} - 4.0 * {dr} + 0.15 * {atl} - 1.0)"
+    return (
+        f"(CAST({w[0]!r} AS DOUBLE) * {sr} + CAST({w[1]!r} AS DOUBLE) * {dr}"
+        f" + CAST({w[2]!r} AS DOUBLE) * {atl} + CAST({w[3]!r} AS DOUBLE))"
+    )
 
 
 def norm_text(col: str = "text") -> Column:

@@ -58,14 +58,18 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_logit_expr() -> Column:
     """The fixed-weight linear quality score of ``quality_logit_score`` as a
     raw Column — shared with the ``dedup_keep_best`` tiebreak so the two
-    consumers cannot drift. Left-associated in the exact term order of
-    ``quality_logit_sql`` (dedup.py), its DuckDB mirror."""
+    consumers cannot drift. Renders from dedup.QUALITY_LOGIT_WEIGHTS in the
+    exact term order of ``quality_logit_sql`` (dedup.py), its DuckDB mirror
+    (x + (−y)·z ≡ x − y·z exactly in IEEE, so the historical a−b spelling
+    and this weight-vector spelling are bit-identical)."""
+    from flink_mm_spark.operators.dedup import QUALITY_LOGIT_WEIGHTS as W
+
     q = quality_columns()
     return (
-        F.lit(2.0) * q["stopword_ratio"]
-        - F.lit(4.0) * q["digit_ratio"]
-        + F.lit(0.15) * q["avg_token_len"]
-        - F.lit(1.0)
+        F.lit(W[0]) * q["stopword_ratio"]
+        + F.lit(W[1]) * q["digit_ratio"]
+        + F.lit(W[2]) * q["avg_token_len"]
+        + F.lit(W[3])
     )
 
 
@@ -353,6 +357,20 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ql_lin_sql(sr: str = "sr", dr: str = "dr", atl: str = "atl") -> str:
+    """quality_logit's weight application over pre-computed feature columns
+    — rendered from the SAME dedup.QUALITY_LOGIT_WEIGHTS vector as
+    quality_logit_expr and dedup.quality_logit_sql (review r9: the weights
+    were duplicated in three places). Weight literals CAST to DOUBLE per
+    the repo's oracle-float contract."""
+    from flink_mm_spark.operators.dedup import QUALITY_LOGIT_WEIGHTS as W
+
+    return (
+        f"(CAST({W[0]!r} AS DOUBLE) * {sr} + CAST({W[1]!r} AS DOUBLE) * {dr}"
+        f" + CAST({W[2]!r} AS DOUBLE) * {atl} + CAST({W[3]!r} AS DOUBLE))"
+    )
+
+
 @register(
     "quality_logit_score",
     oracle=f"""
@@ -375,8 +393,8 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS INTEGER) AS n_tokens,
-           ROUND(2.0 * sr - 4.0 * dr + 0.15 * atl - 1.0, 6) AS score,
-           CAST(CASE WHEN 2.0 * sr - 4.0 * dr + 0.15 * atl - 1.0 > 0.0
+           ROUND({_ql_lin_sql()}, 6) AS score,
+           CAST(CASE WHEN {_ql_lin_sql()} > 0.0
                      THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
     FROM f ORDER BY doc_id
     """,

@@ -245,8 +245,15 @@ def main() -> None:
             synth_embeddings(spark, n, d)
             # fixed held-out table for the encode ops (bpe_bytes_encode):
             # the holdout must NOT grow with the corpus — growth should
-            # isolate training
-            shutil.copy("/root/testdata/sf0.001/part.parquet", f"{d}/part.parquet")
+            # isolate training. Path routed through the env like bench.py's
+            # SF_DIR so the harness stays portable (review r9).
+            shutil.copy(
+                os.environ.get(
+                    "SPARK_GRAFT_HOLDOUT_PARQUET",
+                    "/root/testdata/sf0.001/part.parquet",
+                ),
+                f"{d}/part.parquet",
+            )
             # SemDeDup's production configuration scales k with corpus size
             # (constant expected cluster population → bounded within-cluster
             # quadratic work); with the registry's fixed demo k the 300k run

@@ -650,3 +650,11 @@ def test_minhash_dedup_split_cache_reuses_files(spark):
         f: os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
     } == mtimes  # not rewritten
     assert r1 == r2  # identical files -> identical batches -> identical pairs
+    # sink swap: the previous invocation's memory-sink table is dropped, so
+    # repeated calls hold exactly ONE pair list in driver memory (review r9)
+    sinks = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("minhash_dedup_streamed_")
+    ]
+    assert len(sinks) == 1, sinks
