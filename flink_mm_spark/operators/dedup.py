@@ -799,13 +799,17 @@ def _mhx_pairs_cte() -> str:
     )"""
 
 
-def _keep_best_oracle() -> str:
-    # q_score: quality_logit_score's linear model, quantized to integer
-    # micro-units with the repo's floor(x*1e6 + 0.5) contract (never
-    # rint/ROUND at .5 boundaries) so the tiebreak comparison is an integer
-    # compare on both engines.
-    return f"""
-    WITH {_mhx_ctes()},
+def _kb_ctes() -> str:
+    """The keep-best CTE chain through ``losers`` — the md5-MinHash band
+    machinery, the (n_tok, integer micro-quality) table, the pair attach,
+    and the loser decision — shared by ``dedup_keep_best``'s oracle and
+    the keep-best funnel variant's (``corpus_prep_pipeline_keepbest``).
+
+    q_score: quality_logit_score's linear model, quantized to integer
+    micro-units with the repo's floor(x*1e6 + 0.5) contract (never
+    rint/ROUND at .5 boundaries) so the tiebreak comparison is an integer
+    compare on both engines."""
+    return f"""{_mhx_ctes()},
     {_mhx_pairs_cte()},
     q AS MATERIALIZED (
       SELECT doc_id,
@@ -831,7 +835,12 @@ def _keep_best_oracle() -> str:
                            WHEN sb < sa THEN doc_b
                            ELSE doc_b END AS doc_id
       FROM pq
-    ),
+    )"""
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH {_kb_ctes()},
     np AS MATERIALIZED (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM (
         SELECT doc_a AS doc_id FROM pairs
@@ -850,6 +859,52 @@ def _keep_best_oracle() -> str:
 
 
 _KB_CACHE: list = []  # persisted quality/pair tables (unpersisted next call)
+
+
+def _kb_tables(spark: SparkSession, sf_dir: str):
+    """(q, pq, losers): the persisted (n_tok, micro-quality) table, the
+    flag-attached candidate pairs, and the distinct loser ids of the
+    keep-best decision — shared by ``dedup_keep_best`` and the keep-best
+    funnel variant (``corpus_prep_pipeline_keepbest``). Owns the
+    ``_KB_CACHE`` swap (q and pq each feed 2+ downstream consumers)."""
+    # runtime-lazy: text.py imports dedup at module load (dedup is the
+    # import leaf), so the reverse edge must not exist at import time
+    from flink_mm_spark.operators.text import quality_logit_expr
+
+    while _KB_CACHE:
+        _KB_CACHE.pop().unpersist()
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    q_score = F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    q = docs.select(
+        "doc_id",
+        F.size(tokens_expr()).cast("int").alias("n_tok"),
+        q_score.alias("q_score"),
+    ).persist()
+    _KB_CACHE.append(q)
+    pq = (
+        _mhx_pairs(spark, sf_dir, sort=False)
+        .select("doc_a", "doc_b")
+        .join(
+            q.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_tok").alias("ta"),
+                F.col("q_score").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            q.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_tok").alias("tb"),
+                F.col("q_score").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .persist()
+    )
+    _KB_CACHE.append(pq)
+    losers = pq.select(_kb_loser_expr().alias("doc_id")).distinct()
+    return q, pq, losers
 
 
 def _kb_loser_expr() -> Column:
@@ -903,43 +958,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream joins, so both persist via the module cache (re-execution
     of the banded self-join per consumer is the repo's documented
     re-compute hazard)."""
-    # runtime-lazy: text.py imports dedup at module load (dedup is the
-    # import leaf), so the reverse edge must not exist at import time
-    from flink_mm_spark.operators.text import quality_logit_expr
-
-    while _KB_CACHE:
-        _KB_CACHE.pop().unpersist()
-    docs = parallelize_scan(table(spark, sf_dir, "documents"))
-    q_score = F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    q = docs.select(
-        "doc_id",
-        F.size(tokens_expr()).cast("int").alias("n_tok"),
-        q_score.alias("q_score"),
-    ).persist()
-    _KB_CACHE.append(q)
-    pq = (
-        _mhx_pairs(spark, sf_dir, sort=False)
-        .select("doc_a", "doc_b")
-        .join(
-            q.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n_tok").alias("ta"),
-                F.col("q_score").alias("sa"),
-            ),
-            "doc_a",
-        )
-        .join(
-            q.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n_tok").alias("tb"),
-                F.col("q_score").alias("sb"),
-            ),
-            "doc_b",
-        )
-        .persist()
-    )
-    _KB_CACHE.append(pq)
-    losers = pq.select(_kb_loser_expr().alias("doc_id")).distinct()
+    q, pq, losers = _kb_tables(spark, sf_dir)
     degrees = (
         pq.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pq.select(F.col("doc_b").alias("doc_id")))
@@ -1799,6 +1818,23 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREP_MIN_TOKENS = 10
 
+# The funnel rollup SELECT shared VERBATIM by all three corpus-prep oracles
+# (naive-edge, minhash-edge, keep-best) over a `staged(source, keep_exact,
+# keep_near, n_tok)` CTE — one definition so the variants cannot drift
+# (the gram_hash_cte lesson applied to the funnel tail).
+_FUNNEL_SELECT = f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN keep_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN n_tok >= {_PREP_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM staged GROUP BY source ORDER BY source
+    """
+
 
 def _prep_oracle() -> str:
     return (
@@ -1835,24 +1871,31 @@ def _prep_oracle() -> str:
              len(regexp_extract_all(d.text, '{WORD_REGEX}')) AS n_tok
       FROM documents d JOIN comp c ON d.doc_id = c.doc_id
     )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-           CAST(SUM(CASE WHEN keep_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           CAST(SUM(CASE WHEN n_tok >= {_PREP_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
-                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
-    FROM staged GROUP BY source ORDER BY source
+    {_FUNNEL_SELECT}
     """
     )
 
 
 def _prep_funnel(spark: SparkSession, sf_dir: str, labels: DataFrame) -> DataFrame:
-    """The funnel aggregation shared by both ``corpus_prep_pipeline``
-    variants: exact-dedup keep rule ∩ near-dup component survivors (from
-    the caller-chosen edge tier) ∩ quality floor, rolled up per source."""
+    """Component-label adapter over ``_prep_funnel_flags``: a document
+    survives the near-dup stage iff it IS its component's minimum."""
+    return _prep_funnel_flags(
+        spark,
+        sf_dir,
+        labels.select(
+            "doc_id", (F.col("doc_id") == F.col("label")).alias("keep_near")
+        ),
+    )
+
+
+def _prep_funnel_flags(
+    spark: SparkSession, sf_dir: str, flags: DataFrame
+) -> DataFrame:
+    """The funnel aggregation shared by all ``corpus_prep_pipeline``
+    variants: exact-dedup keep rule ∩ the caller's near-dup survivor flag
+    (component-min labels for the components variants, not-a-loser for the
+    keep-best variant) ∩ quality floor, rolled up per source. ``flags`` is
+    a full-coverage (doc_id, keep_near boolean) frame."""
     from pyspark.sql.window import Window
 
     d = parallelize_scan(table(spark, sf_dir, "documents"))
@@ -1864,8 +1907,7 @@ def _prep_funnel(spark: SparkSession, sf_dir: str, labels: DataFrame) -> DataFra
         d.select("doc_id", "source", "text")
         .withColumn("keep_exact", F.col("doc_id") == fp_min)
         .withColumn("n_tok", n_tok)
-        .join(labels, "doc_id")
-        .withColumn("keep_near", F.col("doc_id") == F.col("label"))
+        .join(flags, "doc_id")
     )
     keep_q = F.col("n_tok") >= _PREP_MIN_TOKENS
     final = F.col("keep_exact") & F.col("keep_near") & keep_q
@@ -1934,16 +1976,7 @@ def _prep_minhash_oracle() -> str:
              len(regexp_extract_all(d.text, '{WORD_REGEX}')) AS n_tok
       FROM documents d JOIN comp c ON d.doc_id = c.doc_id
     )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-           CAST(SUM(CASE WHEN keep_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           CAST(SUM(CASE WHEN n_tok >= {_PREP_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-           CAST(SUM(CASE WHEN keep_exact AND keep_near AND n_tok >= {_PREP_MIN_TOKENS}
-                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
-    FROM staged GROUP BY source ORDER BY source
+    {_FUNNEL_SELECT}
     """
 
 
@@ -1970,3 +2003,49 @@ def corpus_prep_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     labels, _rounds = connected_components(pairs, docs)
     return _prep_funnel(spark, sf_dir, labels)
+
+
+def _prep_keepbest_oracle() -> str:
+    return f"""
+    WITH {_kb_ctes()},
+    staged AS (
+      SELECT d.source,
+             d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(lower(trim(d.text)))) AS keep_exact,
+             l.doc_id IS NULL AS keep_near,
+             len(regexp_extract_all(d.text, '{WORD_REGEX}')) AS n_tok
+      FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+    )
+    {_FUNNEL_SELECT}
+    """
+
+
+@register("corpus_prep_pipeline_keepbest", oracle=_prep_keepbest_oracle())
+def corpus_prep_pipeline_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prep_pipeline`` with the RefinedWeb-style near-dup rule:
+    instead of connected-component survivors, a document passes the
+    near-dup stage iff it is NOT the loser of any MinHash candidate pair
+    under the keep-best decision chain (fewer tokens loses; token ties
+    lose on the integer micro-quality score; full ties keep the lower
+    doc_id — ``dedup_keep_best``'s exact machinery, here composed into the
+    production funnel). The per-pair local rule needs NO component
+    iteration: on a pair graph it keeps the per-component best and can
+    keep more than one document per long chain (each pairwise-best
+    survives) — a deliberate, documented semantic difference from the
+    component variants, and the reason large-corpus pipelines prefer it.
+
+    Grading: the oracle replays the ENTIRE chain — md5-MinHash bands →
+    candidates → quality table → loser CASE → staged funnel — through the
+    same shared CTE fragments as ``dedup_keep_best`` (``_kb_ctes``) and
+    the same funnel rollup as the other two variants (``_FUNNEL_SELECT``),
+    so none of the three funnels can drift from each other.
+
+    Scale: the keep-best tier replaces the O(log n) star-iteration
+    exchanges with ONE distinct + ONE broadcastable anti-join-shaped left
+    join (losers ≤ pairs ≪ corpus); everything else is the shared funnel
+    body's audited shape."""
+    _q, _pq, losers = _kb_tables(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    flags = docs.join(
+        losers.withColumn("is_loser", F.lit(1)), "doc_id", "left"
+    ).select("doc_id", F.col("is_loser").isNull().alias("keep_near"))
+    return _prep_funnel_flags(spark, sf_dir, flags)

@@ -101,7 +101,14 @@ PROMOTE: list[str] = [
     # --- VERDICT r6 ask #1: the never-graded entry + the displaced ---
     "wordpiece_encode",
     "pq_adc_topk",
-    "corpus_prep_pipeline",
+    # r9 swap: corpus_prep_pipeline_keepbest in, corpus_prep_pipeline out —
+    # the RefinedWeb-style funnel (keep-best near-dup rule through the
+    # SHARED funnel body) becomes the graded pipeline variant; its oracle
+    # replays the keep-best chain AND the refactored _prep_funnel_flags
+    # body, so the displaced entry's r9-changed shared code is in-window
+    # graded THROUGH this entry (the naive-edge variant, green r8, moves
+    # to DEFER as its sibling)
+    "corpus_prep_pipeline_keepbest",
     "count_min_exact",
     # --- r8 new entries ---
     # held-out encode with REAL UNK rows (r7 ask #6); displaces
@@ -184,7 +191,8 @@ DEFER: list[str] = [
     "simhash_exact",  # banded-sketch family: dedup_keep_best in-window
     "embedding_near_dup",  # block-pair GEMM: semantic_dedup in-window
     "jaccard_prefix_filtered",  # Jaccard family: jaccard_token_pairs in-window
-    "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline in-window
+    "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline_keepbest in-window
+    "corpus_prep_pipeline",  # naive-edge funnel (r9): corpus_prep_pipeline_keepbest in-window
     "knn_per_label",  # cosine kernel: cosine_topk in-window
     "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
     "doc_fingerprints",  # winnowing twin: rolling_fingerprints in-window

@@ -92,6 +92,7 @@ AUDITED = [
     # the pair whose byte drop is the point of the variant.
     "substring_dedup",
     "corpus_prep_pipeline_minhash",
+    "corpus_prep_pipeline_keepbest",  # r9: keep-best tier — no star rounds
     "wordpiece_merges",  # expect ~bpe_encode's 0.18: one word-count exchange
     "events_cms_streamed",  # expect ~0: 256 sketch cells of state, 4 probes
     "wordpiece_encode",  # two word-count-shaped exchanges + broadcast join

@@ -113,7 +113,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "simhash_exact": "dedup_keep_best",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
-        "corpus_prep_pipeline_minhash": "corpus_prep_pipeline",
+        "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
+        "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
         "doc_fingerprints": "rolling_fingerprints",
