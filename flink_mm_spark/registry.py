@@ -151,7 +151,12 @@ PROMOTE: list[str] = [
     "minhash_dedup_streamed",
     "events_sliding_streamed",
     "weighted_reservoir_sample",
-    "dup_cluster_sizes",
+    # r9 swap: corpus_ingest_streamed in, dup_cluster_sizes out — the
+    # streamed ingestion gate (quality floor + per-source exact-dedup
+    # STATE + rollup, the admission stage in front of the band store)
+    # keeps the exact-dedup family graded; the cluster histogram (green
+    # r8) moves to DEFER with this entry as its sibling
+    "corpus_ingest_streamed",
     "token_bigram_pmi",
     "local_supplier_volume",
     "token_counts",
@@ -185,7 +190,8 @@ DEFER: list[str] = [
     "hll_distinct_exact",  # sketch family: count_min_exact in-window
     "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
     "events_minutely_gapfill",  # events time agg: events_hourly in-window
-    "dedup_exact",  # exact-dedup family: dup_cluster_sizes in-window
+    "dedup_exact",  # exact-dedup family: corpus_ingest_streamed in-window
+    "dup_cluster_sizes",  # cluster histogram (r9): corpus_ingest_streamed in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best in-window
@@ -255,7 +261,7 @@ DEFER: list[str] = [
     "customers_without_orders",  # anti-join: orders_with_returns in-window
     "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
     "events_json_props",  # JSON extraction: events_hourly in-window
-    "distinct_part_types",  # DISTINCT: dup_cluster_sizes in-window
+    "distinct_part_types",  # DISTINCT: corpus_ingest_streamed in-window
     "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
     "salted_event_totals",  # salted partial agg: kmeans_centroid_update in-window
     "economy_revenue_share",  # global sum: mds_stress in-window

@@ -139,6 +139,24 @@ _SRC_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> 4-file arrival-split dir
 _SINK_CACHE: list[str] = []  # previous invocation's memory-sink table name
 
 
+def _arrival_split(spark: SparkSession, sf_dir: str) -> str:
+    """The 4-file arrival split of the documents corpus, cached per
+    (process, sf_dir): repeated invocations (bench medians, grading after
+    tests) stream the IDENTICAL files instead of re-writing the split —
+    every consumer here is arrival-order independent, so reuse changes
+    cost, not semantics. Shared by both streamed-dedup entries."""
+    from flink_mm_spark.session import scratch_dir
+
+    src = _SRC_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        src = scratch_dir("mds_src_")
+        table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _SRC_SPLIT_CACHE[sf_dir] = src
+    return src
+
+
 def minhash_band_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, source, sig, band_id, band_key) band rows for the store —
     the batch pipeline's banding over the shared signature definition.
@@ -184,18 +202,7 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_mm_spark.session import scratch_dir
 
-    # per-process cache of the 4-file arrival split: repeated invocations
-    # (bench medians, driver grading after tests) stream the IDENTICAL
-    # files instead of re-writing the split each time — results are
-    # arrival-order-independent either way (every pair is emitted exactly
-    # once whatever the batching), so reuse changes cost, not semantics
-    src = _SRC_SPLIT_CACHE.get(sf_dir)
-    if src is None:
-        src = scratch_dir("mds_src_")
-        table(spark, sf_dir, "documents").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(src)
-        _SRC_SPLIT_CACHE[sf_dir] = src
+    src = _arrival_split(spark, sf_dir)
     bands = minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
     # sink swap (review r9, the module-cache discipline applied to memory
     # sinks): each invocation's uniquely-named sink would otherwise pin its
@@ -220,3 +227,96 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+def ingest_rollup(stream: DataFrame) -> DataFrame:
+    """The ingestion-gate pipeline body over a documents stream: stateless
+    quality floor -> per-(source, md5-fingerprint) exact-dedup state ->
+    per-source (n_docs, n_tokens) rollup. Shared by the registered entry
+    and the restart-recovery test (which proves the fingerprint state
+    survives a checkpoint stop: re-delivered duplicates would double-count
+    into the complete-mode aggregate if state were rebuilt from scratch)."""
+    from flink_mm_spark.operators.dedup import _PREP_MIN_TOKENS, WORD_REGEX
+
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0))
+    accepted = (
+        stream.withColumn("n_tok", n_tok)
+        .filter(F.col("n_tok") >= _PREP_MIN_TOKENS)
+        .withColumn("fp", F.md5(F.lower(F.trim("text")).cast("binary")))
+        .dropDuplicates(["source", "fp"])
+    )
+    return accepted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+_INGEST_SINK_CACHE: list[str] = []  # previous ingest invocation's sink table
+
+
+def _ingest_oracle() -> str:
+    from flink_mm_spark.operators.dedup import _PREP_MIN_TOKENS, WORD_REGEX
+
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT DISTINCT source, md5(lower(trim(text))) AS fp,
+             len(regexp_extract_all(text, '{WORD_REGEX}')) AS n_tok
+      FROM documents
+      WHERE len(regexp_extract_all(text, '{WORD_REGEX}')) >= {_PREP_MIN_TOKENS}
+    )
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("corpus_ingest_streamed", oracle=_ingest_oracle())
+def corpus_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE ingestion gate every crawl pipeline runs before anything
+    else touches a document, executed as a real streaming query: arriving
+    documents pass a stateless quality floor (the funnel's token minimum,
+    a JVM regex count), then per-(source, md5-fingerprint) EXACT dedup
+    holds the seen-fingerprint set as streaming state (``dropDuplicates``
+    — duplicates arriving in LATER micro-batches are dropped only if the
+    state carried the earlier fingerprint, which the 4-file arrival split
+    exercises), and the accepted stream rolls up per source. Complements
+    ``minhash_dedup_streamed``: that entry is the NEAR-dup band store;
+    this is the exact-dedup admission gate in front of it.
+
+    Exactness despite nondeterministic winners: ``dropDuplicates`` keeps
+    an arbitrary copy per key, but exact duplicates share their text
+    byte-for-byte, so every kept copy contributes identical (n_tok)
+    values and the per-source integer rollup is arrival-order
+    independent — the oracle is a plain DISTINCT-then-aggregate. Keyed by
+    (source, fingerprint), not fingerprint alone: a cross-source
+    duplicate keeps one copy PER source, which is what makes per-source
+    accounting deterministic (global dedup would attribute the survivor
+    to whichever source arrived first).
+
+    Scale: the quality filter is scan-side (drops rows BEFORE they cost
+    state); dedup state is one ~32-byte fingerprint per accepted
+    (source, doc) forever — in production the same query uses
+    ``dropDuplicatesWithinWatermark`` so state is bounded by the
+    duplicate-arrival horizon (the ``events_dedup_streamed`` pattern);
+    the rollup is a tiny-key (|sources|) aggregate in complete mode."""
+    import uuid
+
+    from flink_mm_spark.session import scratch_dir
+
+    src = _arrival_split(spark, sf_dir)
+    agg = ingest_rollup(documents_stream(spark, src, max_files_per_trigger=1))
+    while _INGEST_SINK_CACHE:
+        spark.catalog.dropTempView(_INGEST_SINK_CACHE.pop())
+    name = f"corpus_ingest_streamed_{uuid.uuid4().hex[:8]}"
+    _INGEST_SINK_CACHE.append(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ci_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("source")

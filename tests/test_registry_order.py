@@ -107,7 +107,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "hll_distinct_exact": "count_min_exact",
         "user_funnel_full_outer": "orders_with_returns",
         "events_minutely_gapfill": "events_hourly",
-        "dedup_exact": "dup_cluster_sizes",
+        "dedup_exact": "corpus_ingest_streamed",
+        "dup_cluster_sizes": "corpus_ingest_streamed",
         "jaccard_shingle_pairs": "jaccard_token_pairs",
         "minhash_lsh_exact": "dedup_keep_best",
         "simhash_exact": "dedup_keep_best",
@@ -176,7 +177,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "customers_without_orders": "orders_with_returns",
         "suppliers_with_large_lineitems": "orders_with_returns",
         "events_json_props": "events_hourly",
-        "distinct_part_types": "dup_cluster_sizes",
+        "distinct_part_types": "corpus_ingest_streamed",
         "media_resize_estimate": "media_audio_energy",
         "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",

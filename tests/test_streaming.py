@@ -658,3 +658,74 @@ def test_minhash_dedup_split_cache_reuses_files(spark):
         if t.name.startswith("minhash_dedup_streamed_")
     ]
     assert len(sinks) == 1, sinks
+
+
+def test_corpus_ingest_stream_restart_recovery(spark, tmp_path):
+    """Restart recovery for the ingestion gate's exact-dedup state (r9):
+    life 1 drains the doc_id < 250 half; life 2's source then gains the
+    FULL corpus as new files — every life-1 document re-delivered as a
+    duplicate plus the unseen half. The final complete-mode aggregate
+    equals the whole-corpus batch numbers ONLY if life 1's fingerprint
+    state was recovered from the checkpoint: rebuilt-from-scratch state
+    would admit the re-delivered duplicates and double-count life 1 into
+    the aggregate state. Memory sink is legal here — complete mode is the
+    one the sink supports checkpoint recovery in (the repo's gotcha)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.dedup import _PREP_MIN_TOKENS, WORD_REGEX
+    from flink_mm_spark.sources.tables import table
+    from flink_mm_spark.streaming.documents import documents_stream, ingest_rollup
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0))
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in (
+            docs.withColumn("n_tok", n_tok)
+            .filter(F.col("n_tok") >= _PREP_MIN_TOKENS)
+            .withColumn("fp", F.md5(F.lower(F.trim("text")).cast("binary")))
+            .select("source", "fp", "n_tok")
+            .distinct()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+            .collect()
+        )
+    }
+    half = 250
+    src = str(tmp_path / "ingest_split")
+    docs.filter(F.col("doc_id") < half).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def run_life() -> str:
+        name = f"ingest_rr_{uuid.uuid4().hex[:8]}"
+        q = (
+            ingest_rollup(documents_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return name
+
+    n1 = run_life()
+    life1 = {r["source"]: r["n_docs"] for r in spark.table(n1).collect()}
+    assert sum(life1.values()) < sum(v[0] for v in want.values())  # strictly partial
+    # life 2: the WHOLE corpus lands as new files — life-1 docs re-arrive
+    # as exact duplicates
+    docs.repartition(2).write.mode("append").parquet(src)
+    n2 = run_life()
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.table(n2).collect()
+    }
+    assert got == want, (got, want)
