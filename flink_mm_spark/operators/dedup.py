@@ -1661,6 +1661,14 @@ def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50
     # DataFrame into the block manager for the life of the session. The
     # swap lives HERE rather than per-caller so all four component entry
     # points (dedup_components[_exact], both corpus_prep funnels) share it.
+    #
+    # CONTRACT (ADVICE r9 #2): a returned labels frame is consumable only
+    # until the NEXT components invocation. Its lineage roots in a
+    # localCheckpoint freed below (free_local_checkpoint(e)), so once this
+    # swap unpersists it, a re-collect cannot recompute — every caller in
+    # the repo (driver, bench, tests, both funnels) consumes each entry's
+    # result fully before building the next, which is the registry's
+    # execution model anyway (one entry runs to completion per grade).
     while _CC_CACHE:
         _CC_CACHE.pop().unpersist()
 

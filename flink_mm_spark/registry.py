@@ -159,7 +159,12 @@ PROMOTE: list[str] = [
     "corpus_ingest_streamed",
     "token_bigram_pmi",
     "local_supplier_volume",
-    "token_counts",
+    # r10 swap: bpe_bytes_merges in, token_counts out — the byte-level
+    # trainer table was the only 1 of 136 oracle entries never
+    # driver-graded (VERDICT r9 #1: registered r9 straight into DEFER);
+    # token_counts (green r9) moves to DEFER with its text-stats family
+    # sibling token_bigram_pmi staying in-window
+    "bpe_bytes_merges",
     "pii_scrub",
     "repetition_signals",
     "unigram_logprob",
@@ -207,7 +212,7 @@ DEFER: list[str] = [
     "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
     "bpe_merges",  # BPE trainer: bpe_bytes_encode in-window (same machinery)
     "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
-    "bpe_bytes_merges",  # byte trainer table (r9): bpe_bytes_encode in-window
+    "token_counts",  # text stats (r10 rotation): token_bigram_pmi in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window

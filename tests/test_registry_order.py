@@ -119,12 +119,14 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
         "doc_fingerprints": "rolling_fingerprints",
-        "vocab_top_terms": "token_counts",
+        "vocab_top_terms": "token_bigram_pmi",
         "quality_logit_score": "unigram_logprob",
         "bm25_topk": "token_bigram_pmi",
         "bpe_merges": "bpe_bytes_encode",
         "bpe_encode": "bpe_bytes_encode",
-        "bpe_bytes_merges": "bpe_bytes_encode",
+        # r10 rotation: bpe_bytes_merges promoted (the last never-graded
+        # oracle entry); token_counts deferred in its place
+        "token_counts": "token_bigram_pmi",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
@@ -149,7 +151,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "click_purchase_streamed": "events_sliding_streamed",
         "binmatrix_stream_scan": "binary_f64_scan",
         "user_stats_streamed": "minhash_dedup_streamed",
-        "zipf_fit": "token_counts",
+        "zipf_fit": "token_bigram_pmi",
         "media_decode_features": "media_audio_energy",
         "mixture_plan": "mixture_pack_pipeline",
         "dedup_components": "dedup_components_exact",
@@ -167,7 +169,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "quantize_roundtrip": "binary_i16_scan",
         "nation_set_ops": "cube_order_stats",
         "text_quality_by_lang": "repetition_signals",
-        "lang_id_heuristic": "token_counts",
+        "lang_id_heuristic": "token_bigram_pmi",
         "orders_by_priority": "label_centroid_udaf",
         "top_orders_by_price": "user_sessions_batch",
         "order_price_unpivot": "cube_order_stats",
