@@ -390,14 +390,23 @@ MAX_BAND_BUCKET = 64
 # wall-clock gracefully (bounded by the cap boundary bucket size), instead
 # of an unbounded driver collect.
 MAX_HOT_KEYS_BROADCAST = 200_000
-_MERSENNE = (1 << 61) - 1
+# Permutation modulus = 2^31 - 1 (Mersenne prime M31), base hashes folded
+# to 31 bits, a/b drawn uniformly below M31. FIXED r10: the original family
+# used M61 with a < 2^30 and 32-bit x, so a·x + b < 2^62 wrapped the
+# modulus AT MOST ONCE — the "permutations" were near-monotone in x and
+# every slot picked the same min-x shingle (measured: 10/11 shared
+# shingles scored 0/32 matching slots; est_jaccard was effectively the
+# binary "is the min-x shingle shared"). With x < 2^31 and a < 2^31 the
+# product wraps M31 ~x·a/M31 ≈ 2^31 times — a real universal-hash
+# permutation — while a·x + b < 2^62 + 2^31 still fits signed int64
+# exactly in BOTH engines (numpy int64 and DuckDB BIGINT), which is the
+# whole SQL-replayability contract.
+MINHASH_MOD = (1 << 31) - 1
 _rng = np.random.RandomState(42)
-# a < 2^30 and 32-bit base hashes keep a*x+b < 2^63: the whole signature
-# computation stays in vectorized int64 (no object-dtype bignum fallback)
-_MH_A = _rng.randint(1, 1 << 30, size=N_PERM).astype(np.int64)
-_MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+_MH_A = _rng.randint(1, MINHASH_MOD, size=N_PERM).astype(np.int64)
+_MH_B = _rng.randint(0, MINHASH_MOD, size=N_PERM).astype(np.int64)
 
-_EMPTY_SIG = [int(_MERSENNE)] * N_PERM  # signature of a shingle-less doc
+_EMPTY_SIG = [int(MINHASH_MOD)] * N_PERM  # signature of a shingle-less doc
 
 _SIG_CACHE: list[DataFrame] = []  # last persisted signatures (bounds cache leak)
 _BPC_CACHE: list[DataFrame] = []  # last persisted block-pack (block_pair_cosine)
@@ -432,26 +441,27 @@ def _flat_min_sig(
 ) -> pd.Series:
     """FLAT vectorized MinHash over one Arrow batch: every doc's base
     hashes concatenate into one vector, each permutation is one big
-    (a·x+b) mod M pass, per-doc minima come from ``np.minimum.reduceat``
+    (a·x+b) mod M31 pass, per-doc minima come from ``np.minimum.reduceat``
     on the segment offsets — O(total shingles) with ~|A| numpy dispatches
     per batch instead of |A| interpreted folds per DOCUMENT. All
-    arithmetic is exact int64 (a < 2^30, folded x < 2^32 ⇒ a·x + b < 2^63
-    before the Mersenne mod), so both the xxhash64 throughput family and
-    the md5 SQL-replayable family produce bit-identical signatures to
-    their per-element reference formulas."""
+    arithmetic is exact int64 (a < 2^31, folded x < 2^31 ⇒ a·x + b < 2^63
+    before the M31 mod — and the product wraps the modulus ~2^31 times,
+    a REAL permutation; see the MINHASH_MOD note), so both the xxhash64
+    throughput family and the md5 SQL-replayable family produce
+    bit-identical signatures to their per-element reference formulas."""
     lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
     if lens.sum() == 0:
         return pd.Series([empty_sig] * len(hs))
-    # fold to 32 bits so a·x + b stays inside int64 before the mod
+    # fold to 31 bits so a·x + b stays inside int64 before the mod
     flat = (
         np.concatenate([np.asarray(h, dtype=np.int64) for h in hs if len(h)])
-        & 0xFFFFFFFF
+        & 0x7FFFFFFF
     )
     starts = np.zeros(int((lens > 0).sum()), dtype=np.int64)
     np.cumsum(lens[lens > 0][:-1], out=starts[1:])
     sig = np.empty((len(starts), len(A)), dtype=np.int64)
     for p in range(len(A)):
-        v = (A[p] * flat + B[p]) % _MERSENNE
+        v = (A[p] * flat + B[p]) % MINHASH_MOD
         sig[:, p] = np.minimum.reduceat(v, starts)
     out, j = [], 0
     for n in lens:
@@ -616,16 +626,18 @@ def _banded_pairs(
 # --- exactly-graded MinHash twin -------------------------------------------
 
 # SQL-replayable MinHash: the base hash is the first 15 hex digits of
-# md5(shingle) (60 bits — both engines parse it identically), folded to 32
-# bits so the permutation (a·x + b) mod (2^61−1) never overflows a signed
-# 64-bit intermediate (a < 2^29, x < 2^32 → a·x < 2^61). Constants are
-# seed-fixed and embedded as literals in BOTH the Spark expressions and the
-# generated oracle SQL.
+# md5(shingle) (60 bits — both engines parse it identically), folded to 31
+# bits, permuted by (a·x + b) mod (2^31−1) with a, b < M31 — the product
+# wraps the modulus ~2^31 times (a real permutation; see the MINHASH_MOD
+# note for the r10 fix of the near-monotone M61 family) while a·x + b
+# < 2^62 + 2^31 never overflows a signed 64-bit intermediate in either
+# engine. Constants are seed-fixed and embedded as literals in BOTH the
+# Spark expressions and the generated oracle SQL.
 MHX_PERM = 32
 MHX_BANDS = 8  # 8 bands × 4 rows
 _mhx_rng = np.random.RandomState(271828)
-_MHX_A = _mhx_rng.randint(1, 1 << 29, size=MHX_PERM).astype(np.int64)
-_MHX_B = _mhx_rng.randint(0, 1 << 29, size=MHX_PERM).astype(np.int64)
+_MHX_A = _mhx_rng.randint(1, MINHASH_MOD, size=MHX_PERM).astype(np.int64)
+_MHX_B = _mhx_rng.randint(0, MINHASH_MOD, size=MHX_PERM).astype(np.int64)
 MHX_THRESHOLD = 0.25
 
 
@@ -649,7 +661,7 @@ def _mhx_ctes() -> str:
     ),
     base AS (
       SELECT doc_id, source,
-             CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) & 4294967295 AS x
+             CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) & 2147483647 AS x
       FROM sets
     ),
     perms AS (
@@ -657,7 +669,7 @@ def _mhx_ctes() -> str:
       FROM (SELECT unnest(range(0, {MHX_PERM})) AS i)
     ),
     mins AS (
-      SELECT base.doc_id, perms.i, MIN((perms.a * base.x + perms.b) % 2305843009213693951) AS h
+      SELECT base.doc_id, perms.i, MIN((perms.a * base.x + perms.b) % 2147483647) AS h
       FROM base, perms
       GROUP BY base.doc_id, perms.i
     ),
@@ -705,19 +717,19 @@ def mhx_signatures(d: DataFrame) -> DataFrame:
     folds — ~32·|shingles| interpreted lambda evaluations per document, the
     dominant cost of this family. The flat numpy kernel computes the same
     exact int64 arithmetic one permutation-vector at a time (md5-derived xs
-    are already 32-bit-folded JVM-side, which the oracle replays verbatim).
+    are already 31-bit-folded JVM-side, which the oracle replays verbatim).
     """
     sh = shingles_expr(3)
     base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
-    x = lambda s: (  # noqa: E731 — 32-bit-folded md5 base hash
+    x = lambda s: (  # noqa: E731 — 31-bit-folded md5 base hash
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        .bitwiseAND(F.lit(0xFFFFFFFF))
+        .bitwiseAND(F.lit(0x7FFFFFFF))
     )
     hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mhx_sig(xs: pd.Series) -> pd.Series:
-        return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(_MERSENNE)] * MHX_PERM)
+        return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(MINHASH_MOD)] * MHX_PERM)
 
     return hs.select("doc_id", "source", mhx_sig("xs").alias("sig"))
 
@@ -762,8 +774,8 @@ def minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same algorithm as ``minhash_lsh_pairs`` (signatures → bands →
     equi-join on (source, band, band-key) → slot-match Jaccard estimate)
     but with an engine-portable hash family — md5-derived 60-bit base hash
-    folded to 32 bits, permutations (a·x+b) mod (2^61−1) with literal
-    seed-fixed constants — so DuckDB replays every signature bit and the
+    folded to 31 bits, permutations (a·x+b) mod (2^31−1) with literal
+    seed-fixed constants (a real wrapping permutation — see MINHASH_MOD) — so DuckDB replays every signature bit and the
     driver value-hash must match. This upgrades the sketch-dedup family
     from rows-only to oracle-graded; the xxhash64 twin remains the
     throughput path (codegen'd base hash + one vectorized numpy min per
