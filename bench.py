@@ -104,6 +104,14 @@ HEADLINE = [
                                 # (sum-merge complement of the HLL stream)
     "minhash_dedup_streamed",   # r9: incremental band-store dedup (stateful
                                 # probe-then-add, 4 micro-batch arrivals)
+    "minhash_dedup_streamed_capped",  # r10: the production-bounded tier
+                                # (prefix cap + TTL, parquet spool sink)
+    "corpus_ingest_bounded_streamed",  # r10: watermark-bounded ingest gate
+                                # (dropDuplicatesWithinWatermark state)
+    "shard_append_streamed",    # r10: incremental foreachBatch shard append
+                                # + read-back manifest verify
+    "lang_id_ngram",            # r10: trained char-trigram language ID
+                                # (profile aggregate + broadcast scoring)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

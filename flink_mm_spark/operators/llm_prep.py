@@ -1023,6 +1023,68 @@ def shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shard_rollup(back)
 
 
+_SAS_SRC_CACHE: dict[str, str] = {}  # sf_dir -> staged packed-slice stream dir
+
+
+@register("shard_append_streamed", oracle=_SHARD_ORACLE)
+def shard_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL shard append — the streamed last mile (VERDICT r9 #5),
+    composing the r9 families end-to-end: packed training slices ARRIVE
+    over time (4 staged arrival files, one per micro-batch) and a
+    ``foreachBatch`` writer appends each micro-batch's slices as new
+    shard-partitioned parquet through the same file-sink commit protocol
+    as ``shard_write_roundtrip`` (per-task temp files atomically promoted
+    per batch); the manifest — counts, token mass, xor-of-md5 content
+    fingerprint — is then RECOMPUTED by ``_shard_rollup`` over the
+    read-back of everything appended and graded against the same oracle
+    as the one-shot batch write. A slice lost, duplicated, or corrupted
+    by ANY append anywhere in the stream breaks the value hash; xor makes
+    the fingerprint indifferent to which batch (or task) wrote each slice.
+
+    Scale shape: per micro-batch the plan is ONE file scan of the
+    arriving slices plus the partitioned write — ``partitionBy`` adds
+    files, never an exchange, and the packer does NOT re-run (the stream
+    stages its output once; plan-pinned in tests/test_plans.py). A shard
+    whose slices arrive across batches accumulates files in its partition
+    directory — append is directory-level, so no batch rewrites another
+    batch's data. The verify side is the roundtrip entry's: one scan +
+    one shard-keyed aggregate. Reference analogue:
+    mm/MatrixMultiply.java:88-103 (write-then-compare oracle pattern)."""
+    from flink_mm_spark.session import scratch_dir
+
+    src = _SAS_SRC_CACHE.get(sf_dir)
+    if src is None:
+        # stage the packed slice stream as 4 arrival files, cached per
+        # (process, sf_dir): the rollup is order- and split-independent,
+        # so reuse changes cost, not semantics (the _arrival_split rule)
+        src = scratch_dir("sas_src_")
+        _with_shard_id(_mixture_packed(spark, sf_dir)).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _SAS_SRC_CACHE[sf_dir] = src
+    slice_schema = spark.read.parquet(src).schema
+    dst = scratch_dir("sas_dst_")  # fresh per invocation: appends accumulate
+    stream = (
+        spark.readStream.schema(slice_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").partitionBy("shard_id").parquet(dst)
+        )
+        .option("checkpointLocation", scratch_dir("sas_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(dst).withColumn(
+        "shard_id", F.col("shard_id").cast("bigint")
+    )
+    return _shard_rollup(back)
+
+
 # --- cross-source n-gram overlap matrix, r8 --------------------------------
 
 _XSO_K = 5  # word-gram order: long enough that shared grams mean duplication

@@ -214,6 +214,131 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- trained character-n-gram language ID (r10) -----------------------------
+
+_LID_CACHE: list[DataFrame] = []  # persisted gram-count table (module cache)
+
+_LANG_ID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, lower(trim(text)) AS s FROM documents
+  WHERE length(lower(trim(text))) >= 3
+),
+g_tr AS (
+  SELECT lang, unnest(list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+  FROM t WHERE doc_id % 5 <> 0
+),
+c AS MATERIALIZED (SELECT lang, g, COUNT(*) AS c FROM g_tr GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM c),
+langs AS (SELECT DISTINCT lang AS cand FROM c),
+g_te AS (
+  SELECT doc_id, lang AS tagged_lang,
+         unnest(list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+  FROM t WHERE doc_id % 5 = 0
+),
+scored AS (
+  SELECT gt.doc_id, gt.tagged_lang, l.cand,
+         SUM(CAST(-ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (tot.t + vv.v))
+                  AS DECIMAL(18,8))) AS score
+  FROM g_te gt
+  CROSS JOIN langs l
+  JOIN tot ON tot.lang = l.cand
+  CROSS JOIN vv
+  LEFT JOIN c ON c.lang = l.cand AND c.g = gt.g
+  GROUP BY gt.doc_id, gt.tagged_lang, l.cand
+)
+SELECT doc_id, tagged_lang, cand AS predicted_lang
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score ASC, cand ASC) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def lang_id_ngram_over(docs: DataFrame) -> DataFrame:
+    """Body of ``lang_id_ngram`` over any (doc_id, lang, text) frame —
+    split out so the synthetic-corpus discrimination test trains and
+    scores the identical plan on data where language signal exists."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        "doc_id", "lang", F.lower(F.trim("text")).alias("s")
+    ).filter(F.char_length("s") >= 3)
+    grams = F.expr("transform(sequence(1, char_length(s) - 2), i -> substring(s, i, 3))")
+    g_tr = base.filter(F.col("doc_id") % 5 != 0).select(
+        "lang", F.explode(grams).alias("g")
+    )
+    while _LID_CACHE:
+        _LID_CACHE.pop().unpersist()
+    # the profile table feeds its own marginals AND the scoring join — the
+    # bigram_logprob module-cache persist rule
+    c = g_tr.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c")).persist()
+    _LID_CACHE.append(c)
+    tot = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
+    vv = c.agg(F.countDistinct("g").cast("bigint").alias("v"))
+    langs = c.select(F.col("lang").alias("cand")).distinct()
+    g_te = base.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("tagged_lang"), F.explode(grams).alias("g")
+    )
+    neglogp = -F.log(
+        (F.coalesce("c", F.lit(0)) + 1).cast("double") / (F.col("t") + F.col("v"))
+    )
+    scored = (
+        g_te.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(c.withColumnRenamed("lang", "cand")), ["cand", "g"], "left"
+        )
+        .join(F.broadcast(tot.withColumnRenamed("lang", "cand")), "cand")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id", "tagged_lang", "cand")
+        .agg(F.sum(neglogp.cast("decimal(18,8)")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").asc(), F.col("cand").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tagged_lang", F.col("cand").alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@register("lang_id_ngram", oracle=_LANG_ID_ORACLE)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED character-trigram language ID (VERDICT r9 #7) — the
+    Cavnar–Trenkle / fastText-style model the stopword-vote heuristic
+    (``lang_id_heuristic``) approximates, trained on the corpus's own
+    ``lang`` labels and applied to a held-out fifth, all in one logical
+    plan and graded EXACTLY: per-language add-one-smoothed trigram
+    profiles p(g|L) = (c(L,g)+1)/(t(L)+|V|), a held-out document scores
+    sum(-ln p) per language with each term decimal(18,8)-cast (the
+    bigram_logprob float rule: both engines take ln of bit-identical
+    IEEE divisions of exact integers, so the per-(doc, lang) score is
+    exactly reproducible), and the prediction is the argmin score with
+    ties broken lang-ascending via ROW_NUMBER (the semantic_dedup
+    cross-engine argmax rule — no raw-float argmax).
+
+    Corpus honesty: on this testdata the ``lang`` labels are independent
+    of the text (every one of the 31 vocabulary tokens appears in all 5
+    languages — measured r10), so accuracy is chance BY CONSTRUCTION;
+    the grade proves the trained model's exact argmax, and
+    tests/test_curation.py proves real discrimination (accuracy 1.0) on
+    a synthetic corpus whose languages have distinct character
+    distributions. Handles 'zh' naturally — the stopword heuristic
+    cannot even represent it.
+
+    Scale shape: training is ONE (lang, gram)-keyed map-side-combined
+    aggregate (profile table ≈ |V|×|langs|, vocabulary-sized — persisted
+    via the module cache because it feeds its marginals and the scoring
+    join); scoring joins the exploded held-out gram stream against the
+    broadcast profiles (AQE falls back to sort-merge beyond broadcast
+    size — the unigram_logprob regime switch), then one (doc, lang)
+    aggregate and a per-doc ROW_NUMBER window. No Python anywhere."""
+    d = parallelize_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    return lang_id_ngram_over(d)
+
+
 @register(
     "doc_fingerprints",
     oracle="""

@@ -117,11 +117,11 @@ PROMOTE: list[str] = [
     # mixture APPLY -> pack (r8); displaced cosine_topk (pq_adc_topk keeps
     # similarity graded)
     "mixture_pack_pipeline",
-    # r9 swap: shard_write_roundtrip in, shard_manifest out — the write-
-    # and-verify round-trip (r8 ask #2) grades the SAME manifest oracle
-    # over slices read back from real shard files, superseding the
-    # plan-only entry (green r8, now its DEFER sibling)
-    "shard_write_roundtrip",
+    # r10 swap: shard_append_streamed in, shard_write_roundtrip out — the
+    # incremental foreachBatch shard append (VERDICT r9 #5) grades the
+    # SAME manifest oracle over the read-back of per-micro-batch appends,
+    # superseding the one-shot write (green r9, now its DEFER sibling)
+    "shard_append_streamed",
     # r9 swap: bpe_bytes_encode in, bpe_encode out — the byte-level tier
     # (GPT-style symbol space, held-out apply to part names, structurally
     # UNK-free) becomes the BPE family sentinel; the char-level encode
@@ -151,12 +151,12 @@ PROMOTE: list[str] = [
     "minhash_dedup_streamed",
     "events_sliding_streamed",
     "weighted_reservoir_sample",
-    # r9 swap: corpus_ingest_streamed in, dup_cluster_sizes out — the
-    # streamed ingestion gate (quality floor + per-source exact-dedup
-    # STATE + rollup, the admission stage in front of the band store)
-    # keeps the exact-dedup family graded; the cluster histogram (green
-    # r8) moves to DEFER with this entry as its sibling
-    "corpus_ingest_streamed",
+    # r10 swap: corpus_ingest_bounded_streamed in, corpus_ingest_streamed
+    # out — the watermark-bounded gate (VERDICT r9 #4:
+    # dropDuplicatesWithinWatermark over a content-derived event time)
+    # grades the SAME exact oracle while demonstrating the bounded-state
+    # production form; the unbounded gate (green r9) is its DEFER sibling
+    "corpus_ingest_bounded_streamed",
     "token_bigram_pmi",
     "local_supplier_volume",
     # r10 swap: bpe_bytes_merges in, token_counts out — the byte-level
@@ -167,7 +167,12 @@ PROMOTE: list[str] = [
     "bpe_bytes_merges",
     "pii_scrub",
     "repetition_signals",
-    "unigram_logprob",
+    # r10 swap: lang_id_ngram in, unigram_logprob out — the trained
+    # char-trigram language ID (VERDICT r9 #7) uses the same micro-nat
+    # LM-scoring machinery (its oracle replays train + holdout argmax),
+    # so the corpus-LM family stays value-hashed through it; the unigram
+    # scorer (green r9) moves to DEFER as its sibling
+    "lang_id_ngram",
     "dsir_importance",
     "semantic_dedup",
     "user_sessions_batch",
@@ -195,8 +200,11 @@ DEFER: list[str] = [
     "hll_distinct_exact",  # sketch family: count_min_exact in-window
     "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
     "events_minutely_gapfill",  # events time agg: events_hourly in-window
-    "dedup_exact",  # exact-dedup family: corpus_ingest_streamed in-window
-    "dup_cluster_sizes",  # cluster histogram (r9): corpus_ingest_streamed in-window
+    "dedup_exact",  # exact-dedup family: corpus_ingest_bounded_streamed in-window
+    "dup_cluster_sizes",  # cluster histogram: corpus_ingest_bounded_streamed in-window
+    "corpus_ingest_streamed",  # unbounded gate (r10): bounded twin in-window
+    "shard_write_roundtrip",  # one-shot write (r10): shard_append_streamed in-window
+    "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best in-window
@@ -208,7 +216,7 @@ DEFER: list[str] = [
     "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
     "doc_fingerprints",  # winnowing twin: rolling_fingerprints in-window
     "vocab_top_terms",  # text stats: token_counts in-window
-    "quality_logit_score",  # corpus LM: unigram_logprob in-window
+    "quality_logit_score",  # corpus LM: lang_id_ngram in-window
     "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
     "bpe_merges",  # BPE trainer: bpe_bytes_encode in-window (same machinery)
     "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
@@ -217,14 +225,14 @@ DEFER: list[str] = [
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
-    "bigram_logprob",  # corpus LM: unigram_logprob in-window
+    "bigram_logprob",  # corpus LM: lang_id_ngram in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
     "curation_funnel",  # curation: dsir_importance in-window
     # r9 rotation: out for the 2 never-graded entries (green r8; families
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
     "clamp_small_values",  # P4 map/filter: local_supplier_volume in-window
-    "shard_manifest",  # r9: shard_write_roundtrip grades the same oracle + the files
+    "shard_manifest",  # shard rollup: shard_append_streamed grades the same oracle
     "events_dedup_streamed",  # stateful stream (r9): minhash_dedup_streamed in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
@@ -266,7 +274,7 @@ DEFER: list[str] = [
     "customers_without_orders",  # anti-join: orders_with_returns in-window
     "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
     "events_json_props",  # JSON extraction: events_hourly in-window
-    "distinct_part_types",  # DISTINCT: corpus_ingest_streamed in-window
+    "distinct_part_types",  # DISTINCT: corpus_ingest_bounded_streamed in-window
     "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
     "salted_event_totals",  # salted partial agg: kmeans_centroid_update in-window
     "economy_revenue_share",  # global sum: mds_stress in-window
@@ -290,6 +298,10 @@ DEFER: list[str] = [
     "semantic_dedup_kmeans",  # trained-centroid production twin of semantic_dedup
     "unigram_pieces",  # SentencePiece-style unigram EM (r5) — iterative float
     "unigram_encode",  # encode under the EM table — properties in tests/test_unigram.py
+    # capped/TTL streamed band store (r10): output depends on arrival
+    # order (prefix cap), so no SQL oracle exists — graded by exact
+    # replay-equivalence tests; exact twin minhash_dedup_streamed in-window
+    "minhash_dedup_streamed_capped",
 ]
 
 

@@ -104,6 +104,11 @@ AUDITED = [
     "cross_source_overlap",  # 8B md5-folded gram keys, sources^2-bounded join
     "dedup_components_exact",  # star rounds: shrinking id-pair exchanges
     "ngram_novelty",  # two gram-keyed linear exchanges + rejoin
+    # r10: the bounded streamed tiers + the trained language ID
+    "minhash_dedup_streamed_capped",  # band rows into capped state + spool
+    "corpus_ingest_bounded_streamed",  # watermarked fp-dedup state + rollup
+    "shard_append_streamed",  # per-batch scan->write appends + manifest scan
+    "lang_id_ngram",  # profile aggregate + broadcast scoring + doc window
 ]
 
 

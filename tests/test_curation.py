@@ -311,3 +311,38 @@ def test_substring_dedup_matches_python_reference(spark, tmp_path):
     assert sum(len(removed[d]) for d in toks) >= 2 * K
     # the sub-K run was never touched
     assert all(p not in removed[4] for p in range(1, K)), removed[4]
+
+
+def test_lang_id_ngram_discriminates_when_signal_exists(spark):
+    """The testdata's lang labels are independent of the text (chance
+    accuracy is a corpus property — lang_id_ngram docstring), so the
+    model's actual discrimination is proven here: three synthetic
+    languages with disjoint character inventories, 60 docs each, train on
+    doc_id % 5 != 0 and score the held-out fifth through the IDENTICAL
+    plan (lang_id_ngram_over). A model that learned anything real must be
+    perfect on disjoint alphabets; the heuristic baseline cannot even
+    represent these languages."""
+    import numpy as np
+
+    from flink_mm_spark.operators.text import lang_id_ngram_over
+
+    rng = np.random.RandomState(11)
+    alphabets = {"aaa": "abcdef", "bbb": "ghijkl", "ccc": "mnopqr"}
+    rows = []
+    doc_id = 0
+    for lang, letters in alphabets.items():
+        for _ in range(60):
+            words = [
+                "".join(rng.choice(list(letters), size=rng.randint(3, 8)))
+                for _ in range(rng.randint(10, 25))
+            ]
+            rows.append((doc_id, lang, " ".join(words)))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = lang_id_ngram_over(df).collect()
+    assert len(got) == 36  # 180 / 5 held out
+    assert all(r["predicted_lang"] == r["tagged_lang"] for r in got), [
+        (r["doc_id"], r["tagged_lang"], r["predicted_lang"])
+        for r in got
+        if r["predicted_lang"] != r["tagged_lang"]
+    ]

@@ -726,3 +726,64 @@ def test_shard_sizing_knob_bounds_file_count(spark, tmp_path):
     # 32x the knob => ~1/32 the shard dirs (ceil effects aside)
     assert counts[64] < counts[2] / 8, counts
     assert counts[64] >= 1
+
+
+def test_shard_append_streamed_verify_side_scans_only_shard_files(spark):
+    """shard_append_streamed (r10): the returned plan is the VERIFY side
+    over the appended shard files — one parquet scan + one shard-keyed
+    hash aggregate, never a re-derivation of the mixture stream (the
+    shard_write_roundtrip pin applied to the incremental writer). The
+    appends themselves happen eagerly inside foreachBatch; a regression
+    that rebuilt the manifest from the live packed stream would show the
+    mixture machinery here."""
+    plan = _plan(spark, "shard_append_streamed")
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan  # the packer never re-runs
+    assert "rangepartitioning(shuffle" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_shard_append_batches_add_no_exchange(spark, tmp_path):
+    """The per-micro-batch append plan must be scan → write: partitionBy
+    adds files, not an exchange, and nothing corpus-shaped re-shuffles
+    per batch (the shard_append_streamed scale claim). Pinned on a
+    replica of one micro-batch: the same slice file the stream would
+    deliver, written through the same partitioned writer."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.llm_prep import _mixture_packed, _with_shard_id
+
+    src = str(tmp_path / "slices")
+    _with_shard_id(_mixture_packed(spark, SF_DIR)).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    one = spark.read.parquet(src).limit(0)  # schema only
+    files = sorted(
+        f for f in __import__("os").listdir(src) if f.endswith(".parquet")
+    )
+    batch_df = spark.read.parquet(f"{src}/{files[0]}")
+    batch_df.write.mode("append").partitionBy("shard_id").parquet(
+        str(tmp_path / "out")
+    )
+    plan = batch_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "FileScan parquet" in plan
+    del one
+
+
+def test_lang_id_ngram_broadcasts_profiles_and_stays_jvm(spark):
+    """lang_id_ngram (r10): profile training is one (lang, gram)-keyed
+    hash aggregate; scoring joins the held-out gram stream against
+    BROADCAST profile/marginal tables (vocabulary-sized — the
+    unigram_logprob regime); the argmin is one per-doc Window. No Python
+    anywhere — everything is codegen expressions."""
+    plan_df = registry.QUERIES["lang_id_ngram"].fn(spark, SF_DIR)
+    plan_df.collect()
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Window" in plan  # the ROW_NUMBER argmin

@@ -107,8 +107,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "hll_distinct_exact": "count_min_exact",
         "user_funnel_full_outer": "orders_with_returns",
         "events_minutely_gapfill": "events_hourly",
-        "dedup_exact": "corpus_ingest_streamed",
-        "dup_cluster_sizes": "corpus_ingest_streamed",
+        "dedup_exact": "corpus_ingest_bounded_streamed",
+        "dup_cluster_sizes": "corpus_ingest_bounded_streamed",
         "jaccard_shingle_pairs": "jaccard_token_pairs",
         "minhash_lsh_exact": "dedup_keep_best",
         "simhash_exact": "dedup_keep_best",
@@ -120,24 +120,29 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "ann_lsh_exact": "pq_adc_topk",
         "doc_fingerprints": "rolling_fingerprints",
         "vocab_top_terms": "token_bigram_pmi",
-        "quality_logit_score": "unigram_logprob",
+        "quality_logit_score": "lang_id_ngram",
         "bm25_topk": "token_bigram_pmi",
         "bpe_merges": "bpe_bytes_encode",
         "bpe_encode": "bpe_bytes_encode",
         # r10 rotation: bpe_bytes_merges promoted (the last never-graded
         # oracle entry); token_counts deferred in its place
         "token_counts": "token_bigram_pmi",
+        # r10 rotation: each r10 entry displaced the prior tier of its own
+        # family, which becomes its DEFER sibling
+        "corpus_ingest_streamed": "corpus_ingest_bounded_streamed",
+        "shard_write_roundtrip": "shard_append_streamed",
+        "unigram_logprob": "lang_id_ngram",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
         "stratified_sample": "weighted_reservoir_sample",
-        "bigram_logprob": "unigram_logprob",
+        "bigram_logprob": "lang_id_ngram",
         "substring_dedup": "chunk_dedup",
         "curation_funnel": "dsir_importance",
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "local_supplier_volume",
-        "shard_manifest": "shard_write_roundtrip",
+        "shard_manifest": "shard_append_streamed",
         "events_dedup_streamed": "minhash_dedup_streamed",
         "binmatrix_sink_roundtrip": "binary_f64_scan",
         "bucketed_fact_join": "local_supplier_volume",
@@ -169,7 +174,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "quantize_roundtrip": "binary_i16_scan",
         "nation_set_ops": "cube_order_stats",
         "text_quality_by_lang": "repetition_signals",
-        "lang_id_heuristic": "token_bigram_pmi",
+        "lang_id_heuristic": "lang_id_ngram",
         "orders_by_priority": "label_centroid_udaf",
         "top_orders_by_price": "user_sessions_batch",
         "order_price_unpivot": "cube_order_stats",
@@ -179,7 +184,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "customers_without_orders": "orders_with_returns",
         "suppliers_with_large_lineitems": "orders_with_returns",
         "events_json_props": "events_hourly",
-        "distinct_part_types": "corpus_ingest_streamed",
+        "distinct_part_types": "corpus_ingest_bounded_streamed",
         "media_resize_estimate": "media_audio_energy",
         "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",

@@ -729,3 +729,263 @@ def test_corpus_ingest_stream_restart_recovery(spark, tmp_path):
         r["source"]: (r["n_docs"], r["n_tokens"]) for r in spark.table(n2).collect()
     }
     assert got == want, (got, want)
+
+
+# --- r10: vectorized band store, capped/TTL tier, bounded ingest ------------
+
+
+def _write_arrival_files(pdfs, src_dir):
+    """Write each pandas frame as one parquet arrival file with strictly
+    increasing mtimes, so maxFilesPerTrigger=1 delivers them as ordered
+    micro-batches (the deterministic_arrival_split contract)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir, exist_ok=True)
+    t0 = int(time.time()) - 3600
+    for k, pdf in enumerate(pdfs):
+        path = os.path.join(src_dir, f"batch{k}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (t0 + 10 * k, t0 + 10 * k))
+
+
+def _synthetic_arrival_corpus():
+    """Synthetic corpus with a 12-member HOT bucket (identical texts — the
+    boilerplate shape the cap exists for), one genuine near-dup pair split
+    across batches, and unrelated singletons. Batch = doc_id % 3."""
+    import pandas as pd
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = []
+    for i in range(100, 112):
+        rows.append((i, hot))
+    rows.append((200, base + " end"))
+    rows.append((201, base + " alt"))
+    for i, txt in [
+        (300, "cold start words here nothing shared at all"),
+        (301, "totally different content again for this doc"),
+        (302, "yet another unrelated document body text"),
+    ]:
+        rows.append((i, txt))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "srcX"
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf = pdf[["doc_id", "text", "lang", "source", "n_chars"]]
+    return [
+        pdf[pdf.doc_id % 3 == k].sort_values("doc_id").reset_index(drop=True)
+        for k in range(3)
+    ]
+
+
+def _replay_band_store(band_rows, batch_of, cap=None):
+    """Pure-Python replay of the store's probe-then-add semantics in the
+    deterministic arrival order (batch asc, doc_id asc): the ground truth
+    the vectorized kernel must reproduce emission-for-emission (multiset,
+    pre-dedup)."""
+    import numpy as np
+
+    from flink_mm_spark.operators.dedup import MHX_PERM, MHX_THRESHOLD
+
+    buckets: dict = {}
+    out = []
+    rows = sorted(band_rows, key=lambda r: (batch_of(r["doc_id"]), r["doc_id"]))
+    for r in rows:
+        key = (r["source"], r["band_id"], r["band_key"])
+        members = buckets.setdefault(key, [])
+        sig = np.asarray(r["sig"], dtype=np.int64)
+        for oid, osig in members:
+            est = int((sig == osig).sum()) / MHX_PERM
+            if est >= MHX_THRESHOLD:
+                lo, hi = sorted((oid, r["doc_id"]))
+                out.append((lo, hi, est))
+        if cap is None or len(members) < cap:
+            members.append((r["doc_id"], sig))
+    return sorted(out)
+
+
+def _run_band_store(spark, src, ckpt, cap=None, ttl_minutes=None):
+    from flink_mm_spark.streaming.documents import (
+        documents_stream,
+        drain_with_timers,
+        minhash_band_rows,
+        minhash_band_store,
+    )
+
+    got: list = []
+    q = (
+        minhash_band_store(
+            minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1)),
+            cap=cap,
+            ttl_minutes=ttl_minutes,
+        )
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if ttl_minutes is None:
+        assert q.awaitTermination(300)
+    else:
+        drain_with_timers(q)
+    return got
+
+
+def _batch_band_rows(spark, pdfs):
+    from flink_mm_spark.streaming.documents import minhash_band_rows
+
+    import pandas as pd
+
+    full = pd.concat(pdfs, ignore_index=True)
+    return [
+        r.asDict() for r in minhash_band_rows(spark.createDataFrame(full)).collect()
+    ]
+
+
+def test_band_store_vectorized_probe_matches_loop_replay(spark, tmp_path):
+    """The r10 vectorized probe must reproduce the per-member loop
+    semantics emission-for-emission on a corpus with a 12-member hot
+    bucket (every hot pair est=1.0, all in one bucket per band), a
+    cross-batch near-dup pair, and singletons — the multiset BEFORE
+    dedup, so per-band emission multiplicity is pinned too."""
+    pdfs = _synthetic_arrival_corpus()
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files(pdfs, src)
+    got = _run_band_store(spark, src, str(tmp_path / "ckpt"))
+    want = _replay_band_store(
+        _batch_band_rows(spark, pdfs), batch_of=lambda d: d % 3
+    )
+    assert sorted((r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in got) == want
+    # the hot bucket really is hot: all C(12,2) identical-doc pairs emitted
+    hot = {(a, b) for (a, b, e) in want if 100 <= a < 112 and e == 1.0}
+    assert len(hot) == 66
+
+
+def test_capped_band_store_matches_prefix_cap_replay(spark, tmp_path):
+    """The prefix-cap tier, graded by exact replay on the deterministic
+    arrival order: with cap=3 the 12-member hot bucket stops accepting
+    members at 3 — later arrivals probe the capped member set but never
+    join it — so hot pairs collapse from C(12,2)=66 to 3 members × 9
+    probers + C(3,2) = 30, while the under-cap near-dup pair survives
+    untouched. The replay is semantics, not implementation: it would
+    fail if the cap dropped probes (recall loss beyond the cap's) or
+    kept accepting members (state growth)."""
+    pdfs = _synthetic_arrival_corpus()
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files(pdfs, src)
+    got = _run_band_store(spark, src, str(tmp_path / "ckpt"), cap=3, ttl_minutes=60)
+    band_rows = _batch_band_rows(spark, pdfs)
+    want = _replay_band_store(band_rows, batch_of=lambda d: d % 3, cap=3)
+    assert sorted((r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in got) == want
+    # the cap BINDS: strictly fewer hot pairs than the uncapped replay,
+    # and the near-dup pair (200, 201) is still found
+    uncapped = _replay_band_store(band_rows, batch_of=lambda d: d % 3)
+    hot_capped = {(a, b) for (a, b, e) in want if 100 <= a < 112}
+    hot_full = {(a, b) for (a, b, e) in uncapped if 100 <= a < 112}
+    assert len(hot_capped) == 30 < len(hot_full) == 66
+    assert any(a == 200 and b == 201 for (a, b, e) in want)
+
+
+def test_capped_entry_equals_exact_on_testdata(spark):
+    """On the real corpus no band bucket exceeds 2 members (measured r10),
+    so the registered capped entry must equal the exact tier bit-for-bit
+    — pinning that cap+TTL+parquet-spool plumbing changes bounds, not
+    results, when the cap doesn't bind."""
+    from flink_mm_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    exact = registry.QUERIES["minhash_dedup_streamed"].fn(spark, SF_DIR).collect()
+    capped = (
+        registry.QUERIES["minhash_dedup_streamed_capped"].fn(spark, SF_DIR).collect()
+    )
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
+    assert len(exact) > 0
+
+
+def test_capped_band_store_ttl_evicts_idle_state(spark, tmp_path):
+    """GroupStateTimeout TTL eviction, two lives: life 1 stores a hot
+    bucket and keeps the stream's timer batches running past the 3 s TTL
+    (the sweep runs state.remove() for idle buckets); life 2 resumes from
+    the checkpoint and delivers an exact duplicate of the life-1 docs —
+    it must emit NO cross-life pair, because the store was EVICTED, not
+    recovered. The NoTimeout control on the identical two-life flow emits
+    the cross-life pairs (that recovery behavior is pinned by
+    test_minhash_dedup_stream_restart_recovery)."""
+    import pandas as pd
+
+    def mk(doc_id):
+        txt = "omega psi chi phi upsilon tau sigma rho"
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "text": [txt],
+                "lang": ["en"],
+                "source": ["srcX"],
+                "n_chars": [len(txt)],
+            }
+        )
+
+    for ttl, expect_cross in [(0.05, False), (60, True)]:
+        src = str(tmp_path / f"arr_{ttl}")
+        ckpt = str(tmp_path / f"ckpt_{ttl}")
+        _write_arrival_files([mk(1), mk(2)], src)
+        got1 = _run_band_store(spark, src, ckpt, cap=64, ttl_minutes=ttl)
+        assert {(r["doc_a"], r["doc_b"]) for r in got1} == {(1, 2)}
+        if not expect_cross:
+            import time
+
+            time.sleep(4)  # idle past the 3 s TTL before life 2's sweep
+        _write_arrival_files([mk(1), mk(2), mk(3)], src)  # batch2.parquet new
+        got2 = _run_band_store(spark, src, ckpt, cap=64, ttl_minutes=ttl)
+        cross = {(r["doc_a"], r["doc_b"]) for r in got2}
+        if expect_cross:
+            assert cross == {(1, 3), (2, 3)}, cross
+        else:
+            assert cross == set(), cross
+
+
+def test_bounded_ingest_equals_batch(spark):
+    """corpus_ingest_bounded_streamed: the watermark-bounded gate must
+    reproduce the batch DISTINCT-then-aggregate exactly — duplicates
+    share a content-derived event time, and the 2 h delay exceeds the
+    1 h event-time span, so nothing is late and nothing evicts before
+    the drain (the events_dedup_streamed sizing argument)."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.dedup import _PREP_MIN_TOKENS, WORD_REGEX
+    from flink_mm_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(WORD_REGEX), 0))
+    want = sorted(
+        tuple(r)
+        for r in (
+            table(spark, SF_DIR, "documents")
+            .withColumn("n_tok", n_tok)
+            .filter(F.col("n_tok") >= _PREP_MIN_TOKENS)
+            .withColumn("fp", F.md5(F.lower(F.trim("text")).cast("binary")))
+            .select("source", "fp", "n_tok")
+            .distinct()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+            .collect()
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["corpus_ingest_bounded_streamed"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert got == want
