@@ -338,3 +338,50 @@ def test_quality_micro_score_cross_engine(spark):
     )
     assert got == want, (got, want)
     assert len(set(got.values())) > 1  # scores genuinely separate the ties
+
+
+def test_minhash_slot_match_probability_tracks_jaccard():
+    """The estimator property that the r1-r9 family silently lacked
+    (CLAUDE.md r10 gotcha): for sets with KNOWN Jaccard J, the fraction
+    of matching signature slots must be an unbiased estimate of J — the
+    near-monotone M61 family scored ~0 or ~1 regardless of J because
+    every "permutation" picked the same min-x element. Built directly on
+    the shipped constants/kernel (_MHX_A/_MHX_B/_flat_min_sig), no Spark:
+    this is semantic ground truth, not oracle replay."""
+    import numpy as np
+
+    from flink_mm_spark.operators.dedup import (
+        MHX_PERM,
+        MINHASH_MOD,
+        _MHX_A,
+        _MHX_B,
+        _flat_min_sig,
+    )
+
+    rng = np.random.RandomState(123)
+    empty = [int(MINHASH_MOD)] * MHX_PERM
+
+    def sig(xs):
+        import pandas as pd
+
+        return np.asarray(
+            _flat_min_sig(pd.Series([list(xs)]), _MHX_A, _MHX_B, empty)[0]
+        )
+
+    for shared, extra, j_true in [(90, 10, 0.9 / 1.1), (50, 50, 0.5 / 1.5), (20, 80, 0.2 / 1.8)]:
+        ests = []
+        for _ in range(40):
+            common = rng.randint(0, 1 << 31, size=shared)
+            a = np.concatenate([common, rng.randint(0, 1 << 31, size=extra)])
+            b = np.concatenate([common, rng.randint(0, 1 << 31, size=extra)])
+            ests.append(float((sig(a) == sig(b)).mean()))
+        mean_est = float(np.mean(ests))
+        # 40 trials x 32 slots: standard error ~ sqrt(J(1-J)/1280) < 0.014;
+        # 5 sigma plus a hash-collision allowance
+        assert abs(mean_est - j_true) < 0.08, (j_true, mean_est)
+    # and a degenerate-family canary: two sets sharing 10/11 elements must
+    # NEVER estimate 0 (the r9 failure shape)
+    common = rng.randint(0, 1 << 31, size=10)
+    a = np.concatenate([common, rng.randint(0, 1 << 31, size=1)])
+    b = np.concatenate([common, rng.randint(0, 1 << 31, size=1)])
+    assert float((sig(a) == sig(b)).mean()) > 0.5
