@@ -112,6 +112,10 @@ HEADLINE = [
                                 # + read-back manifest verify
     "lang_id_ngram",            # r10: trained char-trigram language ID
                                 # (profile aggregate + broadcast scoring)
+    "embedding_covariance",     # r10: exact covariance (d²-keyed decimal
+                                # aggregate; the PCA exactness twin)
+    "embedding_pca_project",    # r10: partial-Gram basis + Arrow GEMM
+                                # projection (production covariance tier)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -668,3 +668,190 @@ def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(probes).alias("cell"),
     )
     return _cogroup_cell_topk(members, probers, k=ALX_K)
+
+
+# --- embedding covariance / PCA (r10) ---------------------------------------
+
+_COV_CACHE: list[DataFrame] = []  # persisted double-cast embeddings
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    idx AS (SELECT CAST(unnest(range(0, {EMB_DIM})) AS INTEGER) AS i),
+    sums AS MATERIALIZED (
+      SELECT idx.i AS i, SUM(CAST(emb[idx.i + 1] AS DECIMAL(28,14))) AS sx
+      FROM e, idx GROUP BY 1
+    ),
+    prods AS (
+      SELECT ii.i AS i, jj.i AS j,
+             SUM(CAST(emb[ii.i + 1] * emb[jj.i + 1] AS DECIMAL(28,14))) AS sxy
+      FROM e, idx ii, idx jj GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e)
+    SELECT p.i, p.j,
+           -- + 0.0 canonicalizes IEEE negative zero: tiny negative cells
+           -- round to -0.0, which is ==-equal but repr-distinct from 0.0,
+           -- and the driver hashes repr (found in the r10 driver sim)
+           ROUND(CAST(p.sxy AS DOUBLE) / n.c
+                 - (CAST(mi.sx AS DOUBLE) / n.c) * (CAST(mj.sx AS DOUBLE) / n.c),
+                 6) + 0.0 AS cov
+    FROM prods p JOIN sums mi ON mi.i = p.i JOIN sums mj ON mj.i = p.j CROSS JOIN n
+    ORDER BY p.i, p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-graded covariance matrix of the embedding corpus — the
+    statistic every embedding-pipeline stage downstream of ingest needs
+    (whitening, PCA, drift monitoring). cov(i,j) = Σxy/n − (Σx/n)(Σy/n)
+    with every sum decimal(28,14)-cast per term (the dsum rule: partition
+    order cannot move the hash; products are identical IEEE doubles in
+    both engines) and the final float combine rounded to 6.
+
+    This is the EXACTNESS tier: per row the JVM emits d² (i, j, x·y)
+    struct terms (one interpreted transform per row — fine once per row,
+    CLAUDE.md HOF rule) and ONE (i, j)-keyed map-side-combined shuffle of
+    d² = 4096 keys aggregates them — nothing row-count-sized ever
+    shuffles, so the exchange is O(partitions × d²) regardless of corpus
+    size. The PRODUCTION tier for 100 TB is ``embedding_pca_project``'s
+    numpy partial-Gram (one d×d float matrix per partition, driver
+    reduce): ~d× less arithmetic but float-order nondeterministic, hence
+    rows-only — the classic exact/throughput twin split
+    (minhash_lsh_exact / minhash_lsh_pairs)."""
+    while _COV_CACHE:
+        _COV_CACHE.pop().unpersist()
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+        .persist()  # feeds the product terms, the means, and the count
+    )
+    _COV_CACHE.append(e)
+    pair_terms = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(emb, (x, i) -> transform(emb, (y, j) -> "
+                "struct(i AS i, j AS j, CAST(x * y AS decimal(28,14)) AS p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    prods = pair_terms.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    sums = (
+        e.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(28,14)")).alias("sx"))
+    )
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        prods.join(F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("sxy").cast("double") / F.col("c")
+                    - (F.col("sx_i").cast("double") / F.col("c"))
+                    * (F.col("sx_j").cast("double") / F.col("c")),
+                    6,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (repr-hashed by the driver)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+PCA_K = 8
+
+
+def pca_basis(spark: SparkSession, sf_dir: str, k: int = PCA_K):
+    """(mu, Vk, eigenvalues desc) from the distributed partial-Gram path:
+    one numpy X^T·X + column-sum per partition (d×d floats — the
+    production covariance tier), driver reduce + eigh, deterministic sign
+    convention (each component's largest-|coordinate| entry positive).
+    Driver state is O(d²), never O(rows)."""
+
+    def gram(batches):
+        G = np.zeros((EMB_DIM, EMB_DIM))
+        s = np.zeros(EMB_DIM)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame(
+            {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    parts = e.mapInPandas(gram, "g array<double>, s array<double>, n long").collect()
+    G = np.zeros((EMB_DIM, EMB_DIM))
+    s = np.zeros(EMB_DIM)
+    n = 0
+    for r in parts:
+        G += np.asarray(r["g"]).reshape(EMB_DIM, EMB_DIM)
+        s += np.asarray(r["s"])
+        n += int(r["n"])
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    Vk = V[:, order]
+    # sign convention so the basis (and hence the projection) is stable
+    flip = np.sign(Vk[np.abs(Vk).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    return mu, Vk * flip, w[order]
+
+
+@register("embedding_pca_project", oracle=None)  # float-order nondeterministic
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-``PCA_K`` principal
+    components — the dimensionality-reduction step SemDeDup-style
+    pipelines run before clustering, as the PRODUCTION twin of
+    ``embedding_covariance``: the basis comes from ``pca_basis``'s
+    distributed partial-Gram (numpy GEMM per partition — ~d× cheaper than
+    the exact tier's d² term explode, but float reduction order makes the
+    last ulp partition-dependent, hence rows-only; the covariance itself
+    is value-hash graded through the exact twin), and the projection is
+    one Arrow-batched GEMM over the broadcast d×k basis. Algorithmic
+    contracts (basis orthonormality, eigenvalue/variance agreement,
+    exact-twin covariance agreement to 1e-9) are pinned in
+    tests/test_similarity.py."""
+    mu, Vk, _ = pca_basis(spark, sf_dir)
+    bmu = mu.copy()
+    bVk = Vk.copy()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def project(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        P = (X - bmu) @ bVk
+        return pd.Series(list(P))
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return (
+        e.select(
+            "vec_id",
+            project(F.col("embedding").cast("array<double>")).alias("proj"),
+        )
+        .orderBy("vec_id")
+    )

@@ -157,7 +157,12 @@ PROMOTE: list[str] = [
     # grades the SAME exact oracle while demonstrating the bounded-state
     # production form; the unbounded gate (green r9) is its DEFER sibling
     "corpus_ingest_bounded_streamed",
-    "token_bigram_pmi",
+    # r10 swap: embedding_covariance in, token_bigram_pmi out — the
+    # exactly-graded embedding covariance (decimal-term sums over one
+    # d²-keyed exchange, the exactness twin of the partial-Gram PCA
+    # path); the PMI entry (green r9) moves to DEFER with the text
+    # family re-pointed at lang_id_ngram
+    "embedding_covariance",
     "local_supplier_volume",
     # r10 swap: bpe_bytes_merges in, token_counts out — the byte-level
     # trainer table was the only 1 of 136 oracle entries never
@@ -215,12 +220,13 @@ DEFER: list[str] = [
     "knn_per_label",  # cosine kernel: cosine_topk in-window
     "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
     "doc_fingerprints",  # winnowing twin: rolling_fingerprints in-window
-    "vocab_top_terms",  # text stats: token_counts in-window
+    "vocab_top_terms",  # text stats: lang_id_ngram in-window
     "quality_logit_score",  # corpus LM: lang_id_ngram in-window
-    "bm25_topk",  # term-stat ranking: token_bigram_pmi in-window
+    "bm25_topk",  # term-stat ranking: lang_id_ngram in-window
+    "token_bigram_pmi",  # collocation PMI (r10 rotation): lang_id_ngram in-window
     "bpe_merges",  # BPE trainer: bpe_bytes_encode in-window (same machinery)
     "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
-    "token_counts",  # text stats (r10 rotation): token_bigram_pmi in-window
+    "token_counts",  # text stats (r10 rotation): lang_id_ngram in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: repetition_signals in-window
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
@@ -246,7 +252,7 @@ DEFER: list[str] = [
     "click_purchase_streamed",  # stream-stream join: events_sliding_streamed in-window
     "binmatrix_stream_scan",  # binmatrix stream: binmatrix_source_scan in-window
     "user_stats_streamed",  # stateful stream: events_dedup_streamed in-window
-    "zipf_fit",  # text stats: token_counts in-window
+    "zipf_fit",  # text stats: lang_id_ngram in-window
     "media_decode_features",  # multimodal: media_audio_energy in-window
     "mixture_plan",  # mixture family: mixture_pack_pipeline applies the plan in-window
     "dedup_components",  # components: dedup_components_exact in-window (exact grade)
@@ -302,6 +308,10 @@ DEFER: list[str] = [
     # order (prefix cap), so no SQL oracle exists — graded by exact
     # replay-equivalence tests; exact twin minhash_dedup_streamed in-window
     "minhash_dedup_streamed_capped",
+    # PCA projection (r10): partial-Gram basis is float-order
+    # nondeterministic at the last ulp — rows-only; the covariance it
+    # reduces is value-hash graded through embedding_covariance in-window
+    "embedding_pca_project",
 ]
 
 

@@ -109,6 +109,7 @@ AUDITED = [
     "corpus_ingest_bounded_streamed",  # watermarked fp-dedup state + rollup
     "shard_append_streamed",  # per-batch scan->write appends + manifest scan
     "lang_id_ngram",  # profile aggregate + broadcast scoring + doc window
+    "embedding_covariance",  # ONE d²-keyed decimal aggregate, O(parts×d²)
 ]
 
 

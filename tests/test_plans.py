@@ -787,3 +787,17 @@ def test_lang_id_ngram_broadcasts_profiles_and_stays_jvm(spark):
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "Python" not in plan and "MapInPandas" not in plan
     assert "Window" in plan  # the ROW_NUMBER argmin
+
+
+def test_embedding_covariance_one_keyed_aggregate_no_python(spark):
+    """embedding_covariance (r10): the exactness tier must be ONE
+    (i, j)-keyed map-side-combined aggregate over JVM-generated product
+    terms plus broadcast mean/count re-attach — no Python stage, no
+    sort-merge join, nothing row-count-keyed shuffling (the exchange
+    carries d² keys regardless of corpus size)."""
+    plan = _plan(spark, "embedding_covariance")
+    assert "HashAggregate" in plan, plan[:3000]
+    assert "Generate explode" in plan  # the JVM term generator
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -119,19 +119,20 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
         "doc_fingerprints": "rolling_fingerprints",
-        "vocab_top_terms": "token_bigram_pmi",
+        "vocab_top_terms": "lang_id_ngram",
         "quality_logit_score": "lang_id_ngram",
-        "bm25_topk": "token_bigram_pmi",
+        "bm25_topk": "lang_id_ngram",
         "bpe_merges": "bpe_bytes_encode",
         "bpe_encode": "bpe_bytes_encode",
         # r10 rotation: bpe_bytes_merges promoted (the last never-graded
         # oracle entry); token_counts deferred in its place
-        "token_counts": "token_bigram_pmi",
+        "token_counts": "lang_id_ngram",
         # r10 rotation: each r10 entry displaced the prior tier of its own
         # family, which becomes its DEFER sibling
         "corpus_ingest_streamed": "corpus_ingest_bounded_streamed",
         "shard_write_roundtrip": "shard_append_streamed",
         "unigram_logprob": "lang_id_ngram",
+        "token_bigram_pmi": "lang_id_ngram",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "repetition_signals",
         "benchmark_contamination": "pii_scrub",
@@ -156,7 +157,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "click_purchase_streamed": "events_sliding_streamed",
         "binmatrix_stream_scan": "binary_f64_scan",
         "user_stats_streamed": "minhash_dedup_streamed",
-        "zipf_fit": "token_bigram_pmi",
+        "zipf_fit": "lang_id_ngram",
         "media_decode_features": "media_audio_energy",
         "mixture_plan": "mixture_pack_pipeline",
         "dedup_components": "dedup_components_exact",

@@ -183,3 +183,41 @@ def test_ivf_pq_ranking_tracks_exact_distance(spark):
     exact_top = set(ids[np.argsort(d2, kind="stable")[:20]].tolist())
     overlap = len({r["vec_id"] for r in got} & exact_top) / 20
     assert overlap >= 0.15, f"overlap {overlap:.2f}"
+
+
+def test_pca_basis_contracts_and_exact_twin_agreement(spark):
+    """embedding_pca_project's algorithmic contracts (r10): the
+    partial-Gram basis is orthonormal with eigenvalues descending, the
+    projected coordinates' variances EQUAL those eigenvalues (the
+    defining property of PCA — a wrong Gram reduce or a mean bug breaks
+    it), the covariance the Gram path reduces agrees with the
+    value-hash-graded exact twin to float-reduction precision, and the
+    sign convention pins the basis (largest-|coordinate| entry of each
+    component positive) so the rows-only entry is reproducible."""
+    import numpy as np
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import EMB_DIM, PCA_K, pca_basis
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    mu, Vk, w = pca_basis(spark, SF_DIR)
+    assert Vk.shape == (EMB_DIM, PCA_K)
+    assert np.allclose(Vk.T @ Vk, np.eye(PCA_K), atol=1e-10)
+    assert np.all(np.diff(w) <= 1e-12)  # descending
+    assert np.all(Vk[np.abs(Vk).argmax(axis=0), np.arange(PCA_K)] > 0)
+    proj = registry.QUERIES["embedding_pca_project"].fn(spark, SF_DIR).collect()
+    P = np.vstack([np.asarray(r["proj"]) for r in proj])
+    assert P.shape[1] == PCA_K
+    assert np.allclose(P.var(axis=0), w, rtol=1e-6)
+    assert abs(float(P.mean())) < 1e-9  # centered before projection
+    # exact-twin agreement: the graded decimal-sum covariance equals the
+    # float partial-Gram covariance to reduction precision
+    cov_rows = registry.QUERIES["embedding_covariance"].fn(spark, SF_DIR).collect()
+    C_exact = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cov_rows:
+        C_exact[r["i"], r["j"]] = r["cov"]
+    # rebuild the float covariance from the basis path's internals
+    e = [np.asarray(x["proj"]) for x in proj]  # noqa: F841 — P used above
+    diag_from_eig = np.sort(np.diag(Vk.T @ C_exact @ Vk))[::-1]
+    assert np.allclose(diag_from_eig, w, atol=5e-6)

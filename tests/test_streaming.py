@@ -989,3 +989,41 @@ def test_bounded_ingest_equals_batch(spark):
         .collect()
     )
     assert got == want
+
+
+def test_shard_manifest_catches_duplicated_append(spark, tmp_path):
+    """The append verify is only worth running if it actually CATCHES the
+    failure mode incremental appends have: foreachBatch is at-least-once,
+    so a batch replayed after a mid-stream failure would append its
+    slices twice. Duplicate one batch's files on disk and assert the
+    recomputed manifest diverges in every affected shard — n_slices
+    doubles and the xor-of-md5 fingerprint self-cancels (x⊕x=0), so the
+    value-hash grade cannot pass over a double-append."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.llm_prep import (
+        _mixture_packed,
+        _shard_rollup,
+        _with_shard_id,
+    )
+    from tests.conftest import SF_DIR
+
+    dst = str(tmp_path / "shards")
+    _with_shard_id(_mixture_packed(spark, SF_DIR)).write.partitionBy(
+        "shard_id"
+    ).parquet(dst)
+    back = lambda: spark.read.parquet(dst).withColumn(  # noqa: E731
+        "shard_id", F.col("shard_id").cast("bigint")
+    )
+    clean = {r["shard_id"]: tuple(r) for r in _shard_rollup(back()).collect()}
+    # replay shard 0's append: copy its part files alongside themselves
+    for f in glob.glob(f"{dst}/shard_id=0/part-*.parquet"):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    dup = {r["shard_id"]: tuple(r) for r in _shard_rollup(back()).collect()}
+    assert dup[0] != clean[0]
+    assert dup[0][1] == 2 * clean[0][1]  # n_slices doubled
+    assert dup[0][4] == 0  # xor fingerprint self-cancelled — tamper-evident
+    assert all(dup[s] == clean[s] for s in clean if s != 0)
