@@ -1,4 +1,4 @@
-"""Streamed incremental near-dup detection over the documents corpus (r9).
+"""Streamed incremental near-dup detection over the documents corpus.
 
 The daily-crawl shape every production dedup pipeline eventually needs
 (VERDICT r8 ask #4): documents ARRIVE over time, and each arrival must be
@@ -16,13 +16,18 @@ with operators/dedup.py: ``mhx_signatures`` / ``band_key_exprs``).
 
 State-size honesty (SCALE.md): unlike the batch twins' id-only exchanges,
 the state rows here must CARRY the 32×8 B signature — the store IS what
-future arrivals score against — so state per bucket is O(members × ~264 B)
-and total store size is O(corpus × bands) spread across the state backend.
-The exact twin cannot cap hot buckets (the oracle replays every candidate);
-a production deployment layers the throughput tier's hot-bucket cap and a
-TTL eviction (``GroupStateTimeout``) on top — both patterns are already
-demonstrated by ``_banded_pairs(hot_cap=True)`` and the watermarked
-streams in streaming/events.py.
+future arrivals score against — so the EXACT tier's state is O(members ×
+~264 B) per bucket and O(corpus × bands) total (the oracle replays every
+candidate, so it cannot drop anything). The PRODUCTION bounds are the
+r10 capped tier (``minhash_dedup_streamed_capped``): the same
+``minhash_band_store`` with a prefix membership cap (probe work and
+state O(cap) per bucket by construction) and ``GroupStateTimeout`` TTL
+eviction at the duplicate-arrival horizon — graded by exact replay
+equivalence on the content-determined arrival order since a cap makes
+output arrival-order dependent. The ingest gate ahead of the store has
+the same two tiers: ``corpus_ingest_streamed`` (unbounded fingerprints)
+and ``corpus_ingest_bounded_streamed`` (``dropDuplicatesWithinWatermark``
+over a content-derived event time).
 """
 
 from __future__ import annotations
