@@ -385,3 +385,39 @@ def test_minhash_slot_match_probability_tracks_jaccard():
     a = np.concatenate([common, rng.randint(0, 1 << 31, size=1)])
     b = np.concatenate([common, rng.randint(0, 1 << 31, size=1)])
     assert float((sig(a) == sig(b)).mean()) > 0.5
+
+
+def test_minhash_throughput_family_also_unbiased():
+    """The xxhash64 throughput tier shares the kernel but has its own
+    seed-fixed constants and takes SIGNED 64-bit base hashes (xxhash64
+    output) — the 31-bit fold must land them in [0, 2^31) via two's
+    complement, and the permutations must estimate Jaccard unbiasedly
+    just like the md5 family (both had the r10 near-monotone defect)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_mm_spark.operators.dedup import (
+        _EMPTY_SIG,
+        _MH_A,
+        _MH_B,
+        N_PERM,
+        _flat_min_sig,
+    )
+
+    rng = np.random.RandomState(321)
+
+    def sig(xs):
+        return np.asarray(_flat_min_sig(pd.Series([list(xs)]), _MH_A, _MH_B, _EMPTY_SIG)[0])
+
+    for shared, extra, in [(80, 20), (30, 70)]:
+        j_true = shared / (shared + 2 * extra)
+        ests = []
+        for _ in range(30):
+            # signed int64s, like raw xxhash64 output
+            common = rng.randint(-(1 << 62), 1 << 62, size=shared, dtype=np.int64)
+            a = np.concatenate([common, rng.randint(-(1 << 62), 1 << 62, size=extra, dtype=np.int64)])
+            b = np.concatenate([common, rng.randint(-(1 << 62), 1 << 62, size=extra, dtype=np.int64)])
+            sa, sb = sig(a), sig(b)
+            assert sa.min() >= 0 and sa.max() < (1 << 31) + 1  # folded domain
+            ests.append(float((sa == sb).mean()))
+        assert abs(float(np.mean(ests)) - j_true) < 0.09, (j_true, float(np.mean(ests)))
