@@ -111,6 +111,12 @@ OPERATORS = [
     "shard_write_roundtrip",
     "bpe_bytes_encode",
     "minhash_dedup_streamed",
+    # r10: the capped/TTL tier — on this near-unique-shingle corpus buckets
+    # are singletons so capped ≈ exact; the ladder measures the tier's
+    # OVERHEAD constants (timer batches, spool) staying flat while growth
+    # stays linear (cap-binding behavior is pinned by the synthetic
+    # hot-bucket replay test, not this ladder)
+    "minhash_dedup_streamed_capped",
 ]
 EMB_DIM = 64
 
