@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_mm_spark.operators.dedup import (
+    MAX_BAND_BUCKET,
     MHX_BANDS,
     MHX_PERM,
     MHX_THRESHOLD,
@@ -76,12 +77,13 @@ def documents_stream(
 
 # membership cap for the capped throughput tier — the streaming analogue
 # of the batch hot-bucket suppression, reusing the SAME production constant
-# (operators/dedup.py MAX_BAND_BUCKET). The batch cap drops whole over-cap
-# buckets post-hoc (it sees final counts); a stream cannot know final
-# counts, so the streamed cap is a PREFIX cap: a bucket stops ACCEPTING
-# members at the cap (later arrivals still probe the capped member set but
-# never join it), bounding state AND probe work per bucket by construction.
-STREAM_HOT_CAP = 64
+# (review r10: an independent literal here would silently diverge if the
+# batch cap is ever retuned). The batch cap drops whole over-cap buckets
+# post-hoc (it sees final counts); a stream cannot know final counts, so
+# the streamed cap is a PREFIX cap: a bucket stops ACCEPTING members at
+# the cap (later arrivals still probe the capped member set but never
+# join it), bounding state AND probe work per bucket by construction.
+STREAM_HOT_CAP = MAX_BAND_BUCKET
 
 
 def minhash_band_store(
@@ -329,17 +331,29 @@ def drain_with_timers(q, poll_s: float = 0.25, min_elapsed_s: float = 0.0) -> No
     NEVER self-terminates: after the data batches it keeps scheduling
     empty timer-check batches ~2 s apart until every timer has fired
     (measured r10 — 28 empty batches and counting on a 4-file source).
-    A zero-input batch can only happen once the file source is drained
-    (files are served while any remain), so the query's results are
-    complete at the first zero-input progress entry; stop there.
-    ``min_elapsed_s`` lets TTL tests keep the timer batches running past
-    the eviction deadline before stopping."""
+    Drained-ness is detected from source OFFSETS, not row counts (review
+    r10): a batch whose source endOffset equals its startOffset consumed
+    no file — whereas a zero-ROW batch can also be an EMPTY arrival file,
+    and stopping there would silently truncate the stream. One no-file
+    batch is still not proof: a checkpoint RESTART first replays the last
+    planned timer batch (no-file) even when new files are pending. Two
+    CONSECUTIVE no-file batches are — if a file were available, the batch
+    after a no-file batch would consume it. ``min_elapsed_s`` keeps the
+    timer batches running past a TTL deadline before stopping (the
+    eviction test's life 1 passes its TTL here so the sweep commits
+    deterministically in-life)."""
     import time
+
+    def no_file(p) -> bool:
+        srcs = p.get("sources", [])
+        return bool(srcs) and all(s["startOffset"] == s["endOffset"] for s in srcs)
 
     t0 = time.monotonic()
     while q.isActive:
         progress = q.recentProgress
-        drained = any(int(p["numInputRows"]) == 0 for p in progress)
+        drained = len(progress) >= 2 and no_file(progress[-1]) and no_file(
+            progress[-2]
+        )
         if drained and time.monotonic() - t0 >= min_elapsed_s:
             q.stop()
             break

@@ -760,18 +760,33 @@ def test_shard_append_batches_add_no_exchange(spark, tmp_path):
     _with_shard_id(_mixture_packed(spark, SF_DIR)).repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
-    one = spark.read.parquet(src).limit(0)  # schema only
     files = sorted(
         f for f in __import__("os").listdir(src) if f.endswith(".parquet")
     )
     batch_df = spark.read.parquet(f"{src}/{files[0]}")
-    batch_df.write.mode("append").partitionBy("shard_id").parquet(
-        str(tmp_path / "out")
-    )
-    plan = batch_df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:2000]
-    assert "FileScan parquet" in plan
-    del one
+    # pin the WRITE itself, not the scan (review r10: the scan's plan can
+    # never contain an Exchange, so asserting on it was vacuous): run the
+    # append in its own job group and require every job it spawned to be
+    # SINGLE-STAGE — a shuffle introduced anywhere in the write path
+    # (planned-write repartition, sort-exchange on shard_id) would split
+    # a job into 2+ stages.
+    sc = spark.sparkContext
+    sc.setJobGroup("shard_append_pin", "per-batch append must not shuffle")
+    try:
+        batch_df.write.mode("append").partitionBy("shard_id").parquet(
+            str(tmp_path / "out")
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    jids = tracker.getJobIdsForGroup("shard_append_pin")
+    assert jids, "the append spawned no traceable job"
+    for jid in jids:
+        info = tracker.getJobInfo(jid)
+        assert info is not None and len(info.stageIds) == 1, (
+            jid,
+            info.stageIds if info else None,
+        )
 
 
 def test_lang_id_ngram_broadcasts_profiles_and_stays_jvm(spark):

@@ -217,7 +217,5 @@ def test_pca_basis_contracts_and_exact_twin_agreement(spark):
     C_exact = np.zeros((EMB_DIM, EMB_DIM))
     for r in cov_rows:
         C_exact[r["i"], r["j"]] = r["cov"]
-    # rebuild the float covariance from the basis path's internals
-    e = [np.asarray(x["proj"]) for x in proj]  # noqa: F841 — P used above
     diag_from_eig = np.sort(np.diag(Vk.T @ C_exact @ Vk))[::-1]
     assert np.allclose(diag_from_eig, w, atol=5e-6)

@@ -808,7 +808,7 @@ def _replay_band_store(band_rows, batch_of, cap=None):
     return sorted(out)
 
 
-def _run_band_store(spark, src, ckpt, cap=None, ttl_minutes=None):
+def _run_band_store(spark, src, ckpt, cap=None, ttl_minutes=None, drain_min_s=0.0):
     from flink_mm_spark.streaming.documents import (
         documents_stream,
         drain_with_timers,
@@ -832,7 +832,7 @@ def _run_band_store(spark, src, ckpt, cap=None, ttl_minutes=None):
     if ttl_minutes is None:
         assert q.awaitTermination(300)
     else:
-        drain_with_timers(q)
+        drain_with_timers(q, min_elapsed_s=drain_min_s)
     return got
 
 
@@ -935,7 +935,15 @@ def test_capped_band_store_ttl_evicts_idle_state(spark, tmp_path):
         src = str(tmp_path / f"arr_{ttl}")
         ckpt = str(tmp_path / f"ckpt_{ttl}")
         _write_arrival_files([mk(1), mk(2)], src)
-        got1 = _run_band_store(spark, src, ckpt, cap=64, ttl_minutes=ttl)
+        # life 1 of the short-TTL leg keeps its timer batches running WELL
+        # past the 3 s deadline (drain_min_s=20: timer batches fire ~2 s
+        # apart, so several sweep batches COMMIT the eviction long before
+        # the stop) — review r10: min_elapsed_s was unwired and the pass
+        # depended on life 2 replaying an uncommitted timer batch
+        got1 = _run_band_store(
+            spark, src, ckpt, cap=64, ttl_minutes=ttl,
+            drain_min_s=0.0 if expect_cross else 20.0,
+        )
         assert {(r["doc_a"], r["doc_b"]) for r in got1} == {(1, 2)}
         if not expect_cross:
             import time
