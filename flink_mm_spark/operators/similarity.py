@@ -780,7 +780,14 @@ def pca_basis(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     one numpy X^T·X + column-sum per partition (d×d floats — the
     production covariance tier), driver reduce + eigh, deterministic sign
     convention (each component's largest-|coordinate| entry positive).
-    Driver state is O(d²), never O(rows)."""
+    Driver state is O(d²), never O(rows).
+
+    Input contract (ADVICE r10 #4): rows with NULL cells inside the
+    embedding array are dropped up front — ``np.vstack`` cannot take
+    them, whereas the exact covariance twin's SQL SUM silently skips
+    null cells, so without the filter the two tiers would diverge on
+    such input; dropping the row (not the cell) keeps the Gram update
+    well-defined. An empty corpus raises instead of ZeroDivisionError."""
 
     def gram(batches):
         G = np.zeros((EMB_DIM, EMB_DIM))
@@ -800,6 +807,7 @@ def pca_basis(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
+        .filter(~F.exists("embedding", lambda x: x.isNull()))  # dense rows only
         .select(F.col("embedding").cast("array<double>").alias("emb"))
     )
     parts = e.mapInPandas(gram, "g array<double>, s array<double>, n long").collect()
@@ -810,6 +818,8 @@ def pca_basis(spark: SparkSession, sf_dir: str, k: int = PCA_K):
         G += np.asarray(r["g"]).reshape(EMB_DIM, EMB_DIM)
         s += np.asarray(r["s"])
         n += int(r["n"])
+    if n == 0:
+        raise ValueError("pca_basis: no dense embedding rows in the corpus")
     mu = s / n
     C = G / n - np.outer(mu, mu)
     w, V = np.linalg.eigh(C)  # ascending

@@ -330,9 +330,13 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (profile table ≈ |V|×|langs|, vocabulary-sized — persisted
     via the module cache because it feeds its marginals and the scoring
     join); scoring joins the exploded held-out gram stream against the
-    broadcast profiles (AQE falls back to sort-merge beyond broadcast
-    size — the unigram_logprob regime switch), then one (doc, lang)
-    aggregate and a per-doc ROW_NUMBER window. No Python anywhere."""
+    profiles under explicit ``F.broadcast`` hints — broadcast is FORCED,
+    not threshold-gated (ADVICE r10 #1: trigram profiles are bounded by
+    |charset|³ × |langs|, a vocabulary-sized table by construction, so
+    the hint can never meet an unbroadcastable input; a corpus-sized
+    side would instead use the unigram_logprob threshold/AQE regime
+    switch), then one (doc, lang) aggregate and a per-doc ROW_NUMBER
+    window. No Python anywhere."""
     d = parallelize_scan(
         table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )

@@ -325,7 +325,9 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DET_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> deterministic arrival dir
 
 
-def drain_with_timers(q, poll_s: float = 0.25, min_elapsed_s: float = 0.0) -> None:
+def drain_with_timers(
+    q, poll_s: float = 0.25, min_elapsed_s: float = 0.0, max_wall_s: float = 300.0
+) -> None:
     """Drain an availableNow stream whose stateful operator arms
     ProcessingTimeTimeout timers. With such timers pending, availableNow
     NEVER self-terminates: after the data batches it keeps scheduling
@@ -341,7 +343,10 @@ def drain_with_timers(q, poll_s: float = 0.25, min_elapsed_s: float = 0.0) -> No
     after a no-file batch would consume it. ``min_elapsed_s`` keeps the
     timer batches running past a TTL deadline before stopping (the
     eviction test's life 1 passes its TTL here so the sweep commits
-    deterministically in-life)."""
+    deterministically in-life). ``max_wall_s`` is the overall deadline
+    (ADVICE r10 #3): a query that stalls without ever producing two
+    consecutive no-file progress entries is stopped and raised on loudly
+    instead of hanging the bench/driver run forever."""
     import time
 
     def no_file(p) -> bool:
@@ -357,6 +362,13 @@ def drain_with_timers(q, poll_s: float = 0.25, min_elapsed_s: float = 0.0) -> No
         if drained and time.monotonic() - t0 >= min_elapsed_s:
             q.stop()
             break
+        if time.monotonic() - t0 > max_wall_s:
+            q.stop()
+            q.awaitTermination()
+            raise TimeoutError(
+                f"drain_with_timers: no drained state after {max_wall_s:.0f}s "
+                f"({len(q.recentProgress)} progress entries)"
+            )
         time.sleep(poll_s)
     q.awaitTermination()
 
@@ -394,10 +406,14 @@ def deterministic_arrival_split(
             docs.filter(F.pmod("doc_id", F.lit(n_batches)) == k).coalesce(
                 1
             ).write.mode("overwrite").parquet(tmp)
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            dst = f"{src}/batch{k}.parquet"
-            shutil.move(part, dst)
-            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            parts = glob.glob(f"{tmp}/part-*.parquet")
+            if parts:  # an empty doc_id residue class (corpus < n_batches)
+                # writes no part file; skipping it keeps the arrival order
+                # content-determined — the class contributes zero docs
+                dst = f"{src}/batch{k}.parquet"
+                shutil.move(parts[0], dst)
+                os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            shutil.rmtree(tmp, ignore_errors=True)  # ADVICE r10 #2
         _DET_SPLIT_CACHE[sf_dir] = src
     return src
 
