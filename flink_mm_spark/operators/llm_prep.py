@@ -1026,29 +1026,75 @@ def shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAS_SRC_CACHE: dict[str, str] = {}  # sf_dir -> staged packed-slice stream dir
 
 
+def idempotent_shard_append(df: DataFrame, batch_id: int, dst: str) -> None:
+    """EXACTLY-ONCE micro-batch shard append (VERDICT r10 #1).
+
+    ``foreachBatch`` is at-least-once: after a failure between the append
+    and the checkpoint commit, Structured Streaming REPLAYS the batch —
+    with a plain ``mode("append")`` writer the replayed slices land twice
+    (the duplication the xor manifest detects but cannot prevent,
+    tests/test_streaming.py::test_shard_manifest_catches_duplicated_append).
+    The fix is a batchId-DETERMINISTIC subpath with overwrite semantics:
+    batch ``b`` always writes ``dst/ingest=b/shard_id=*/...``, so a replay
+    REPLACES its own previous (possibly partial) output instead of
+    appending alongside it — the committed directory tree is a pure
+    function of the replayed offsets, whatever crashed in between. The
+    overwrite itself rides the file-sink commit protocol (per-task temp
+    files promoted on job commit — the temp-then-commit contract of the
+    binmatrix sink, sources/datasource.py:228-330); crash debris under the
+    batch dir is ``_``-prefixed and invisible to the read-back, and the
+    next replay clears it. Proven by a kill-mid-append two-life restart
+    test (tests/test_streaming.py::test_shard_append_restart_exactly_once):
+    life 1 appends batch 1 then dies BEFORE the commit; life 2 replays it
+    and the final manifest value-hash-equals the one-shot batch write —
+    zero duplicate slices."""
+    df.write.mode("overwrite").partitionBy("shard_id").parquet(
+        f"{dst}/ingest={batch_id}"
+    )
+
+
+def read_back_shards(spark: SparkSession, dst: str) -> DataFrame:
+    """Read every committed batch's shards under an idempotent-append
+    destination. Partition discovery surfaces the ``ingest`` batch key and
+    the ``shard_id``; the manifest contract is shard-keyed bigint, so the
+    batch key drops and shard_id casts up (directory discovery infers
+    int32)."""
+    return (
+        spark.read.parquet(dst)
+        .drop("ingest")
+        .withColumn("shard_id", F.col("shard_id").cast("bigint"))
+    )
+
+
 @register("shard_append_streamed", oracle=_SHARD_ORACLE)
 def shard_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL shard append — the streamed last mile (VERDICT r9 #5),
     composing the r9 families end-to-end: packed training slices ARRIVE
     over time (4 staged arrival files, one per micro-batch) and a
     ``foreachBatch`` writer appends each micro-batch's slices as new
-    shard-partitioned parquet through the same file-sink commit protocol
-    as ``shard_write_roundtrip`` (per-task temp files atomically promoted
-    per batch); the manifest — counts, token mass, xor-of-md5 content
-    fingerprint — is then RECOMPUTED by ``_shard_rollup`` over the
-    read-back of everything appended and graded against the same oracle
-    as the one-shot batch write. A slice lost, duplicated, or corrupted
-    by ANY append anywhere in the stream breaks the value hash; xor makes
-    the fingerprint indifferent to which batch (or task) wrote each slice.
+    shard-partitioned parquet; the manifest — counts, token mass,
+    xor-of-md5 content fingerprint — is then RECOMPUTED by
+    ``_shard_rollup`` over the read-back of everything appended and graded
+    against the same oracle as the one-shot batch write. A slice lost,
+    duplicated, or corrupted by ANY append anywhere in the stream breaks
+    the value hash; xor makes the fingerprint indifferent to which batch
+    (or task) wrote each slice.
+
+    EXACTLY-ONCE (r11, VERDICT r10 #1): the writer is
+    ``idempotent_shard_append`` — each micro-batch owns a
+    batchId-deterministic ``ingest=<b>`` subdirectory written with
+    overwrite semantics, so a batch replayed after a mid-append failure
+    replaces its own output instead of duplicating it; the kill-mid-append
+    restart test pins zero duplicate slices across a forced replay.
 
     Scale shape: per micro-batch the plan is ONE file scan of the
     arriving slices plus the partitioned write — ``partitionBy`` adds
     files, never an exchange, and the packer does NOT re-run (the stream
     stages its output once; plan-pinned in tests/test_plans.py). A shard
-    whose slices arrive across batches accumulates files in its partition
-    directory — append is directory-level, so no batch rewrites another
-    batch's data. The verify side is the roundtrip entry's: one scan +
-    one shard-keyed aggregate. Reference analogue:
+    whose slices arrive across batches accumulates one directory per
+    (batch, shard) — append is directory-level, so no batch touches
+    another batch's data. The verify side is the roundtrip entry's: one
+    scan + one shard-keyed aggregate. Reference analogue:
     mm/MatrixMultiply.java:88-103 (write-then-compare oracle pattern)."""
     from flink_mm_spark.session import scratch_dir
 
@@ -1072,17 +1118,14 @@ def shard_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("append").partitionBy("shard_id").parquet(dst)
+            lambda df, bid: idempotent_shard_append(df, bid, dst)
         )
         .option("checkpointLocation", scratch_dir("sas_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    back = spark.read.parquet(dst).withColumn(
-        "shard_id", F.col("shard_id").cast("bigint")
-    )
-    return _shard_rollup(back)
+    return _shard_rollup(read_back_shards(spark, dst))
 
 
 # --- cross-source n-gram overlap matrix, r8 --------------------------------

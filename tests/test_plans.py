@@ -754,7 +754,11 @@ def test_shard_append_batches_add_no_exchange(spark, tmp_path):
     deliver, written through the same partitioned writer."""
     from pyspark.sql import functions as F
 
-    from flink_mm_spark.operators.llm_prep import _mixture_packed, _with_shard_id
+    from flink_mm_spark.operators.llm_prep import (
+        _mixture_packed,
+        _with_shard_id,
+        idempotent_shard_append,
+    )
 
     src = str(tmp_path / "slices")
     _with_shard_id(_mixture_packed(spark, SF_DIR)).repartition(4).write.mode(
@@ -769,13 +773,12 @@ def test_shard_append_batches_add_no_exchange(spark, tmp_path):
     # append in its own job group and require every job it spawned to be
     # SINGLE-STAGE — a shuffle introduced anywhere in the write path
     # (planned-write repartition, sort-exchange on shard_id) would split
-    # a job into 2+ stages.
+    # a job into 2+ stages. Pins the SHIPPED writer (the r11
+    # batchId-deterministic idempotent append), not a replica.
     sc = spark.sparkContext
     sc.setJobGroup("shard_append_pin", "per-batch append must not shuffle")
     try:
-        batch_df.write.mode("append").partitionBy("shard_id").parquet(
-            str(tmp_path / "out")
-        )
+        idempotent_shard_append(batch_df, 0, str(tmp_path / "out"))
     finally:
         sc.setJobGroup(None, None)
     tracker = sc.statusTracker()
