@@ -707,11 +707,14 @@ def _mhx_oracle() -> str:
     """
 
 
-def mhx_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, source, sig): md5-MinHash exact-twin signatures over any
-    (doc_id, source, text) frame — BATCH OR STREAMING (the expression tree
-    is stateless, so streaming/documents.py reuses it per micro-batch for
-    the incremental band store). Documents with no shingles emit no row.
+def mhx_signatures(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, source, [*carry,] sig): md5-MinHash exact-twin signatures
+    over any (doc_id, source, text) frame — BATCH OR STREAMING (the
+    expression tree is stateless, so streaming/documents.py reuses it per
+    micro-batch for the incremental band store). Documents with no
+    shingles emit no row. ``carry`` threads extra per-document columns
+    (the streamed keep-best store rides its quality attributes through
+    here) without duplicating the signature definition anywhere.
 
     r5 note: the 32 permutations ran as interpreted array_min(transform())
     folds — ~32·|shingles| interpreted lambda evaluations per document, the
@@ -720,18 +723,20 @@ def mhx_signatures(d: DataFrame) -> DataFrame:
     are already 31-bit-folded JVM-side, which the oracle replays verbatim).
     """
     sh = shingles_expr(3)
-    base = d.select("doc_id", "source", sh.alias("sh")).filter(F.size("sh") > 0)
+    base = d.select("doc_id", "source", *carry, sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
     x = lambda s: (  # noqa: E731 — 31-bit-folded md5 base hash
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         .bitwiseAND(F.lit(0x7FFFFFFF))
     )
-    hs = base.select("doc_id", "source", F.transform("sh", x).alias("xs"))
+    hs = base.select("doc_id", "source", *carry, F.transform("sh", x).alias("xs"))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mhx_sig(xs: pd.Series) -> pd.Series:
         return _flat_min_sig(xs, _MHX_A, _MHX_B, [int(MINHASH_MOD)] * MHX_PERM)
 
-    return hs.select("doc_id", "source", mhx_sig("xs").alias("sig"))
+    return hs.select("doc_id", "source", *carry, mhx_sig("xs").alias("sig"))
 
 
 def band_key_exprs(n_bands: int, rows_per_band: int) -> Column:
@@ -879,17 +884,13 @@ def _kb_tables(spark: SparkSession, sf_dir: str):
     keep-best decision — shared by ``dedup_keep_best`` and the keep-best
     funnel variant (``corpus_prep_pipeline_keepbest``). Owns the
     ``_KB_CACHE`` swap (q and pq each feed 2+ downstream consumers)."""
-    # runtime-lazy: text.py imports dedup at module load (dedup is the
-    # import leaf), so the reverse edge must not exist at import time
-    from flink_mm_spark.operators.text import quality_logit_expr
-
     while _KB_CACHE:
         _KB_CACHE.pop().unpersist()
     docs = parallelize_scan(table(spark, sf_dir, "documents"))
-    q_score = F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    n_tok, q_score = kb_quality_cols()
     q = docs.select(
         "doc_id",
-        F.size(tokens_expr()).cast("int").alias("n_tok"),
+        n_tok.alias("n_tok"),
         q_score.alias("q_score"),
     ).persist()
     _KB_CACHE.append(q)
@@ -917,6 +918,25 @@ def _kb_tables(spark: SparkSession, sf_dir: str):
     _KB_CACHE.append(pq)
     losers = pq.select(_kb_loser_expr().alias("doc_id")).distinct()
     return q, pq, losers
+
+
+def kb_quality_cols() -> tuple[Column, Column]:
+    """(n_tok, q_score): the keep-best decision attributes as reusable
+    Column expressions — ONE definition behind the batch quality table
+    (``_kb_tables``) and the streamed decision tier's band rows
+    (streaming/documents.py ``keep_best_band_rows``), so the two sides of
+    the replay-equivalence grade decide from identical integers. n_tok is
+    the whitespace token count; q_score is ``quality_logit_expr``
+    quantized to integer micro-units (floor(score·1e6 + 0.5) — the
+    exactness contract for float-fed comparisons)."""
+    # runtime-lazy: text.py imports dedup at module load (dedup is the
+    # import leaf), so the reverse edge must not exist at import time
+    from flink_mm_spark.operators.text import quality_logit_expr
+
+    return (
+        F.size(tokens_expr()).cast("int"),
+        F.floor(quality_logit_expr() * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+    )
 
 
 def _kb_loser_expr() -> Column:
@@ -971,9 +991,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the banded self-join per consumer is the repo's documented
     re-compute hazard)."""
     q, pq, losers = _kb_tables(spark, sf_dir)
+    return kb_report(q, pq, losers)
+
+
+def kb_report(q: DataFrame, pairs: DataFrame, losers: DataFrame) -> DataFrame:
+    """The keep-best report assembly — ONE definition behind the batch
+    entry and the streamed decision tier (streaming/documents.py's
+    ``dedup_keep_best_streamed``), so the output contract cannot drift:
+    ``q`` = (doc_id, n_tok, q_score) for every document, ``pairs`` =
+    distinct candidate pairs (doc_a, doc_b), ``losers`` = distinct loser
+    doc_ids. Degrees are one map-side-combined count over the pair
+    endpoints; the final table is two doc_id left joins — pair-list- and
+    corpus-LINEAR, no iteration."""
     degrees = (
-        pq.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pq.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
     )

@@ -132,11 +132,13 @@ PROMOTE: list[str] = [
     # unigram family's first value-hash entry; displaces pack_sequences
     # (green r7; tokenize_pack_pipeline keeps the packer graded)
     "unigram_viterbi_encode",
-    # pairwise near-dup pruning (keep the best side of each candidate
-    # pair) — its oracle replays the ENTIRE md5-MinHash band chain, so it
-    # grades the exact-twin machinery too; displaces simhash_exact
-    # (green r7; this entry keeps the banded-sketch family value-hashed)
-    "dedup_keep_best",
+    # r11 swap: dedup_keep_best_streamed in, dedup_keep_best out — the
+    # ONLINE keep/drop decision on the streamed band store (VERDICT r10
+    # #2) grades the SAME keep-best oracle (full md5-MinHash band chain +
+    # pruning logic) while additionally covering the stateful store and
+    # the vectorized per-pair decision; the batch entry (green r10) is
+    # its DEFER sibling
+    "dedup_keep_best_streamed",
     # --- r9 rotation: the 2 never-driver-graded oracle entries (r8 ask #1);
     #     with them green, all 130 oracle entries are driver-proven ---
     "cross_source_overlap",
@@ -211,8 +213,9 @@ DEFER: list[str] = [
     "shard_write_roundtrip",  # one-shot write (r10): shard_append_streamed in-window
     "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
-    "minhash_lsh_exact",  # dedup_keep_best's oracle replays its whole chain
-    "simhash_exact",  # banded-sketch family: dedup_keep_best in-window
+    "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
+    "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
+    "dedup_keep_best",  # batch decision tier (r11): streamed twin in-window, same oracle
     "embedding_near_dup",  # block-pair GEMM: semantic_dedup in-window
     "jaccard_prefix_filtered",  # Jaccard family: jaccard_token_pairs in-window
     "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline_keepbest in-window

@@ -86,11 +86,31 @@ def documents_stream(
 STREAM_HOT_CAP = MAX_BAND_BUCKET
 
 
+def kb_losers_vec(a_ids, a_tok, a_sc, b_ids, b_tok, b_sc):
+    """The batch ``_kb_loser_expr`` CASE chain over oriented (a=min id,
+    b=max id) pair arrays, vectorized: fewer tokens loses; token ties lose
+    on lower integer micro-quality; full ties lose doc_b (keep the lower
+    id). Pinned branch-by-branch against the Spark expression in
+    tests/test_streaming.py::test_online_loser_matches_batch_case_chain."""
+    return np.where(
+        a_tok < b_tok,
+        a_ids,
+        np.where(
+            b_tok < a_tok,
+            b_ids,
+            np.where(a_sc < b_sc, a_ids, b_ids),
+        ),
+    )
+
+
 def minhash_band_store(
-    bands: DataFrame, cap: int | None = None, ttl_minutes: int | None = None
+    bands: DataFrame,
+    cap: int | None = None,
+    ttl_minutes: int | None = None,
+    decide: bool = False,
 ) -> DataFrame:
     """The incremental band store: a stateful probe-then-add per bucket —
-    ONE implementation behind both tiers (the ``_banded_pairs`` twin-unity
+    ONE implementation behind all tiers (the ``_banded_pairs`` twin-unity
     rule applied to streaming):
 
     - exact tier (``cap=None, ttl_minutes=None``): every member is kept
@@ -102,17 +122,28 @@ def minhash_band_store(
       removed after the duplicate-arrival horizon. Output then depends on
       arrival order, so this tier is graded by exact replay equivalence
       on a deterministic arrival order (tests), not by a SQL oracle.
+    - decision tier (``decide=True``, VERDICT r10 #2): band rows carry the
+      keep-best quality attributes (``n_tok``, ``q_score``), state carries
+      them per member, and every emitted pair also carries its LOSER —
+      the ``dedup_keep_best`` decision chain (fewer tokens loses; integer
+      micro-quality ties; full ties lose the higher id) applied ONLINE at
+      the moment the pair is discovered, so each arriving document's
+      keep/drop verdict updates incrementally instead of waiting for a
+      batch re-scan. Pure integer compares — the decision is exactly the
+      batch ``_kb_loser_expr`` CASE chain, vectorized.
 
-    Input: streaming (doc_id, source, sig, band_id, band_key) band rows.
-    Each bucket's state holds the (doc_id, sig) members accumulated so
-    far; a micro-batch's arrivals process in doc_id order, each scoring
-    against the members already IN the store (never against itself or
-    later arrivals), then joining it — so each unordered in-bucket pair is
-    scored exactly once across the stream's lifetime, reproducing the
-    batch band self-join's ``doc_a < doc_b`` orientation without its
-    shuffle. Emitted pairs are the ≥-threshold candidates; cross-band
-    duplicates (a pair sharing 2+ bands) dedupe downstream exactly like
-    the batch pipeline's ``dropDuplicates``.
+    Input: streaming (doc_id, source, sig[, n_tok, q_score], band_id,
+    band_key) band rows. Each bucket's state holds the (doc_id, sig[,
+    attrs]) members accumulated so far; a micro-batch's arrivals process
+    in doc_id order, each scoring against the members already IN the
+    store (never against itself or later arrivals), then joining it — so
+    each unordered in-bucket pair is scored exactly once across the
+    stream's lifetime, reproducing the batch band self-join's
+    ``doc_a < doc_b`` orientation without its shuffle. Emitted pairs are
+    the ≥-threshold candidates; cross-band duplicates (a pair sharing 2+
+    bands) dedupe downstream exactly like the batch pipeline's
+    ``dropDuplicates`` (the decision is a pure function of the pair's
+    attributes, so cross-band copies agree on the loser).
 
     Estimates are matches/32 — dyadic rationals, so float equality with
     the batch kernel and the SQL replay is exact. State schema is the
@@ -121,26 +152,33 @@ def minhash_band_store(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = T.StructType(
+    out_fields = [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ] + ([T.StructField("loser", T.LongType())] if decide else [])
+    out_schema = T.StructType(out_fields)
+    state_fields = [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ] + (
         [
-            T.StructField("doc_a", T.LongType()),
-            T.StructField("doc_b", T.LongType()),
-            T.StructField("est_jaccard", T.DoubleType()),
+            T.StructField("toks", T.ArrayType(T.LongType())),
+            T.StructField("scores", T.ArrayType(T.LongType())),
         ]
+        if decide
+        else []
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("ids", T.ArrayType(T.LongType())),
-            T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
-        ]
-    )
+    state_schema = T.StructType(state_fields)
 
-    empty_out = pd.DataFrame(
-        {
-            "doc_a": np.empty(0, np.int64),
-            "doc_b": np.empty(0, np.int64),
-            "est_jaccard": np.empty(0, np.float64),
-        }
+    def out_frame(a, b, e, l=None):  # noqa: E741 — l mirrors 'loser'
+        cols = {"doc_a": a, "doc_b": b, "est_jaccard": e}
+        if decide:
+            cols["loser"] = l if l is not None else np.empty(0, np.int64)
+        return pd.DataFrame(cols)
+
+    empty_out = out_frame(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
     )
 
     def probe_then_add(key, pdfs, state: GroupState):
@@ -162,12 +200,16 @@ def minhash_band_store(
             yield empty_out
             return
         if state.exists:
-            ids, sigs = state.get
-            member_ids = np.asarray(ids, dtype=np.int64)
-            members = np.array([np.asarray(s) for s in sigs], dtype=np.int64)
+            vals = state.get
+            member_ids = np.asarray(vals[0], dtype=np.int64)
+            members = np.array([np.asarray(s) for s in vals[1]], dtype=np.int64)
+            if decide:
+                member_tok = np.asarray(vals[2], dtype=np.int64)
+                member_sc = np.asarray(vals[3], dtype=np.int64)
         else:
             member_ids = np.empty(0, dtype=np.int64)
             members = np.empty((0, MHX_PERM), dtype=np.int64)
+            member_tok = member_sc = np.empty(0, dtype=np.int64)
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
         bids = batch["doc_id"].to_numpy(dtype=np.int64)
         bsigs = (
@@ -175,14 +217,28 @@ def minhash_band_store(
             if len(batch)
             else np.empty((0, MHX_PERM), dtype=np.int64)
         )
+        if decide:
+            btok = batch["n_tok"].to_numpy(dtype=np.int64)
+            bsc = batch["q_score"].to_numpy(dtype=np.int64)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_e: list[np.ndarray] = []
+        out_l: list[np.ndarray] = []
 
-        def emit(a_ids, b_ids, matches):
-            out_a.append(np.minimum(a_ids, b_ids))
-            out_b.append(np.maximum(a_ids, b_ids))
+        def emit(x_ids, y_ids, matches, x_attrs=None, y_attrs=None):
+            a_ids = np.minimum(x_ids, y_ids)
+            b_ids = np.maximum(x_ids, y_ids)
+            out_a.append(a_ids)
+            out_b.append(b_ids)
             out_e.append(matches / MHX_PERM)
+            if decide:
+                swap = x_ids > y_ids  # orient attrs with (a, b)
+                (x_tok, x_sc), (y_tok, y_sc) = x_attrs, y_attrs
+                a_tok = np.where(swap, y_tok, x_tok)
+                a_sc = np.where(swap, y_sc, x_sc)
+                b_tok = np.where(swap, x_tok, y_tok)
+                b_sc = np.where(swap, x_sc, y_sc)
+                out_l.append(kb_losers_vec(a_ids, a_tok, a_sc, b_ids, b_tok, b_sc))
 
         # under a prefix cap only the first `room` sorted arrivals join
         # the member set; everyone still PROBES the (capped) members
@@ -190,7 +246,13 @@ def minhash_band_store(
         if len(bids) and len(member_ids):
             m = (bsigs[:, None, :] == members[None, :, :]).sum(axis=2)
             bi, mj = np.nonzero(m >= MHX_THRESHOLD * MHX_PERM)
-            emit(bids[bi], member_ids[mj], m[bi, mj])
+            emit(
+                bids[bi],
+                member_ids[mj],
+                m[bi, mj],
+                (btok[bi], bsc[bi]) if decide else None,
+                (member_tok[mj], member_sc[mj]) if decide else None,
+            )
         if len(bids) > 1 and room > 0:
             m2 = (bsigs[:, None, :] == bsigs[None, :, :]).sum(axis=2)
             # row i (later doc_id) probes row j (earlier): strict lower
@@ -199,23 +261,28 @@ def minhash_band_store(
             hit = np.tril(m2 >= MHX_THRESHOLD * MHX_PERM, k=-1)
             hit[:, room:] = False
             ii, jj = np.nonzero(hit)
-            emit(bids[ii], bids[jj], m2[ii, jj])
-        state.update(
-            (
-                np.concatenate([member_ids, bids[:room]]).tolist(),
-                np.concatenate([members, bsigs[:room]], axis=0).tolist(),
+            emit(
+                bids[ii],
+                bids[jj],
+                m2[ii, jj],
+                (btok[ii], bsc[ii]) if decide else None,
+                (btok[jj], bsc[jj]) if decide else None,
             )
-        )
+        new_state = [
+            np.concatenate([member_ids, bids[:room]]).tolist(),
+            np.concatenate([members, bsigs[:room]], axis=0).tolist(),
+        ]
+        if decide:
+            new_state.append(np.concatenate([member_tok, btok[:room]]).tolist())
+            new_state.append(np.concatenate([member_sc, bsc[:room]]).tolist())
+        state.update(tuple(new_state))
         if ttl_minutes is not None:
             state.setTimeoutDuration(int(ttl_minutes * 60_000))
-        yield pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                "est_jaccard": np.concatenate(out_e)
-                if out_e
-                else np.empty(0, np.float64),
-            }
+        yield out_frame(
+            np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+            np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+            np.concatenate(out_e) if out_e else np.empty(0, np.float64),
+            np.concatenate(out_l) if out_l else None,
         )
 
     timeout = (
@@ -320,6 +387,102 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+def keep_best_band_rows(docs: DataFrame) -> DataFrame:
+    """Band rows for the DECISION tier: ``minhash_band_rows`` plus the
+    keep-best quality attributes riding along (``kb_quality_cols`` — the
+    SAME integer expressions the batch decision uses), so the store can
+    decide each discovered pair at emission time. n_tok widens to bigint
+    for the int64 state arrays; the decision compares are
+    width-indifferent."""
+    from flink_mm_spark.operators.dedup import kb_quality_cols
+
+    n_tok, q_score = kb_quality_cols()
+    enriched = docs.withColumn("n_tok", n_tok.cast("bigint")).withColumn(
+        "q_score", q_score
+    )
+    return (
+        mhx_signatures(enriched, carry=("n_tok", "q_score"))
+        .filter(F.col("source").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "sig",
+            "n_tok",
+            "q_score",
+            band_key_exprs(MHX_BANDS, MHX_PERM // MHX_BANDS).alias(
+                "band_id", "band_key"
+            ),
+        )
+    )
+
+
+_KBS_SINK_CACHE: list[str] = []  # previous keep-best invocation's sink table
+
+
+def _kbs_oracle() -> str:
+    from flink_mm_spark.operators.dedup import _keep_best_oracle
+
+    return _keep_best_oracle()
+
+
+@register("dedup_keep_best_streamed", oracle=_kbs_oracle())
+def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE keep/drop decisions on the streamed band store (VERDICT r10
+    #2) — the composition gap between the ingest gate and the shard
+    append, closed: documents arrive over 4 micro-batches, each arrival
+    probes the persisted band store, and every near-dup pair discovered is
+    DECIDED at that moment by the ``dedup_keep_best`` chain (fewer tokens
+    loses; integer micro-quality ties; full ties lose the higher id) — the
+    loser rides the emitted pair out of the state store, so an admission
+    pipeline downstream can drop documents incrementally instead of
+    re-scanning the corpus in batch. Graded by the SAME oracle as the
+    batch ``dedup_keep_best``: the exact tier's pair set is arrival-order
+    independent (every pair is probed exactly once, proven through
+    ``minhash_dedup_streamed``), and the decision is a pure integer
+    function of each pair's attributes, so the cumulative streamed
+    verdict table equals the batch replay bit-for-bit.
+
+    Assembly: the drained (pair, loser) stream dedupes across bands
+    (cross-band copies agree — the decision is content-determined), the
+    loser set and pair degrees reduce from it, and the per-document
+    report joins against the batch quality projection (every document
+    needs a row, including the never-paired majority — that projection is
+    report furniture, not decision state; the DECISIONS all happened in
+    the stream). Scale shape: the stream adds two int64 columns to the
+    band exchange and two int64 arrays to bucket state — the store's
+    O(members) bounds are unchanged; the report is ``kb_report``'s
+    pair-linear joins."""
+    import uuid
+
+    from flink_mm_spark.operators.dedup import kb_quality_cols, kb_report
+    from flink_mm_spark.session import scratch_dir
+    from flink_mm_spark.sources.tables import parallelize_scan
+
+    src = _arrival_split(spark, sf_dir)
+    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    while _KBS_SINK_CACHE:
+        spark.catalog.dropTempView(_KBS_SINK_CACHE.pop())
+    name = f"dedup_keep_best_streamed_{uuid.uuid4().hex[:8]}"
+    _KBS_SINK_CACHE.append(name)
+    q = (
+        minhash_band_store(bands, decide=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("kbs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    decided = spark.table(name).dropDuplicates(["doc_a", "doc_b"])
+    n_tok, q_score = kb_quality_cols()
+    quality = parallelize_scan(table(spark, sf_dir, "documents")).select(
+        "doc_id", n_tok.alias("n_tok"), q_score.alias("q_score")
+    )
+    losers = decided.select(F.col("loser").alias("doc_id")).distinct()
+    return kb_report(quality, decided.select("doc_a", "doc_b"), losers)
 
 
 _DET_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> deterministic arrival dir

@@ -110,8 +110,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "dedup_exact": "corpus_ingest_bounded_streamed",
         "dup_cluster_sizes": "corpus_ingest_bounded_streamed",
         "jaccard_shingle_pairs": "jaccard_token_pairs",
-        "minhash_lsh_exact": "dedup_keep_best",
-        "simhash_exact": "dedup_keep_best",
+        "minhash_lsh_exact": "dedup_keep_best_streamed",
+        "simhash_exact": "dedup_keep_best_streamed",
+        # r11 rotation: the streamed decision tier displaced the batch
+        # entry, which keeps the same oracle through its twin
+        "dedup_keep_best": "dedup_keep_best_streamed",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",

@@ -1114,3 +1114,58 @@ def test_shard_append_restart_exactly_once(spark, tmp_path):
         for r in _shard_rollup(read_back_shards(spark, dst)).collect()
     }
     assert got == want  # exactly-once: no duplicate, no loss, hashes intact
+
+
+def test_keep_best_streamed_equals_batch(spark):
+    """dedup_keep_best_streamed (r11): the online per-pair decisions,
+    accumulated over the drained stream, must reproduce the batch
+    keep-best table exactly — same pairs (the exact tier's arrival-order-
+    independent candidate set), same losers (the decision is a pure
+    integer function of each pair), same degrees and kept flags."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    streamed = [
+        tuple(r)
+        for r in registry.QUERIES["dedup_keep_best_streamed"].fn(spark, SF_DIR).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in registry.QUERIES["dedup_keep_best"].fn(spark, SF_DIR).collect()
+    ]
+    assert streamed == batch
+    assert any(r[-1] == 0 for r in streamed)  # some document actually drops
+
+
+def test_online_loser_matches_batch_case_chain(spark):
+    """kb_losers_vec must agree with the batch _kb_loser_expr CASE chain on
+    every branch — including the token tie (quality decides) and the full
+    tie (doc_b loses), which the grading corpus never reaches (no token
+    ties among its candidate pairs)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.dedup import _kb_loser_expr
+    from flink_mm_spark.streaming.documents import kb_losers_vec
+
+    # (doc_a, doc_b, ta, tb, sa, sb) covering all five CASE branches
+    cases = [
+        (1, 2, 3, 9, 0, 0),  # a has fewer tokens -> a loses
+        (1, 2, 9, 3, 0, 0),  # b has fewer tokens -> b loses
+        (1, 2, 5, 5, -7, 4),  # token tie, a lower quality -> a loses
+        (1, 2, 5, 5, 4, -7),  # token tie, b lower quality -> b loses
+        (1, 2, 5, 5, 4, 4),  # full tie -> b loses (keep the lower id)
+    ]
+    df = spark.createDataFrame(cases, "doc_a long, doc_b long, ta long, tb long, sa long, sb long")
+    want = [r[0] for r in df.select(_kb_loser_expr()).collect()]
+    a = np.array([c[0] for c in cases], np.int64)
+    b = np.array([c[1] for c in cases], np.int64)
+    got = kb_losers_vec(
+        a,
+        np.array([c[2] for c in cases], np.int64),
+        np.array([c[4] for c in cases], np.int64),
+        b,
+        np.array([c[3] for c in cases], np.int64),
+        np.array([c[5] for c in cases], np.int64),
+    )
+    assert got.tolist() == want == [1, 2, 1, 2, 2]
