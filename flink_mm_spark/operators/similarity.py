@@ -674,10 +674,11 @@ def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_CACHE: list[DataFrame] = []  # persisted double-cast embeddings
 
-
-@register(
-    "embedding_covariance",
-    oracle=f"""
+# ONE oracle behind the batch exactness tier AND the streamed twin
+# (streaming/embeddings.py, r11): both accumulate the identical
+# decimal(28,14) per-row terms — decimal addition is exact and
+# associative, so batch-vs-micro-batch splits cannot move a single bit.
+COV_ORACLE = f"""
     WITH e AS (
       SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       WHERE embedding IS NOT NULL
@@ -702,8 +703,42 @@ _COV_CACHE: list[DataFrame] = []  # persisted double-cast embeddings
                  6) + 0.0 AS cov
     FROM prods p JOIN sums mi ON mi.i = p.i JOIN sums mj ON mj.i = p.j CROSS JOIN n
     ORDER BY p.i, p.j
-    """,
-)
+    """
+
+
+def cov_assemble(prods: DataFrame, sums: DataFrame, n: DataFrame) -> DataFrame:
+    """Final covariance assembly from the accumulated decimal term sums —
+    ONE definition behind the batch tier and the streamed twin: prods =
+    (i, j, sxy decimal), sums = (i, sx decimal), n = 1-row (c bigint).
+    Means/products combine in float, round to 6, then ``+ 0.0``
+    canonicalizes IEEE negative zero (the driver hashes repr)."""
+    return (
+        prods.join(F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("sxy").cast("double") / F.col("c")
+                    - (F.col("sx_i").cast("double") / F.col("c"))
+                    * (F.col("sx_j").cast("double") / F.col("c")),
+                    6,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (repr-hashed by the driver)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@register("embedding_covariance", oracle=COV_ORACLE)
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-graded covariance matrix of the embedding corpus — the
     statistic every embedding-pipeline stage downstream of ingest needs
@@ -746,30 +781,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("x").cast("decimal(28,14)")).alias("sx"))
     )
     n = e.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    return (
-        prods.join(F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))), "i")
-        .join(
-            F.broadcast(
-                sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
-            ),
-            "j",
-        )
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            (
-                F.round(
-                    F.col("sxy").cast("double") / F.col("c")
-                    - (F.col("sx_i").cast("double") / F.col("c"))
-                    * (F.col("sx_j").cast("double") / F.col("c")),
-                    6,
-                )
-                + F.lit(0.0)  # canonicalize -0.0 (repr-hashed by the driver)
-            ).alias("cov"),
-        )
-        .orderBy("i", "j")
-    )
+    return cov_assemble(prods, sums, n)
 
 
 PCA_K = 8

@@ -159,12 +159,13 @@ PROMOTE: list[str] = [
     # grades the SAME exact oracle while demonstrating the bounded-state
     # production form; the unbounded gate (green r9) is its DEFER sibling
     "corpus_ingest_bounded_streamed",
-    # r10 swap: embedding_covariance in, token_bigram_pmi out — the
-    # exactly-graded embedding covariance (decimal-term sums over one
-    # d²-keyed exchange, the exactness twin of the partial-Gram PCA
-    # path); the PMI entry (green r9) moves to DEFER with the text
-    # family re-pointed at lang_id_ngram
-    "embedding_covariance",
+    # r11 swap: embedding_covariance_streamed in, embedding_covariance
+    # out — the incremental covariance (ONE complete-mode stateful agg
+    # accumulating the identical decimal terms across micro-batches,
+    # VERDICT r10 #4) grades the SAME exact oracle while closing the
+    # embedding family's streamed-tier gap; the batch entry (green r10)
+    # is its DEFER sibling
+    "embedding_covariance_streamed",
     "local_supplier_volume",
     # r10 swap: bpe_bytes_merges in, token_counts out — the byte-level
     # trainer table was the only 1 of 136 oracle entries never
@@ -212,6 +213,7 @@ DEFER: list[str] = [
     "corpus_ingest_streamed",  # unbounded gate (r10): bounded twin in-window
     "shard_write_roundtrip",  # one-shot write (r10): shard_append_streamed in-window
     "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
+    "embedding_covariance",  # batch tier (r11): streamed twin in-window, same oracle
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
@@ -313,7 +315,8 @@ DEFER: list[str] = [
     "minhash_dedup_streamed_capped",
     # PCA projection (r10): partial-Gram basis is float-order
     # nondeterministic at the last ulp — rows-only; the covariance it
-    # reduces is value-hash graded through embedding_covariance in-window
+    # reduces is value-hash graded through embedding_covariance_streamed
+    # in-window (same oracle as the batch tier)
     "embedding_pca_project",
 ]
 
@@ -352,3 +355,4 @@ def load_all() -> None:
     import flink_mm_spark.sources.bucketing  # noqa: F401
     import flink_mm_spark.streaming.events  # noqa: F401
     import flink_mm_spark.streaming.documents  # noqa: F401
+    import flink_mm_spark.streaming.embeddings  # noqa: F401

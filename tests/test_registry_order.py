@@ -112,9 +112,10 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "jaccard_shingle_pairs": "jaccard_token_pairs",
         "minhash_lsh_exact": "dedup_keep_best_streamed",
         "simhash_exact": "dedup_keep_best_streamed",
-        # r11 rotation: the streamed decision tier displaced the batch
-        # entry, which keeps the same oracle through its twin
+        # r11 rotation: each streamed tier displaced its batch twin,
+        # which keeps the same oracle through the in-window entry
         "dedup_keep_best": "dedup_keep_best_streamed",
+        "embedding_covariance": "embedding_covariance_streamed",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",

@@ -1169,3 +1169,25 @@ def test_online_loser_matches_batch_case_chain(spark):
         np.array([c[5] for c in cases], np.int64),
     )
     assert got.tolist() == want == [1, 2, 1, 2, 2]
+
+
+def test_streamed_covariance_batch_split_independent(spark):
+    """embedding_covariance_streamed (r11): decimal term sums are exact
+    and associative, so the complete-mode accumulation must equal the
+    batch tier bit-for-bit — including the repr of every rounded cell
+    (the -0.0 canonicalization both tiers share)."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    st = [
+        tuple(r)
+        for r in registry.QUERIES["embedding_covariance_streamed"]
+        .fn(spark, SF_DIR)
+        .collect()
+    ]
+    bt = [
+        tuple(r)
+        for r in registry.QUERIES["embedding_covariance"].fn(spark, SF_DIR).collect()
+    ]
+    assert len(st) == len(bt) and st == bt
+    assert all(repr(a[2]) == repr(b[2]) for a, b in zip(st, bt))
