@@ -877,3 +877,107 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- fixed-basis projection: the GEMM kernel, exactly graded (r11) ----------
+
+PFX_K = 8
+_PFX_SEED = 11
+
+
+def _pfx_basis() -> np.ndarray:
+    """The FIXED driver-seeded orthonormal basis (d × PFX_K): QR of seeded
+    standard normals, sign convention forcing each column's
+    largest-|coordinate| entry positive (QR is unique up to column signs).
+    Computed once per process; the Spark kernel and the oracle literals
+    render from this SAME array, so the grade compares the two ENGINES,
+    not two basis derivations."""
+    rng = np.random.default_rng(_PFX_SEED)
+    q, _ = np.linalg.qr(rng.standard_normal((EMB_DIM, PFX_K)))
+    flip = np.sign(q[np.abs(q).argmax(axis=0), np.arange(PFX_K)])
+    flip[flip == 0] = 1.0
+    return q * flip
+
+
+_PFX_Q = _pfx_basis()
+
+
+def _pfx_oracle() -> str:
+    # every basis literal renders via repr() wrapped in CAST(.. AS DOUBLE):
+    # repr is the shortest round-tripping decimal, and DuckDB's cast is
+    # correctly rounded, so the SQL operand is the identical IEEE double
+    # (bare float literals parse as DECIMAL and fold differently — the
+    # bm25_topk gotcha). The 64-term dot is written as an explicit
+    # left-associative chain to match np.add.reduce's sequential order.
+    def dot_sql(k: int) -> str:
+        return " + ".join(
+            f"(emb[{i + 1}] * CAST({_PFX_Q[i, k]!r} AS DOUBLE))"
+            for i in range(EMB_DIM)
+        )
+
+    cols = ",\n           ".join(
+        f"CAST(FLOOR(({dot_sql(k)}) * 1000000 + 0.5) AS BIGINT) AS p{k}"
+        for k in range(PFX_K)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    )
+    SELECT vec_id,
+           {cols}
+    FROM e ORDER BY vec_id
+    """
+
+
+@register("pca_fixed_project", oracle=_pfx_oracle())
+def pca_fixed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched projection KERNEL, value-hash graded (VERDICT r10
+    #7): every embedding projects onto a FIXED, driver-seeded orthonormal
+    basis (``_pfx_basis`` — the same d×k broadcast-GEMM shape
+    ``embedding_pca_project`` runs with its trained basis) and the outputs
+    quantize to integer micro-units, the pq_adc exactness contract:
+    floor(x·1e6 + 0.5), never a raw float. This gives the projection path
+    the same exact/production twin split every other family has —
+    ``embedding_pca_project`` stays the trained-basis production twin
+    (rows-only: its PARTIAL-GRAM basis is float-order nondeterministic),
+    while this entry pins the projection arithmetic bit-for-bit.
+
+    Exactness contract: each component is a 64-term float64 dot written
+    LEFT-ASSOCIATIVELY on both engines — numpy ``np.add.reduce`` over the
+    dimension axis is sequential below its 128-element pairwise blocksize,
+    and the oracle unrolls the same chain as explicit SQL ``+`` terms over
+    ``repr()``-rendered CAST(.. AS DOUBLE) basis literals — so operands,
+    order, and therefore every last ulp agree before quantization. Rows
+    with null cells are excluded on both sides (a null operand would
+    poison the chain; the pca_basis dense-rows contract).
+
+    Scale shape: one parquet scan → one Arrow stage (the k dot products
+    vectorized across the batch; temp = batch × d × k doubles), no
+    shuffle, no driver state beyond the d×k basis. The ORDER BY is the
+    grading convention, not the operator."""
+    bq = _PFX_Q.copy()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def project_q(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        # sequential (left-assoc) reduce over the 64-dim axis — matches
+        # the oracle's explicit + chain; a BLAS GEMM would not
+        P = np.add.reduce(X[:, :, None] * bq[None, :, :], axis=1)
+        micro = np.floor(P * 1e6 + 0.5).astype(np.int64)
+        return pd.Series(list(micro))
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(~F.exists("embedding", lambda x: x.isNull()))
+    )
+    proj = e.select(
+        "vec_id", project_q(F.col("embedding").cast("array<double>")).alias("m")
+    )
+    return proj.select(
+        "vec_id", *[F.col("m")[k].alias(f"p{k}") for k in range(PFX_K)]
+    ).orderBy("vec_id")

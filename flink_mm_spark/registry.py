@@ -110,10 +110,12 @@ PROMOTE: list[str] = [
     # to DEFER as its sibling)
     "corpus_prep_pipeline_keepbest",
     "count_min_exact",
-    # --- r8 new entries ---
-    # held-out encode with REAL UNK rows (r7 ask #6); displaces
-    # kmeans_empty_repair (green r7; kmeans_full covers I4)
-    "wordpiece_encode_holdout",
+    # r11 swap: pca_fixed_project in, wordpiece_encode_holdout out — the
+    # Arrow projection kernel value-hashed on a fixed seeded orthonormal
+    # basis with integer-quantized outputs (VERDICT r10 #7), giving the
+    # projection path its exact/production twin split; the held-out
+    # encode (green r10) defers with wordpiece_encode as its sibling
+    "pca_fixed_project",
     # mixture APPLY -> pack (r8); displaced cosine_topk (pq_adc_topk keeps
     # similarity graded)
     "mixture_pack_pipeline",
@@ -127,7 +129,6 @@ PROMOTE: list[str] = [
     # UNK-free) becomes the BPE family sentinel; the char-level encode
     # (green r8) moves to DEFER with this entry as its sibling
     "bpe_bytes_encode",
-    "tokenize_pack_pipeline",
     # exactly-graded Viterbi decoder (integer micro-nat weights) — the
     # unigram family's first value-hash entry; displaces pack_sequences
     # (green r7; tokenize_pack_pipeline keeps the packer graded)
@@ -139,9 +140,8 @@ PROMOTE: list[str] = [
     # the vectorized per-pair decision; the batch entry (green r10) is
     # its DEFER sibling
     "dedup_keep_best_streamed",
-    # --- r9 rotation: the 2 never-driver-graded oracle entries (r8 ask #1);
-    #     with them green, all 130 oracle entries are driver-proven ---
-    "cross_source_overlap",
+    # gram-overlap family sentinel (r9; its twin cross_source_overlap
+    # rotated to DEFER in r11 for the stale cohort)
     "ngram_novelty",
     # --- graded r5, rotated out in r6, back in r8 for freshness ---
     "chunk_dedup",
@@ -166,13 +166,25 @@ PROMOTE: list[str] = [
     # embedding family's streamed-tier gap; the batch entry (green r10)
     # is its DEFER sibling
     "embedding_covariance_streamed",
-    "local_supplier_volume",
-    # r10 swap: bpe_bytes_merges in, token_counts out — the byte-level
-    # trainer table was the only 1 of 136 oracle entries never
-    # driver-graded (VERDICT r9 #1: registered r9 straight into DEFER);
-    # token_counts (green r9) moves to DEFER with its text-stats family
-    # sibling token_bigram_pmi staying in-window
-    "bpe_bytes_merges",
+    # r11 stale-cohort rotation (VERDICT r10 #5): these five oracle
+    # entries were last driver-graded in ROUND 1, on the pre-regeneration
+    # testdata — the stalest evidence in the registry. Each displaces an
+    # r10-green entry whose family keeps an in-window sibling:
+    # shipping_priority in, local_supplier_volume out (both TPC-H-style
+    # equi-join+agg; the P1/P3/J1 families re-point at shipping_priority)
+    "shipping_priority",
+    # global_stats in, bpe_bytes_merges out (trainer sibling:
+    # bpe_bytes_encode, same machinery)
+    "global_stats",
+    # quantity_percentiles in, tokenize_pack_pipeline out (packer
+    # sibling: mixture_pack_pipeline runs the same packer)
+    "quantity_percentiles",
+    # events_json_props in, events_hourly out (events-table family
+    # re-points at events_json_props)
+    "events_json_props",
+    # media_metadata in, cross_source_overlap out (gram-overlap sibling:
+    # ngram_novelty)
+    "media_metadata",
     "pii_scrub",
     "repetition_signals",
     # r10 swap: lang_id_ngram in, unigram_logprob out — the trained
@@ -194,26 +206,33 @@ PROMOTE: list[str] = [
     "jaccard_token_pairs",
     "orders_with_returns",
     "event_followups_range_join",
-    "events_hourly",
     "rolling_fingerprints",
 ]
 
 DEFER: list[str] = [
     # --- graded green in r6, rotated out by the r7/r8 window ---
-    "pricing_summary",  # P4 map/filter: clamp_small_values in-window
+    "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
     "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats in-window
     "top_customers_per_nation",  # window family: user_sessions_batch in-window
     "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
     "histogram_quantiles",  # sketch family: count_min_exact in-window
     "hll_distinct_exact",  # sketch family: count_min_exact in-window
     "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
-    "events_minutely_gapfill",  # events time agg: events_hourly in-window
+    "events_minutely_gapfill",  # events-table family: events_json_props in-window (r11)
     "dedup_exact",  # exact-dedup family: corpus_ingest_bounded_streamed in-window
     "dup_cluster_sizes",  # cluster histogram: corpus_ingest_bounded_streamed in-window
     "corpus_ingest_streamed",  # unbounded gate (r10): bounded twin in-window
     "shard_write_roundtrip",  # one-shot write (r10): shard_append_streamed in-window
     "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
     "embedding_covariance",  # batch tier (r11): streamed twin in-window, same oracle
+    # r11 stale-cohort rotation: r10-green entries displaced by the five
+    # round-1-stale entries; every family keeps an in-window sibling
+    "local_supplier_volume",  # equi-join+agg: shipping_priority in-window
+    "wordpiece_encode_holdout",  # WordPiece encode: wordpiece_encode in-window
+    "bpe_bytes_merges",  # byte-BPE trainer: bpe_bytes_encode in-window
+    "cross_source_overlap",  # gram overlap: ngram_novelty in-window
+    "tokenize_pack_pipeline",  # packer: mixture_pack_pipeline in-window
+    "events_hourly",  # events-table family: events_json_props in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
@@ -242,16 +261,16 @@ DEFER: list[str] = [
     # r9 rotation: out for the 2 never-graded entries (green r8; families
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
-    "clamp_small_values",  # P4 map/filter: local_supplier_volume in-window
+    "clamp_small_values",  # P4 map/filter: shipping_priority in-window (r11)
     "shard_manifest",  # shard rollup: shard_append_streamed grades the same oracle
     "events_dedup_streamed",  # stateful stream (r9): minhash_dedup_streamed in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
-    "bucketed_fact_join",  # equi-join at rest: local_supplier_volume in-window
+    "bucketed_fact_join",  # equi-join at rest: shipping_priority in-window (r11)
     "events_enriched_streamed",  # streamed enrich: events_sliding_streamed in-window
     "events_hll_streamed",  # stateful stream: events_dedup_streamed in-window
     "events_cms_streamed",  # count-min family: count_min_exact in-window
     # --- rotated out in earlier rounds; in-window sibling per r8 window ---
-    "pack_sequences",  # packer: tokenize_pack_pipeline runs it in-window
+    "pack_sequences",  # packer: mixture_pack_pipeline runs it in-window (r11)
     "kmeans_empty_repair",  # I4 repair kernel: kmeans_full grades the loop
     "cosine_topk",  # cosine kernel: pq_adc_topk keeps similarity graded
     "click_purchase_streamed",  # stream-stream join: events_sliding_streamed in-window
@@ -284,16 +303,11 @@ DEFER: list[str] = [
     "running_order_totals",  # cumulative window: user_sessions_batch in-window
     "customers_without_orders",  # anti-join: orders_with_returns in-window
     "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
-    "events_json_props",  # JSON extraction: events_hourly in-window
     "distinct_part_types",  # DISTINCT: corpus_ingest_bounded_streamed in-window
     "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
     "salted_event_totals",  # salted partial agg: kmeans_centroid_update in-window
     "economy_revenue_share",  # global sum: mds_stress in-window
     "customer_order_gaps",  # lag window: user_sessions_batch in-window
-    "shipping_priority",  # equi-join: local_supplier_volume in-window
-    "quantity_percentiles",  # ordered analytics: user_sessions_batch in-window
-    "global_stats",  # DoubleStatistics: short_matrix_stats in-window
-    "media_metadata",  # metadata projection: media_audio_energy in-window
     "media_frame_sample",  # frame explode: media_audio_energy in-window
     # --- approximate / iterative rows-only entries (no_oracle either way) ---
     "kmeans_full_demo",  # float-space demo; kmeans_full grades the loop exactly

@@ -99,14 +99,14 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     graded = set(window())
     siblings = {
         # graded green in r6, rotated out by the r7/r8 window
-        "pricing_summary": "local_supplier_volume",
+        "pricing_summary": "shipping_priority",
         "rollup_sales": "cube_order_stats",
         "top_customers_per_nation": "user_sessions_batch",
         "asof_click_purchase": "event_followups_range_join",
         "histogram_quantiles": "count_min_exact",
         "hll_distinct_exact": "count_min_exact",
         "user_funnel_full_outer": "orders_with_returns",
-        "events_minutely_gapfill": "events_hourly",
+        "events_minutely_gapfill": "events_json_props",
         "dedup_exact": "corpus_ingest_bounded_streamed",
         "dup_cluster_sizes": "corpus_ingest_bounded_streamed",
         "jaccard_shingle_pairs": "jaccard_token_pairs",
@@ -116,6 +116,14 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         # which keeps the same oracle through the in-window entry
         "dedup_keep_best": "dedup_keep_best_streamed",
         "embedding_covariance": "embedding_covariance_streamed",
+        # r11 stale-cohort rotation: r10-green entries displaced by the
+        # five round-1-stale entries
+        "local_supplier_volume": "shipping_priority",
+        "wordpiece_encode_holdout": "wordpiece_encode",
+        "bpe_bytes_merges": "bpe_bytes_encode",
+        "cross_source_overlap": "ngram_novelty",
+        "tokenize_pack_pipeline": "mixture_pack_pipeline",
+        "events_hourly": "events_json_props",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
@@ -146,16 +154,16 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "curation_funnel": "dsir_importance",
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
-        "clamp_small_values": "local_supplier_volume",
+        "clamp_small_values": "shipping_priority",
         "shard_manifest": "shard_append_streamed",
         "events_dedup_streamed": "minhash_dedup_streamed",
         "binmatrix_sink_roundtrip": "binary_f64_scan",
-        "bucketed_fact_join": "local_supplier_volume",
+        "bucketed_fact_join": "shipping_priority",
         "events_enriched_streamed": "events_sliding_streamed",
         "events_hll_streamed": "minhash_dedup_streamed",
         "events_cms_streamed": "count_min_exact",
         # rotated out in earlier rounds
-        "pack_sequences": "tokenize_pack_pipeline",
+        "pack_sequences": "mixture_pack_pipeline",
         "kmeans_empty_repair": "kmeans_full",
         "cosine_topk": "pq_adc_topk",
         "click_purchase_streamed": "events_sliding_streamed",
@@ -188,16 +196,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "running_order_totals": "user_sessions_batch",
         "customers_without_orders": "orders_with_returns",
         "suppliers_with_large_lineitems": "orders_with_returns",
-        "events_json_props": "events_hourly",
         "distinct_part_types": "corpus_ingest_bounded_streamed",
         "media_resize_estimate": "media_audio_energy",
         "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",
         "customer_order_gaps": "user_sessions_batch",
-        "shipping_priority": "local_supplier_volume",
-        "quantity_percentiles": "user_sessions_batch",
-        "global_stats": "short_matrix_stats",
-        "media_metadata": "media_audio_energy",
         "media_frame_sample": "media_audio_energy",
         # rows-only demos keep their exactly-graded twins in-window
         "kmeans_full_demo": "kmeans_full",

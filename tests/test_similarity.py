@@ -219,3 +219,34 @@ def test_pca_basis_contracts_and_exact_twin_agreement(spark):
         C_exact[r["i"], r["j"]] = r["cov"]
     diag_from_eig = np.sort(np.diag(Vk.T @ C_exact @ Vk))[::-1]
     assert np.allclose(diag_from_eig, w, atol=5e-6)
+
+
+def test_pfx_basis_orthonormal_and_projection_kernel(spark):
+    """pca_fixed_project (r11): the fixed seeded basis must be orthonormal
+    (so the entry really grades a PROJECTION, not an arbitrary linear
+    map), and the quantized kernel must equal a driver-side replay of the
+    same left-associative arithmetic on the same rows."""
+    import numpy as np
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import _PFX_Q, PFX_K
+    from flink_mm_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    assert np.allclose(_PFX_Q.T @ _PFX_Q, np.eye(PFX_K), atol=1e-10)
+    registry.load_all()
+    got = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in registry.QUERIES["pca_fixed_project"].fn(spark, SF_DIR).collect()
+    }
+    rows = (
+        table(spark, SF_DIR, "embeddings")
+        .filter("embedding is not null")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for r in rows[:50]:
+        x = np.asarray(r["embedding"], np.float64)
+        p = np.add.reduce(x[:, None] * _PFX_Q, axis=0)
+        want = tuple(int(v) for v in np.floor(p * 1e6 + 0.5).astype(np.int64))
+        assert got[r["vec_id"]] == want
