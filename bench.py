@@ -116,6 +116,12 @@ HEADLINE = [
                                 # aggregate; the PCA exactness twin)
     "embedding_pca_project",    # r10: partial-Gram basis + Arrow GEMM
                                 # projection (production covariance tier)
+    "dedup_keep_best_streamed", # r11: online keep/drop decisions on the
+                                # streamed band store (decision tier)
+    "embedding_covariance_streamed",  # r11: incremental covariance (one
+                                # complete-mode decimal accumulator)
+    "pca_fixed_project",        # r11: fixed-basis projection kernel
+                                # (exactly-graded Arrow GEMM path)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -110,6 +110,10 @@ AUDITED = [
     "shard_append_streamed",  # per-batch scan->write appends + manifest scan
     "lang_id_ngram",  # profile aggregate + broadcast scoring + doc window
     "embedding_covariance",  # ONE d²-keyed decimal aggregate, O(parts×d²)
+    # r11: the streamed decision/statistics tiers + the projection kernel
+    "dedup_keep_best_streamed",  # band+attrs into state, pair-linear report
+    "embedding_covariance_streamed",  # per-batch term exchange into d² state
+    "pca_fixed_project",  # expect ~0: scan -> Arrow stage, no exchange
 ]
 
 

@@ -819,3 +819,60 @@ def test_embedding_covariance_one_keyed_aggregate_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pca_fixed_project_one_arrow_stage_no_shuffle(spark):
+    """pca_fixed_project (r11): one pruned parquet scan -> one Arrow
+    projection stage -> the grading sort. No hash exchange anywhere (the
+    kernel is embarrassingly parallel); the scan reads only the two
+    columns the entry needs. AQE renders cached/final plans twice, so
+    counts assert >= 1 plus the absence of regression signatures."""
+    df = registry.QUERIES["pca_fixed_project"].fn(spark, SF_DIR)
+    df.collect()  # AQE hides the final plan until execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") >= 1, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(read_cols) <= 2, scan  # vec_id + embedding only
+
+
+def test_dedup_keep_best_streamed_report_stays_jvm(spark):
+    """dedup_keep_best_streamed (r11): the returned plan is the REPORT
+    assembly — the documents quality projection (JVM exprs) joined with
+    the pair-list-sized degree/loser reductions over the drained sink.
+    The DECISIONS happened inside the stream; nothing here may re-derive
+    signatures (no Arrow stage) or sort-merge anything (the pair-side
+    tables are broadcast-sized)."""
+    df = registry.QUERIES["dedup_keep_best_streamed"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan[:3000]  # signatures never re-run
+    assert "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_embedding_covariance_streamed_assembly_over_checkpoint(spark):
+    """embedding_covariance_streamed (r11): the returned plan is the
+    assembly over the checkpointed d²-row accumulator table — broadcast
+    re-attach joins only, no file scan (the corpus was consumed by the
+    stream), no Python, no shuffle. The accumulator itself must hold
+    exactly d² + d + 1 rows (products + sums + count), the O(d²)-state
+    claim as a number."""
+    from flink_mm_spark.operators.similarity import EMB_DIM
+
+    df = registry.QUERIES["embedding_covariance_streamed"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "FileScan" not in plan  # assembly reads the drained state only
+    from flink_mm_spark.streaming.embeddings import _COV_SINK_CACHE
+
+    assert _COV_SINK_CACHE, "sink table name not cached"
+    n_rows = spark.table(_COV_SINK_CACHE[-1]).count()
+    assert n_rows == EMB_DIM * EMB_DIM + EMB_DIM + 1
