@@ -122,6 +122,8 @@ HEADLINE = [
                                 # complete-mode decimal accumulator)
     "pca_fixed_project",        # r11: fixed-basis projection kernel
                                 # (exactly-graded Arrow GEMM path)
+    "corpus_to_shards_streamed",  # r11: composed pipeline — online
+                                # admission -> exactly-once shards -> manifest
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -206,7 +206,13 @@ PROMOTE: list[str] = [
     "jaccard_token_pairs",
     "orders_with_returns",
     "event_followups_range_join",
-    "rolling_fingerprints",
+    # r11 swap: corpus_to_shards_streamed in, rolling_fingerprints out —
+    # the COMPOSED streamed pipeline (online arrival-time admission on the
+    # decision store -> exactly-once shard materialization of survivors ->
+    # manifest from read-back, one oracle replaying the whole chain);
+    # rolling_fingerprints (green r10) defers with chunk_dedup keeping the
+    # sub-document fingerprint family value-hashed
+    "corpus_to_shards_streamed",
 ]
 
 DEFER: list[str] = [
@@ -243,7 +249,8 @@ DEFER: list[str] = [
     "corpus_prep_pipeline",  # naive-edge funnel (r9): corpus_prep_pipeline_keepbest in-window
     "knn_per_label",  # cosine kernel: cosine_topk in-window
     "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
-    "doc_fingerprints",  # winnowing twin: rolling_fingerprints in-window
+    "doc_fingerprints",  # sub-document fingerprints: chunk_dedup in-window (r11)
+    "rolling_fingerprints",  # winnowing (r11 rotation): chunk_dedup in-window
     "vocab_top_terms",  # text stats: lang_id_ngram in-window
     "quality_logit_score",  # corpus LM: lang_id_ngram in-window
     "bm25_topk",  # term-stat ranking: lang_id_ngram in-window

@@ -156,7 +156,18 @@ def minhash_band_store(
         T.StructField("doc_a", T.LongType()),
         T.StructField("doc_b", T.LongType()),
         T.StructField("est_jaccard", T.DoubleType()),
-    ] + ([T.StructField("loser", T.LongType())] if decide else [])
+    ] + (
+        [
+            T.StructField("loser", T.LongType()),
+            # which side of the pair ARRIVED (the later doc): arrival-time
+            # admission semantics drop a doc only when it loses at its own
+            # arrival (corpus_to_shards_streamed) — the batch keep-best
+            # semantics drop the loser regardless of order
+            T.StructField("arrival", T.LongType()),
+        ]
+        if decide
+        else []
+    )
     out_schema = T.StructType(out_fields)
     state_fields = [
         T.StructField("ids", T.ArrayType(T.LongType())),
@@ -171,10 +182,11 @@ def minhash_band_store(
     )
     state_schema = T.StructType(state_fields)
 
-    def out_frame(a, b, e, l=None):  # noqa: E741 — l mirrors 'loser'
+    def out_frame(a, b, e, l=None, arr=None):  # noqa: E741 — l mirrors 'loser'
         cols = {"doc_a": a, "doc_b": b, "est_jaccard": e}
         if decide:
             cols["loser"] = l if l is not None else np.empty(0, np.int64)
+            cols["arrival"] = arr if arr is not None else np.empty(0, np.int64)
         return pd.DataFrame(cols)
 
     empty_out = out_frame(
@@ -224,8 +236,12 @@ def minhash_band_store(
         out_b: list[np.ndarray] = []
         out_e: list[np.ndarray] = []
         out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
 
         def emit(x_ids, y_ids, matches, x_attrs=None, y_attrs=None):
+            # x is always the LATER ARRIVAL: arrivals-vs-members probes have
+            # x = this batch's doc, and in-batch probes have x = the
+            # later doc_id in the batch's sorted processing order
             a_ids = np.minimum(x_ids, y_ids)
             b_ids = np.maximum(x_ids, y_ids)
             out_a.append(a_ids)
@@ -239,6 +255,7 @@ def minhash_band_store(
                 b_tok = np.where(swap, x_tok, y_tok)
                 b_sc = np.where(swap, x_sc, y_sc)
                 out_l.append(kb_losers_vec(a_ids, a_tok, a_sc, b_ids, b_tok, b_sc))
+                out_r.append(np.asarray(x_ids, dtype=np.int64))
 
         # under a prefix cap only the first `room` sorted arrivals join
         # the member set; everyone still PROBES the (capped) members
@@ -283,6 +300,7 @@ def minhash_band_store(
             np.concatenate(out_b) if out_b else np.empty(0, np.int64),
             np.concatenate(out_e) if out_e else np.empty(0, np.float64),
             np.concatenate(out_l) if out_l else None,
+            np.concatenate(out_r) if out_r else None,
         )
 
     timeout = (
@@ -811,3 +829,159 @@ def corpus_ingest_bounded_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name).orderBy("source")
+
+
+# content-determined shard key for the composed pipeline: doc k's shard is
+# k % CTS_SHARDS, which by construction of deterministic_arrival_split is
+# also its arrival micro-batch — the manifest is a pure function of content
+CTS_SHARDS = 4
+
+
+def _cts_oracle() -> str:
+    from flink_mm_spark.operators.dedup import _kb_ctes
+
+    # reuses the keep-best CTE chain (signatures -> bands -> pairs -> the
+    # (n_tok, q_score) table -> attribute-attached pq); its trailing
+    # `losers` CTE (batch semantics) goes unused — the arrival-time rule
+    # below is the composed pipeline's admission semantics
+    return f"""
+    WITH {_kb_ctes()},
+    adrops AS MATERIALIZED (
+      SELECT DISTINCT loser AS doc_id FROM (
+        SELECT CASE WHEN ta < tb THEN doc_a
+                    WHEN tb < ta THEN doc_b
+                    WHEN sa < sb THEN doc_a
+                    WHEN sb < sa THEN doc_b
+                    ELSE doc_b END AS loser,
+               CASE WHEN (doc_a % {CTS_SHARDS} > doc_b % {CTS_SHARDS})
+                      OR (doc_a % {CTS_SHARDS} = doc_b % {CTS_SHARDS}
+                          AND doc_a > doc_b)
+                    THEN doc_a ELSE doc_b END AS later
+        FROM pq
+      ) WHERE loser = later
+    )
+    SELECT CAST(q.doc_id % {CTS_SHARDS} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM q
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM adrops)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+_CTS_SINK_CACHE: list[str] = []  # previous invocation's decision sink table
+
+
+@register("corpus_to_shards_streamed", oracle=_cts_oracle())
+def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED streamed pipeline, end to end (r11): documents arrive
+    over micro-batches, the keep-best band store decides each discovered
+    near-dup pair ONLINE, survivors materialize as real shard files
+    through the EXACTLY-ONCE writer, and the manifest — counts, token
+    mass, xor-of-md5 fingerprint — is recomputed from the READ-BACK files
+    and value-hash graded against a SQL replay of the whole chain. This
+    closes the full composition the r9-r11 pieces built toward:
+    store (`minhash_dedup_streamed`) → decision (`dedup_keep_best_streamed`)
+    → idempotent materialization (`shard_append_streamed`).
+
+    Admission semantics are ARRIVAL-TIME (the streaming-native rule): a
+    document is dropped iff it LOSES the keep-best decision chain against
+    a pair partner that arrived BEFORE it — you cannot unshard history, so
+    an already-admitted document stays admitted even if a later, better
+    duplicate arrives (the later copy is dropped instead when IT loses;
+    when it wins, both remain — dedup pressure falls on arrivals, never on
+    shipped shards). This differs from batch keep-best (which drops losers
+    regardless of order) exactly the way a production stream must, and is
+    SQL-expressible because `deterministic_arrival_split` makes arrival
+    order a pure function of content: doc k arrives in batch k % 4, in
+    doc_id order within the batch — so the oracle replays the decision
+    with a (doc % 4, doc) arrival comparison. Dropped documents still
+    PROBE and JOIN the band store (the batch pair universe is preserved;
+    near-dup is not transitive, so pruning state by admission would
+    silently unlink future duplicates of the kept copy).
+
+    Execution: pass 1 streams band rows through the decision store and
+    drains the (pair, loser, arrival) verdicts; arrival-losers reduce to a
+    drop set (pair-bounded, checkpointed). Pass 2 streams the SAME arrival
+    files as documents, anti-joins each micro-batch against the broadcast
+    drop set, and appends survivors via `idempotent_shard_append` — each
+    batch owns a batchId-deterministic subpath, so a replayed batch cannot
+    duplicate slices (the kill-mid-append restart guarantee carries over
+    verbatim). The shard key is doc_id % CTS_SHARDS — content-determined,
+    equal to the arrival batch by construction. The verify side is one
+    scan of the read-back plus one shard-keyed aggregate.
+
+    Scale shape: pass 1 is the decision store's ONE keyed exchange; the
+    drop set is pair-list-bounded (broadcastable at any realistic dup
+    rate; an anti-join exchange above that); pass 2 is scan → anti-join →
+    partitioned write, no other exchange. Nothing corpus-sized reaches
+    the driver."""
+    import uuid
+
+    from flink_mm_spark.operators.dedup import kb_quality_cols
+    from flink_mm_spark.operators.llm_prep import (
+        idempotent_shard_append,
+        read_back_shards,
+    )
+    from flink_mm_spark.session import scratch_dir
+
+    src = deterministic_arrival_split(spark, sf_dir, n_batches=CTS_SHARDS)
+    # PASS 1 — online decisions over the arriving corpus
+    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    while _CTS_SINK_CACHE:
+        spark.catalog.dropTempView(_CTS_SINK_CACHE.pop())
+    name = f"corpus_to_shards_streamed_{uuid.uuid4().hex[:8]}"
+    _CTS_SINK_CACHE.append(name)
+    q1 = (
+        minhash_band_store(bands, decide=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("cts1_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    drops = (
+        spark.table(name)
+        .filter(F.col("loser") == F.col("arrival"))
+        .select(F.col("arrival").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # frozen before pass 2 re-reads the sink name
+    )
+    # PASS 2 — materialize survivors through the exactly-once shard writer
+    n_tok, _ = kb_quality_cols()
+    dst = scratch_dir("cts_dst_")
+    doc_stream = (
+        documents_stream(spark, src, max_files_per_trigger=1)
+        .withColumn("n_tok", n_tok.cast("bigint"))
+        .withColumn("shard_id", F.pmod("doc_id", F.lit(CTS_SHARDS)).cast("bigint"))
+        .select("doc_id", "n_tok", "shard_id")
+    )
+    q2 = (
+        doc_stream.writeStream.foreachBatch(
+            lambda df, bid: idempotent_shard_append(
+                df.join(F.broadcast(drops), "doc_id", "left_anti"), bid, dst
+            )
+        )
+        .option("checkpointLocation", scratch_dir("cts2_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    back = read_back_shards(spark, dst)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        back.withColumn("h", h)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("shard_id")
+    )

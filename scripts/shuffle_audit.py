@@ -114,6 +114,7 @@ AUDITED = [
     "dedup_keep_best_streamed",  # band+attrs into state, pair-linear report
     "embedding_covariance_streamed",  # per-batch term exchange into d² state
     "pca_fixed_project",  # expect ~0: scan -> Arrow stage, no exchange
+    "corpus_to_shards_streamed",  # decision-store exchange + anti-join + manifest
 ]
 
 

@@ -876,3 +876,18 @@ def test_embedding_covariance_streamed_assembly_over_checkpoint(spark):
     assert _COV_SINK_CACHE, "sink table name not cached"
     n_rows = spark.table(_COV_SINK_CACHE[-1]).count()
     assert n_rows == EMB_DIM * EMB_DIM + EMB_DIM + 1
+
+
+def test_corpus_to_shards_verify_side_is_scan_and_aggregate(spark):
+    """corpus_to_shards_streamed (r11): the returned plan is the manifest
+    recompute over the read-back shard files — one parquet scan + one
+    shard-keyed aggregate; neither the signature Arrow stage nor the
+    decision store may leak into the verify side (they ran eagerly inside
+    the two streaming passes)."""
+    df = registry.QUERIES["corpus_to_shards_streamed"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "HashAggregate" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -130,7 +130,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
-        "doc_fingerprints": "rolling_fingerprints",
+        "doc_fingerprints": "chunk_dedup",
+        "rolling_fingerprints": "chunk_dedup",
         "vocab_top_terms": "lang_id_ngram",
         "quality_logit_score": "lang_id_ngram",
         "bm25_topk": "lang_id_ngram",

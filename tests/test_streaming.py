@@ -1191,3 +1191,90 @@ def test_streamed_covariance_batch_split_independent(spark):
     ]
     assert len(st) == len(bt) and st == bt
     assert all(repr(a[2]) == repr(b[2]) for a, b in zip(st, bt))
+
+
+def test_corpus_to_shards_arrival_semantics(spark, tmp_path):
+    """Arrival-time admission vs batch keep-best, on a corpus built to
+    split them: doc 0 arrives first; doc 1 — a BETTER near-dup (more
+    tokens) — arrives second, so batch keep-best would drop 0, but a
+    stream cannot unshard history: the pair's loser (0) is not its
+    arrival (1), so NOBODY drops. Doc 2 — a WORSE near-dup — arrives
+    third and loses at its own arrival, so it drops. The verdict stream
+    must carry exactly these decisions (arrival drops {2}; batch-rule
+    losers {0, 2})."""
+    import uuid
+
+    import pandas as pd
+
+    from flink_mm_spark.streaming.documents import (
+        documents_stream,
+        keep_best_band_rows,
+        minhash_band_store,
+    )
+
+    # a 30-token base keeps every pair's shingle Jaccard >= 0.9, so all
+    # three pairs land in shared band buckets with margin
+    base = " ".join(f"word{i:02d}" for i in range(30))
+    docs = {
+        0: base,                                   # 30 tokens, first
+        1: base + " extra more",                   # 32 tokens, better, second
+        2: " ".join(base.split()[:29]),            # 29 tokens, worse, third
+    }
+
+    def mk(i):
+        return pd.DataFrame(
+            {
+                "doc_id": [i],
+                "text": [docs[i]],
+                "lang": ["en"],
+                "source": ["srcX"],
+                "n_chars": [len(docs[i])],
+            }
+        )
+
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files([mk(0), mk(1), mk(2)], src)
+    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    name = f"cts_sem_{uuid.uuid4().hex[:8]}"
+    q = (
+        minhash_band_store(bands, decide=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = (
+        spark.table(name).dropDuplicates(["doc_a", "doc_b"]).collect()
+    )
+    spark.catalog.dropTempView(name)
+    pairs = {(r["doc_a"], r["doc_b"]): (r["loser"], r["arrival"]) for r in rows}
+    assert pairs[(0, 1)] == (0, 1)  # 0 loses the pair, but 1 is the arrival
+    assert pairs[(0, 2)] == (2, 2)  # 2 loses at its own arrival
+    assert pairs[(1, 2)] == (2, 2)
+    arrival_drops = {r["arrival"] for r in rows if r["loser"] == r["arrival"]}
+    batch_losers = {r["loser"] for r in rows}
+    assert arrival_drops == {2}
+    assert batch_losers == {0, 2}
+
+
+def test_corpus_to_shards_streamed_equals_oracle_replay(spark):
+    """The composed entry against a DuckDB replay of its own oracle at
+    sf0.001 — belt for the driver's sf0.01 grade (which exercises one
+    real arrival drop; this corpus has none, pinning the no-drop path)."""
+    import duckdb
+
+    from flink_mm_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    spec = registry.QUERIES["corpus_to_shards_streamed"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert got == want and len(got) == 4
