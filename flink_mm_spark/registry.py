@@ -193,9 +193,14 @@ PROMOTE: list[str] = [
     # so the corpus-LM family stays value-hashed through it; the unigram
     # scorer (green r9) moves to DEFER as its sibling
     "lang_id_ngram",
-    "dsir_importance",
+    # r11 stale batch 2: salted_event_totals (r1-stale skew-salted partial
+    # agg) in, dsir_importance out (curation family keeps repetition_signals)
+    "salted_event_totals",
     "semantic_dedup",
-    "user_sessions_batch",
+    # r11 stale-cohort rotation, batch 2: monthly_revenue_trend (r1-stale)
+    # in, user_sessions_batch out — both window-function analytics; the
+    # window family re-points at monthly_revenue_trend
+    "monthly_revenue_trend",
     "cube_order_stats",
     # exactly-graded connected components over the md5-MinHash edge graph
     # (recursive-CTE closure oracle) — upgrades the components family from
@@ -204,7 +209,9 @@ PROMOTE: list[str] = [
     "dedup_components_exact",
     # --- long-deferred (last graded r2-r3), back in r8 for freshness ---
     "jaccard_token_pairs",
-    "orders_with_returns",
+    # r11 stale batch 2: customers_without_orders (r1-stale anti-join) in,
+    # orders_with_returns out (join-variant family re-points here)
+    "customers_without_orders",
     "event_followups_range_join",
     # r11 swap: corpus_to_shards_streamed in, rolling_fingerprints out —
     # the COMPOSED streamed pipeline (online arrival-time admission on the
@@ -219,11 +226,11 @@ DEFER: list[str] = [
     # --- graded green in r6, rotated out by the r7/r8 window ---
     "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
     "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats in-window
-    "top_customers_per_nation",  # window family: user_sessions_batch in-window
+    "top_customers_per_nation",  # window family: monthly_revenue_trend in-window (r11)
     "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
     "histogram_quantiles",  # sketch family: count_min_exact in-window
     "hll_distinct_exact",  # sketch family: count_min_exact in-window
-    "user_funnel_full_outer",  # outer/semi joins: orders_with_returns in-window
+    "user_funnel_full_outer",  # join variants: customers_without_orders in-window (r11)
     "events_minutely_gapfill",  # events-table family: events_json_props in-window (r11)
     "dedup_exact",  # exact-dedup family: corpus_ingest_bounded_streamed in-window
     "dup_cluster_sizes",  # cluster histogram: corpus_ingest_bounded_streamed in-window
@@ -239,6 +246,9 @@ DEFER: list[str] = [
     "cross_source_overlap",  # gram overlap: ngram_novelty in-window
     "tokenize_pack_pipeline",  # packer: mixture_pack_pipeline in-window
     "events_hourly",  # events-table family: events_json_props in-window
+    "user_sessions_batch",  # window analytics (r11 b2): monthly_revenue_trend in-window
+    "orders_with_returns",  # join variants (r11 b2): customers_without_orders in-window
+    "dsir_importance",  # curation (r11 b2): repetition_signals in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
@@ -264,7 +274,7 @@ DEFER: list[str] = [
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
     "bigram_logprob",  # corpus LM: lang_id_ngram in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
-    "curation_funnel",  # curation: dsir_importance in-window
+    "curation_funnel",  # curation: repetition_signals in-window (r11)
     # r9 rotation: out for the 2 never-graded entries (green r8; families
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
@@ -306,13 +316,10 @@ DEFER: list[str] = [
     "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
     "order_price_unpivot",  # pivot family: cube_order_stats in-window
     "event_type_pivot",  # pivot twin: cube_order_stats in-window
-    "monthly_revenue_trend",  # trend window: user_sessions_batch in-window
     "running_order_totals",  # cumulative window: user_sessions_batch in-window
-    "customers_without_orders",  # anti-join: orders_with_returns in-window
     "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
     "distinct_part_types",  # DISTINCT: corpus_ingest_bounded_streamed in-window
     "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
-    "salted_event_totals",  # salted partial agg: kmeans_centroid_update in-window
     "economy_revenue_share",  # global sum: mds_stress in-window
     "customer_order_gaps",  # lag window: user_sessions_batch in-window
     "media_frame_sample",  # frame explode: media_audio_energy in-window

@@ -101,11 +101,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         # graded green in r6, rotated out by the r7/r8 window
         "pricing_summary": "shipping_priority",
         "rollup_sales": "cube_order_stats",
-        "top_customers_per_nation": "user_sessions_batch",
+        "top_customers_per_nation": "monthly_revenue_trend",
         "asof_click_purchase": "event_followups_range_join",
         "histogram_quantiles": "count_min_exact",
         "hll_distinct_exact": "count_min_exact",
-        "user_funnel_full_outer": "orders_with_returns",
+        "user_funnel_full_outer": "customers_without_orders",
         "events_minutely_gapfill": "events_json_props",
         "dedup_exact": "corpus_ingest_bounded_streamed",
         "dup_cluster_sizes": "corpus_ingest_bounded_streamed",
@@ -124,6 +124,9 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "cross_source_overlap": "ngram_novelty",
         "tokenize_pack_pipeline": "mixture_pack_pipeline",
         "events_hourly": "events_json_props",
+        "user_sessions_batch": "monthly_revenue_trend",
+        "orders_with_returns": "customers_without_orders",
+        "dsir_importance": "repetition_signals",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
@@ -152,7 +155,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "lang_id_ngram",
         "substring_dedup": "chunk_dedup",
-        "curation_funnel": "dsir_importance",
+        "curation_funnel": "repetition_signals",
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "shipping_priority",
@@ -180,7 +183,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "damds_sidefile_scan": "damds_embed",
         "partitioned_sink_roundtrip": "binary_f64_scan",
         "events_hourly_streamed": "events_sliding_streamed",
-        "user_sessions_streamed": "user_sessions_batch",
+        "user_sessions_streamed": "monthly_revenue_trend",
         "damds_bofz_bc": "damds_embed",
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
@@ -190,18 +193,15 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "text_quality_by_lang": "repetition_signals",
         "lang_id_heuristic": "lang_id_ngram",
         "orders_by_priority": "label_centroid_udaf",
-        "top_orders_by_price": "user_sessions_batch",
+        "top_orders_by_price": "monthly_revenue_trend",
         "order_price_unpivot": "cube_order_stats",
         "event_type_pivot": "cube_order_stats",
-        "monthly_revenue_trend": "user_sessions_batch",
-        "running_order_totals": "user_sessions_batch",
-        "customers_without_orders": "orders_with_returns",
-        "suppliers_with_large_lineitems": "orders_with_returns",
+        "running_order_totals": "monthly_revenue_trend",
+        "suppliers_with_large_lineitems": "customers_without_orders",
         "distinct_part_types": "corpus_ingest_bounded_streamed",
         "media_resize_estimate": "media_audio_energy",
-        "salted_event_totals": "kmeans_centroid_update",
         "economy_revenue_share": "mds_stress",
-        "customer_order_gaps": "user_sessions_batch",
+        "customer_order_gaps": "monthly_revenue_trend",
         "media_frame_sample": "media_audio_energy",
         # rows-only demos keep their exactly-graded twins in-window
         "kmeans_full_demo": "kmeans_full",
