@@ -629,7 +629,13 @@ def minhash_dedup_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     memory sink dies at micro-batch planning with an INTERNAL_ERROR
     NullPointerException (SparkPlan.session() null — reproduced r10; the
     NoTimeout exact tier plans fine). The parquet spool also keeps the
-    emitted pair stream distributed rather than pinned in driver memory."""
+    emitted pair stream distributed rather than pinned in driver memory.
+    Replay note (r11): the spool append is at-least-once, but the RESULT
+    is replay-idempotent by construction — a replayed batch re-emits the
+    identical pair rows (pairs are pure functions of content + arrival
+    order) and the final ``dropDuplicates([doc_a, doc_b])`` absorbs them;
+    only sinks whose rows are NOT downstream-deduped need the
+    batchId-deterministic writer (``idempotent_shard_append``)."""
     from flink_mm_spark.session import scratch_dir
 
     src = deterministic_arrival_split(spark, sf_dir)

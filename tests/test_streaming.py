@@ -808,20 +808,25 @@ def _replay_band_store(band_rows, batch_of, cap=None):
     return sorted(out)
 
 
-def _run_band_store(spark, src, ckpt, cap=None, ttl_minutes=None, drain_min_s=0.0):
+def _run_band_store(
+    spark, src, ckpt, cap=None, ttl_minutes=None, drain_min_s=0.0, decide=False
+):
     from flink_mm_spark.streaming.documents import (
         documents_stream,
         drain_with_timers,
+        keep_best_band_rows,
         minhash_band_rows,
         minhash_band_store,
     )
 
+    rows_fn = keep_best_band_rows if decide else minhash_band_rows
     got: list = []
     q = (
         minhash_band_store(
-            minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1)),
+            rows_fn(documents_stream(spark, src, max_files_per_trigger=1)),
             cap=cap,
             ttl_minutes=ttl_minutes,
+            decide=decide,
         )
         .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
         .outputMode("append")
@@ -1278,3 +1283,32 @@ def test_corpus_to_shards_streamed_equals_oracle_replay(spark):
     )
     want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
     assert got == want and len(got) == 4
+
+
+def test_decision_tier_composes_with_production_bounds(spark, tmp_path):
+    """The production deployment of the online keep/drop is cap + TTL +
+    decide TOGETHER (one store implementation, parameters composing).
+    On the synthetic hot-bucket corpus with cap=3: the capped+decide run
+    must find EXACTLY the capped tier's pair set (the decision attrs
+    change what rides the pairs, never which pairs are found), every
+    hot-bucket pair (identical texts — full ties) must lose doc_b (keep
+    the lower id), and every emitted arrival must be the pair's later
+    arrival in the (doc_id % 3, doc_id) order."""
+    pdfs = _synthetic_arrival_corpus()
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files(pdfs, src)
+    plain = _run_band_store(
+        spark, src, str(tmp_path / "ckpt_plain"), cap=3, ttl_minutes=60
+    )
+    decided = _run_band_store(
+        spark, src, str(tmp_path / "ckpt_dec"), cap=3, ttl_minutes=60, decide=True
+    )
+    assert sorted((r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in decided) == sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in plain
+    )
+    for r in decided:
+        a, b = r["doc_a"], r["doc_b"]
+        if 100 <= a < 112 and 100 <= b < 112:
+            assert r["loser"] == b  # identical texts: full tie loses doc_b
+        later = max((a % 3, a), (b % 3, b))[1]
+        assert r["arrival"] == later, r
