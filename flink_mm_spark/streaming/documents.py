@@ -898,7 +898,13 @@ def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     an already-admitted document stays admitted even if a later, better
     duplicate arrives (the later copy is dropped instead when IT loses;
     when it wins, both remain — dedup pressure falls on arrivals, never on
-    shipped shards). This differs from batch keep-best (which drops losers
+    shipped shards). A STRICTER gate — drop every arrival that pairs with
+    ANY prior member, incumbent always wins, zero near-dups ever ship —
+    is one line on the same verdict stream (drops = distinct ``arrival``
+    over all pairs, no loser comparison) at the cost of sometimes shipping
+    the lower-quality copy; this entry grades the quality-respecting rule
+    because it composes the keep-best chain, which is the point. This
+    differs from batch keep-best (which drops losers
     regardless of order) exactly the way a production stream must, and is
     SQL-expressible because `deterministic_arrival_split` makes arrival
     order a pure function of content: doc k arrives in batch k % 4, in
