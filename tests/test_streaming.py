@@ -1312,3 +1312,73 @@ def test_decision_tier_composes_with_production_bounds(spark, tmp_path):
             assert r["loser"] == b  # identical texts: full tie loses doc_b
         later = max((a % 3, a), (b % 3, b))[1]
         assert r["arrival"] == later, r
+
+
+def test_decision_store_restart_recovers_attribute_state(spark, tmp_path):
+    """Restart recovery for the DECISION tier's extended state layout
+    (r11): the decide store persists (ids, sigs, toks, scores) per
+    bucket — four arrays instead of the exact tier's two — and a pair
+    straddling the restart can only carry a correct LOSER if the
+    pre-restart member's quality attributes were RECOVERED, not just its
+    signature. Life 1 streams the doc_id < 250 half; life 2 resumes from
+    the same checkpoint with the rest. The union of decisions must equal
+    the batch keep-best loser per pair, and at least one straddling
+    pair's loser must be the life-1 side (deciding it required the
+    recovered attrs)."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.dedup import _kb_tables
+    from flink_mm_spark.sources.tables import table
+    from flink_mm_spark.streaming.documents import (
+        documents_stream,
+        keep_best_band_rows,
+        minhash_band_store,
+    )
+    from tests.conftest import SF_DIR
+
+    q, pq, _ = _kb_tables(spark, SF_DIR)
+    from flink_mm_spark.operators.dedup import _kb_loser_expr
+
+    batch_losers = {
+        (r["doc_a"], r["doc_b"]): r["loser"]
+        for r in pq.select("doc_a", "doc_b", _kb_loser_expr().alias("loser")).collect()
+    }
+    half = 250
+    cross = {(a, b) for (a, b) in batch_losers if a < half <= b}
+    assert cross, "fixture drift: no pair straddles the split"
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_split")
+    docs.filter(F.col("doc_id") < half).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "kbs_rr_ckpt")
+    got: list = []
+
+    def run_life():
+        q2 = (
+            minhash_band_store(
+                keep_best_band_rows(
+                    documents_stream(spark, src, max_files_per_trigger=1)
+                ),
+                decide=True,
+            )
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q2.awaitTermination(300)
+
+    run_life()
+    n_life1 = len(got)
+    docs.filter(F.col("doc_id") >= half).repartition(2).write.mode("append").parquet(src)
+    run_life()
+
+    streamed = {(r["doc_a"], r["doc_b"]): r["loser"] for r in got}
+    # every pair decided exactly as the batch chain — INCLUDING the
+    # straddlers, whose decision needed the recovered life-1 attributes
+    assert streamed == batch_losers, (sorted(streamed), sorted(batch_losers))
+    life1_pairs = {(r["doc_a"], r["doc_b"]) for r in got[:n_life1]}
+    assert all(p not in life1_pairs for p in cross)  # emitted by life 2 only
