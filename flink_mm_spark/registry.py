@@ -186,7 +186,9 @@ PROMOTE: list[str] = [
     # ngram_novelty)
     "media_metadata",
     "pii_scrub",
-    "repetition_signals",
+    # r11 stale batch 3 (r2 cohort): text_quality_by_lang in,
+    # repetition_signals out — quality-metrics family re-points here
+    "text_quality_by_lang",
     # r10 swap: lang_id_ngram in, unigram_logprob out — the trained
     # char-trigram language ID (VERDICT r9 #7) uses the same micro-nat
     # LM-scoring machinery (its oracle replays train + holdout argmax),
@@ -201,7 +203,9 @@ PROMOTE: list[str] = [
     # in, user_sessions_batch out — both window-function analytics; the
     # window family re-points at monthly_revenue_trend
     "monthly_revenue_trend",
-    "cube_order_stats",
+    # r11 stale batch 3 (r2 cohort): event_type_pivot in, cube_order_stats
+    # out — the pivot/rollup family re-points at event_type_pivot
+    "event_type_pivot",
     # exactly-graded connected components over the md5-MinHash edge graph
     # (recursive-CTE closure oracle) — upgrades the components family from
     # rows-only; displaces hll_distinct_exact (green r7; count_min_exact
@@ -225,7 +229,7 @@ PROMOTE: list[str] = [
 DEFER: list[str] = [
     # --- graded green in r6, rotated out by the r7/r8 window ---
     "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
-    "rollup_sales",  # §2.5 rollup/pivot: cube_order_stats in-window
+    "rollup_sales",  # §2.5 rollup/pivot: event_type_pivot in-window (r11)
     "top_customers_per_nation",  # window family: monthly_revenue_trend in-window (r11)
     "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
     "histogram_quantiles",  # sketch family: count_min_exact in-window
@@ -248,7 +252,9 @@ DEFER: list[str] = [
     "events_hourly",  # events-table family: events_json_props in-window
     "user_sessions_batch",  # window analytics (r11 b2): monthly_revenue_trend in-window
     "orders_with_returns",  # join variants (r11 b2): customers_without_orders in-window
-    "dsir_importance",  # curation (r11 b2): repetition_signals in-window
+    "dsir_importance",  # curation (r11 b2/b3): text_quality_by_lang in-window
+    "cube_order_stats",  # rollup/pivot (r11 b3): event_type_pivot in-window
+    "repetition_signals",  # quality metrics (r11 b3): text_quality_by_lang in-window
     "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
     "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
     "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
@@ -269,12 +275,12 @@ DEFER: list[str] = [
     "bpe_encode",  # char-level tier (r9): bpe_bytes_encode in-window
     "token_counts",  # text stats (r10 rotation): lang_id_ngram in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
-    "gopher_quality_flags",  # quality metrics: repetition_signals in-window
+    "gopher_quality_flags",  # quality metrics: text_quality_by_lang in-window (r11)
     "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
     "bigram_logprob",  # corpus LM: lang_id_ngram in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
-    "curation_funnel",  # curation: repetition_signals in-window (r11)
+    "curation_funnel",  # curation: text_quality_by_lang in-window (r11)
     # r9 rotation: out for the 2 never-graded entries (green r8; families
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
@@ -309,13 +315,11 @@ DEFER: list[str] = [
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
     "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup in-window
     "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
-    "nation_set_ops",  # §2.5 set ops: cube_order_stats in-window
-    "text_quality_by_lang",  # quality ratios: repetition_signals in-window
+    "nation_set_ops",  # §2.5 set ops: event_type_pivot in-window (r11)
     "lang_id_heuristic",  # text family: token_counts in-window
     "orders_by_priority",  # keyed reduce: label_centroid_udaf in-window
     "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
-    "order_price_unpivot",  # pivot family: cube_order_stats in-window
-    "event_type_pivot",  # pivot twin: cube_order_stats in-window
+    "order_price_unpivot",  # pivot family: event_type_pivot in-window (r11)
     "running_order_totals",  # cumulative window: user_sessions_batch in-window
     "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
     "distinct_part_types",  # DISTINCT: corpus_ingest_bounded_streamed in-window

@@ -100,7 +100,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     siblings = {
         # graded green in r6, rotated out by the r7/r8 window
         "pricing_summary": "shipping_priority",
-        "rollup_sales": "cube_order_stats",
+        "rollup_sales": "event_type_pivot",
         "top_customers_per_nation": "monthly_revenue_trend",
         "asof_click_purchase": "event_followups_range_join",
         "histogram_quantiles": "count_min_exact",
@@ -126,7 +126,9 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "events_hourly": "events_json_props",
         "user_sessions_batch": "monthly_revenue_trend",
         "orders_with_returns": "customers_without_orders",
-        "dsir_importance": "repetition_signals",
+        "dsir_importance": "text_quality_by_lang",
+        "cube_order_stats": "event_type_pivot",
+        "repetition_signals": "text_quality_by_lang",
         "embedding_near_dup": "semantic_dedup",
         "jaccard_prefix_filtered": "jaccard_token_pairs",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
@@ -150,12 +152,12 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "unigram_logprob": "lang_id_ngram",
         "token_bigram_pmi": "lang_id_ngram",
         "wordpiece_merges": "wordpiece_encode",
-        "gopher_quality_flags": "repetition_signals",
+        "gopher_quality_flags": "text_quality_by_lang",
         "benchmark_contamination": "pii_scrub",
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "lang_id_ngram",
         "substring_dedup": "chunk_dedup",
-        "curation_funnel": "repetition_signals",
+        "curation_funnel": "text_quality_by_lang",
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "shipping_priority",
@@ -189,13 +191,11 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "damds_cg_step": "damds_embed",
         "dup_span_coverage": "chunk_dedup",
         "quantize_roundtrip": "binary_i16_scan",
-        "nation_set_ops": "cube_order_stats",
-        "text_quality_by_lang": "repetition_signals",
+        "nation_set_ops": "event_type_pivot",
         "lang_id_heuristic": "lang_id_ngram",
         "orders_by_priority": "label_centroid_udaf",
         "top_orders_by_price": "monthly_revenue_trend",
-        "order_price_unpivot": "cube_order_stats",
-        "event_type_pivot": "cube_order_stats",
+        "order_price_unpivot": "event_type_pivot",
         "running_order_totals": "monthly_revenue_trend",
         "suppliers_with_large_lineitems": "customers_without_orders",
         "distinct_part_types": "corpus_ingest_bounded_streamed",
