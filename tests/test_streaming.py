@@ -1263,6 +1263,11 @@ def test_corpus_to_shards_arrival_semantics(spark, tmp_path):
     batch_losers = {r["loser"] for r in rows}
     assert arrival_drops == {2}
     assert batch_losers == {0, 2}
+    # the STRICT incumbent-wins gate the entry's docstring offers really is
+    # one line on the same verdict stream: every arrival that paired with
+    # any prior member drops, quality notwithstanding
+    strict_drops = {r["arrival"] for r in rows}
+    assert strict_drops == {1, 2}
 
 
 def test_corpus_to_shards_streamed_equals_oracle_replay(spark):
