@@ -445,10 +445,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "median_of": BENCH_REPS,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
                 "ncpu": os.cpu_count(),
                 "queries": timings,
+                # the load stamp sits AFTER "queries" (VERDICT r11 #2): the
+                # driver's capture keeps only the TAIL of the output line,
+                # so a stamp ahead of the per-query dict was truncated out
+                # of BENCH_r11 exactly when a loaded boot needed it
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
                 "sf": float(sf) if isinstance(sf, str) and sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -911,7 +911,9 @@ def _pfx_oracle() -> str:
     # left-associative chain to match np.add.reduce's sequential order.
     def dot_sql(k: int) -> str:
         return " + ".join(
-            f"(emb[{i + 1}] * CAST({_PFX_Q[i, k]!r} AS DOUBLE))"
+            # float() forces the plain Python repr (ADVICE r11 #2: numpy
+            # >= 2.0 reprs scalars as 'np.float64(x)' — invalid SQL)
+            f"(emb[{i + 1}] * CAST({float(_PFX_Q[i, k])!r} AS DOUBLE))"
             for i in range(EMB_DIM)
         )
 

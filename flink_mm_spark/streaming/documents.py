@@ -503,7 +503,12 @@ def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb_report(quality, decided.select("doc_a", "doc_b"), losers)
 
 
-_DET_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> deterministic arrival dir
+# (sf_dir, n_batches) -> deterministic arrival dir. Keyed by BOTH (ADVICE
+# r11 #1): corpus_to_shards_streamed passes n_batches=CTS_SHARDS while the
+# capped tier uses the default 4 — equal today, but an sf_dir-only key
+# would silently reuse a split with the wrong batch count if either is
+# ever retuned, breaking the (doc % n, doc) arrival-order replay.
+_DET_SPLIT_CACHE: dict[tuple[str, int], str] = {}
 
 
 def drain_with_timers(
@@ -575,7 +580,7 @@ def deterministic_arrival_split(
 
     from flink_mm_spark.session import scratch_dir
 
-    src = _DET_SPLIT_CACHE.get(sf_dir)
+    src = _DET_SPLIT_CACHE.get((sf_dir, n_batches))
     if src is None:
         src = scratch_dir("mds_det_")
         docs = table(spark, sf_dir, "documents")
@@ -595,7 +600,7 @@ def deterministic_arrival_split(
                 shutil.move(parts[0], dst)
                 os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
             shutil.rmtree(tmp, ignore_errors=True)  # ADVICE r10 #2
-        _DET_SPLIT_CACHE[sf_dir] = src
+        _DET_SPLIT_CACHE[(sf_dir, n_batches)] = src
     return src
 
 
