@@ -124,6 +124,10 @@ HEADLINE = [
                                 # (exactly-graded Arrow GEMM path)
     "corpus_to_shards_streamed",  # r11: composed pipeline — online
                                 # admission -> exactly-once shards -> manifest
+    "corpus_to_shards_strict",  # r12: same chain under the strict
+                                # incumbent-wins gate (zero near-dups ship)
+    "pq_topk_streamed",         # r12: streamed retrieval — query arrivals
+                                # probe the static PQ code table per batch
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -445,6 +445,27 @@ PQ_TOPK = 20
 PQ_NCB = 16  # codebook rows: sub-vectors of vec_id 0..15 (deterministic)
 
 
+def _pq_codebook(e: DataFrame) -> np.ndarray:
+    """The deterministic (PQ_NCB, 64) float64 codebook: the sub-vectors of
+    vec_id 0..PQ_NCB-1 (production trains them with the bounded-sample
+    k-means ``ivf_topk`` uses). Shared by the batch ADC entry and the
+    streamed retrieval tier so their codes/LUTs come from one definition."""
+    cb_rows = (
+        e.filter(F.col("vec_id") < PQ_NCB).select("vec_id", "emb").orderBy("vec_id").collect()
+    )
+    return np.array([r["emb"] for r in cb_rows], dtype=np.float64)
+
+
+def _pq_sqdist_int(cb: np.ndarray, x: np.ndarray, s: int, c: int) -> np.ndarray:
+    """floor(1e6 · Σ_i (x_si − cb_csi)² + 0.5) with LEFT-ASSOC float64
+    accumulation — bit-identical to the oracle's explicit 8-term sum."""
+    base = s * PQ_D
+    acc = (x[..., base] - cb[c, base]) ** 2
+    for i in range(1, PQ_D):
+        acc = acc + (x[..., base + i] - cb[c, base + i]) ** 2
+    return np.floor(acc * 1e6 + 0.5).astype(np.int64)
+
+
 def _pq_sqdist_sql(a: str, b: str) -> str:
     """The explicit 8-term left-assoc squared distance between subspace
     slices of two DOUBLE[] columns, at 1-based offset cb.s*8+i."""
@@ -517,21 +538,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades codes, LUT, ADC sums, and ranking end-to-end.
     """
     e = embeddings64(spark, sf_dir)
-    cb_rows = (
-        e.filter(F.col("vec_id") < PQ_NCB).select("vec_id", "emb").orderBy("vec_id").collect()
-    )
     # (K, 64) float64 codebook; subspace c-th centroid = cb[c, s*8:(s+1)*8]
-    cb = np.array([r["emb"] for r in cb_rows], dtype=np.float64)
+    cb = _pq_codebook(e)
     q = cb[0]  # query = vec_id 0 (always a codebook row by construction)
 
     def sqdist_int(x: np.ndarray, s: int, c: int) -> np.ndarray:
-        """floor(1e6 · Σ_i (x_si − cb_csi)² + 0.5) with LEFT-ASSOC float64
-        accumulation — bit-identical to the oracle's explicit 8-term sum."""
-        base = s * PQ_D
-        acc = (x[..., base] - cb[c, base]) ** 2
-        for i in range(1, PQ_D):
-            acc = acc + (x[..., base + i] - cb[c, base + i]) ** 2
-        return np.floor(acc * 1e6 + 0.5).astype(np.int64)
+        return _pq_sqdist_int(cb, x, s, c)
 
     # (S, K) integer ADC lookup table for the query — driver-side, tiny
     lut = np.array(
@@ -562,6 +574,231 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, pq_code string, est_micro long"
     )
     return encoded.orderBy("est_micro", "vec_id").limit(PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Streamed retrieval: arriving queries probe a static PQ index (r12)
+# ---------------------------------------------------------------------------
+
+PQS_NQ = 4  # streamed query vectors (vec_id 0..3), one arrival file each
+
+_PQS_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> staged query-arrival dir
+_PQS_CODES_CACHE: list[DataFrame] = []  # last persisted corpus code table
+
+
+def _pqs_query_split(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the PQS_NQ query vectors as one-row parquet files with
+    strictly increasing mtimes, so the file source delivers them one per
+    micro-batch in qid order — the same content-determined arrival
+    staging as ``deterministic_arrival_split`` (streaming/documents.py).
+    Cached per (process, sf_dir); the result is arrival-order independent
+    (each query's top-k depends only on the static index), so reuse
+    changes cost, not semantics."""
+    import glob
+    import os
+    import shutil
+
+    from flink_mm_spark.session import scratch_dir
+
+    src = _PQS_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        src = scratch_dir("pqs_q_")
+        e = embeddings64(spark, sf_dir)
+        t0 = int(os.path.getmtime(src)) - 3600
+        for k in range(PQS_NQ):
+            tmp = scratch_dir("pqs_q_tmp_")
+            e.filter(F.col("vec_id") == k).select("vec_id", "emb").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            parts = glob.glob(f"{tmp}/part-*.parquet")
+            dst = f"{src}/query{k}.parquet"
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        _PQS_SPLIT_CACHE[sf_dir] = src
+    return src
+
+
+def _pqs_oracle() -> str:
+    # the batch _pq_oracle generalized from the fixed query (vec_id 0) to
+    # a per-qid replay: same codebook, same codes, per-(qid, s, c) LUT
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.s, c.vec_id AS c, c.emb
+      FROM v c CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s) s
+      WHERE c.vec_id < {PQ_NCB}
+    ),
+    qs AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {PQS_NQ}),
+    lut AS MATERIALIZED (
+      SELECT qs.qid, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('qs.qemb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM cb, qs
+    ),
+    enc AS (
+      SELECT v.vec_id, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('v.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM v CROSS JOIN cb
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d_int, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.qid, co.vec_id, CAST(SUM(l.d_int) AS BIGINT) AS est_micro
+      FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, est_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT qid, vec_id, est_micro,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_micro, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    ORDER BY qid, rnk
+    """
+
+
+@register("pq_topk_streamed", oracle=_pqs_oracle())
+def pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED retrieval — the query-time production shape (r12, VERDICT
+    r11 #5): query vectors ARRIVE over micro-batches and each batch is
+    scored against a STATIC PQ index built once from the corpus, closing
+    the one LLM family whose streamed surface was statistics-only. The
+    index is the corpus encoded to per-subspace codes by the SAME
+    codebook/sqdist machinery as ``pq_adc_topk`` (``_pq_codebook`` /
+    ``_pq_sqdist_int`` — one definition, so qid 0's ranking is
+    bit-identical to the batch entry, pinned in tests/test_similarity.py);
+    per arriving query the driver expands an (S×K) integer LUT, broadcasts
+    it, and the batch's top-k is ADC int64 sums over the code table.
+
+    Integer-exactness contract carried over verbatim: every subspace
+    distance is a left-associative float64 sum quantized immediately via
+    floor(d·1e6 + 0.5), so codes, LUTs, ADC sums and the (est_micro,
+    vec_id) ranking are pure int64 math on both engines — the oracle is
+    the batch ADC replay generalized to a per-qid LUT.
+
+    Execution: the query stream is foreachBatch (per-batch ranking job —
+    collecting a QUERY batch to the driver is query-sized by definition,
+    never corpus-sized); scoring is one mapInPandas scan of the persisted
+    code table emitting each query's PARTITION-LOCAL top-k (a lossless
+    reduction: any global top-k row is its own partition's top-k row),
+    then one qid-keyed window ranks the ≤ partitions×k×queries survivors.
+    Each batch writes a batchId-deterministic ``ingest=<b>`` overwrite
+    subpath — the ``idempotent_shard_append`` exactly-once pattern, so a
+    replayed batch replaces its own output.
+
+    Scale shape: the encode pass is the compression scan a 100 TB corpus
+    runs once (256 B → 8 B per vector) and amortizes across every query
+    batch; per batch the scan touches codes only (8 B/vector), the
+    exchange is the reduced local-top-k set (partitions × queries × k
+    rows), and the LUT broadcast is S×K×8 B per query. Composes with IVF
+    exactly like the batch tier (probe cells partition the code table).
+    """
+    from pyspark.sql.window import Window
+
+    from flink_mm_spark.session import scratch_dir
+
+    e = embeddings64(spark, sf_dir)
+    cb = _pq_codebook(e)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            cds = np.empty((len(x), PQ_S), dtype=np.int64)
+            for s in range(PQ_S):
+                d = np.stack(
+                    [_pq_sqdist_int(cb, x, s, c) for c in range(PQ_NCB)], axis=1
+                )
+                cds[:, s] = np.argmin(d, axis=1)  # first min = smallest c
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(cds)}
+            )
+
+    # the static index: encode once, persist for every micro-batch's scan
+    # (module-cache swap bounds the leak, the _SIG_CACHE pattern)
+    while _PQS_CODES_CACHE:
+        _PQS_CODES_CACHE.pop().unpersist()
+    codes = (
+        e.select("vec_id", "emb")
+        .mapInPandas(encode, "vec_id long, codes array<long>")
+        .persist()
+    )
+    codes.count()
+    _PQS_CODES_CACHE.append(codes)
+
+    spool = scratch_dir("pqs_out_")
+
+    def score_batch(qdf: DataFrame, bid: int) -> None:
+        qrows = qdf.select("vec_id", "emb").collect()  # query-batch-sized
+        if not qrows:
+            return
+        luts = {
+            int(r["vec_id"]): np.array(
+                [
+                    [
+                        _pq_sqdist_int(
+                            cb, np.asarray(r["emb"], dtype=np.float64), s, c
+                        )
+                        for c in range(PQ_NCB)
+                    ]
+                    for s in range(PQ_S)
+                ],
+                dtype=np.int64,
+            )
+            for r in qrows
+        }
+        b = codes.sparkSession.sparkContext.broadcast(luts)
+
+        def score(batches):
+            tabs = b.value
+            srange = np.arange(PQ_S)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cds = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+                vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                for qid, lut in tabs.items():
+                    est = lut[srange[None, :], cds].sum(axis=1)
+                    # exact (est_micro, vec_id) partition-local top-k
+                    idx = np.lexsort((vids, est))[:PQ_TOPK]
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.full(len(idx), qid, dtype=np.int64),
+                            "vec_id": vids[idx],
+                            "est_micro": est[idx],
+                        }
+                    )
+
+        local = codes.mapInPandas(score, "qid long, vec_id long, est_micro long")
+        w = Window.partitionBy("qid").orderBy("est_micro", "vec_id")
+        topk = local.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= PQ_TOPK
+        )
+        topk.write.mode("overwrite").parquet(f"{spool}/ingest={bid}")
+
+    qstream = (
+        spark.readStream.schema("vec_id long, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_pqs_query_split(spark, sf_dir))
+    )
+    q = (
+        qstream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", scratch_dir("pqs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(spool)
+        .drop("ingest")
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .orderBy("qid", "rnk")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -61,19 +61,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Round-9 window (base = the round-8 window, 50/50 green in
-# CORRECTNESS_r08.json), with the r9 swaps — every new/never-graded oracle
-# entry enters the window the round it lands, displacing an r8-green entry
-# whose family stays represented (each swap annotated inline below and
-# mirrored in the DEFER comments + tests/test_registry_order.py's sibling
-# map):
-# - cross_source_overlap  in, binmatrix_source_scan out  (VERDICT r8 ask #1:
-#   the only 2 of 130 oracle entries never driver-graded; binmatrix family
-#   re-points to binary_f64_scan, which reads the same format)
-# - ngram_novelty         in, clamp_small_values    out  (ditto; P4/map-
-#   filter family re-points to local_supplier_volume)
-# Further r9 swaps are annotated inline at their PROMOTE entries as each
-# new operator LANDS (never before — the r7 docs-ahead-of-code lesson).
+# Current as of ROUND 12 (base = the round-11 window, 50/50 green in
+# CORRECTNESS_r11.json). Standing rules:
+# - every new oracle entry enters the window the round it LANDS (never
+#   before — the r7 docs-ahead-of-code lesson), displacing a green entry
+#   whose family keeps an in-window sibling;
+# - stale evidence rotates in under the same sibling policy (grade
+#   freshness is generated into QUERIES.md from the CORRECTNESS files);
+# - each swap is annotated inline at its PROMOTE entry and mirrored in
+#   the DEFER comments + tests/test_registry_order.py's sibling map.
+# r12 swaps: the LAST 12 r1/r2-stale oracle entries rotate in (finishing
+# the r10-opened rotation: nothing is older than r3 after this window
+# grades) plus the two new r12 entries (corpus_to_shards_strict,
+# pq_topk_streamed); the 14 displaced are all r11-green, preferring
+# streamed twins whose machinery the strict composed pipeline re-grades
+# (VERDICT r11 #6) so driver wall stays flat.
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
@@ -119,11 +121,13 @@ PROMOTE: list[str] = [
     # mixture APPLY -> pack (r8); displaced cosine_topk (pq_adc_topk keeps
     # similarity graded)
     "mixture_pack_pipeline",
-    # r10 swap: shard_append_streamed in, shard_write_roundtrip out — the
-    # incremental foreachBatch shard append (VERDICT r9 #5) grades the
-    # SAME manifest oracle over the read-back of per-micro-batch appends,
-    # superseding the one-shot write (green r9, now its DEFER sibling)
-    "shard_append_streamed",
+    # r12 swap: pq_topk_streamed in, shard_append_streamed out — streamed
+    # retrieval (VERDICT r11 #5): arriving query vectors probe the static
+    # PQ index per micro-batch through the batch ADC machinery, graded by
+    # the per-qid generalization of the same integer-exact oracle; the
+    # shard append (green r11) defers with corpus_to_shards_strict
+    # re-grading its writer + manifest
+    "pq_topk_streamed",
     # r9 swap: bpe_bytes_encode in, bpe_encode out — the byte-level tier
     # (GPT-style symbol space, held-out apply to part names, structurally
     # UNK-free) becomes the BPE family sentinel; the char-level encode
@@ -133,13 +137,11 @@ PROMOTE: list[str] = [
     # unigram family's first value-hash entry; displaces pack_sequences
     # (green r7; tokenize_pack_pipeline keeps the packer graded)
     "unigram_viterbi_encode",
-    # r11 swap: dedup_keep_best_streamed in, dedup_keep_best out — the
-    # ONLINE keep/drop decision on the streamed band store (VERDICT r10
-    # #2) grades the SAME keep-best oracle (full md5-MinHash band chain +
-    # pruning logic) while additionally covering the stateful store and
-    # the vectorized per-pair decision; the batch entry (green r10) is
-    # its DEFER sibling
-    "dedup_keep_best_streamed",
+    # r12 stale rotation: nation_set_ops (r2-stale §2.5 set ops) in,
+    # dedup_keep_best_streamed out (green r11; the keep-best chain stays
+    # graded through corpus_prep_pipeline_keepbest's oracle and the store
+    # through minhash_dedup_streamed + the strict composed pipeline)
+    "nation_set_ops",
     # gram-overlap family sentinel (r9; its twin cross_source_overlap
     # rotated to DEFER in r11 for the stale cohort)
     "ngram_novelty",
@@ -173,19 +175,24 @@ PROMOTE: list[str] = [
     # shipping_priority in, local_supplier_volume out (both TPC-H-style
     # equi-join+agg; the P1/P3/J1 families re-point at shipping_priority)
     "shipping_priority",
-    # global_stats in, bpe_bytes_merges out (trainer sibling:
-    # bpe_bytes_encode, same machinery)
-    "global_stats",
-    # quantity_percentiles in, tokenize_pack_pipeline out (packer
-    # sibling: mixture_pack_pipeline runs the same packer)
-    "quantity_percentiles",
-    # events_json_props in, events_hourly out (events-table family
-    # re-points at events_json_props)
-    "events_json_props",
-    # media_metadata in, cross_source_overlap out (gram-overlap sibling:
-    # ngram_novelty)
-    "media_metadata",
-    "pii_scrub",
+    # r12 stale rotation, the r1 nine (graded ONLY on pre-regeneration
+    # round-1 testdata until now — VERDICT r11 #1). Each displaces an
+    # r11-green entry whose family keeps an in-window sibling:
+    # orders_by_priority in, global_stats out (A3 global stats sibling:
+    # short_matrix_stats, the same DoubleStatistics kernel)
+    "orders_by_priority",
+    # top_orders_by_price in, quantity_percentiles out (percentile/sketch
+    # family sibling: count_min_exact)
+    "top_orders_by_price",
+    # order_price_unpivot in, events_json_props out (events-table family
+    # re-points at events_sliding_streamed)
+    "order_price_unpivot",
+    # customer_order_gaps in, media_metadata out (media family siblings:
+    # media_audio_energy + the two incoming media entries)
+    "customer_order_gaps",
+    # suppliers_with_large_lineitems in, pii_scrub out (curation-flags
+    # family sibling: text_quality_by_lang)
+    "suppliers_with_large_lineitems",
     # r11 stale batch 3 (r2 cohort): text_quality_by_lang in,
     # repetition_signals out — quality-metrics family re-points here
     "text_quality_by_lang",
@@ -195,53 +202,79 @@ PROMOTE: list[str] = [
     # so the corpus-LM family stays value-hashed through it; the unigram
     # scorer (green r9) moves to DEFER as its sibling
     "lang_id_ngram",
-    # r11 stale batch 2: salted_event_totals (r1-stale skew-salted partial
-    # agg) in, dsir_importance out (curation family keeps repetition_signals)
-    "salted_event_totals",
-    "semantic_dedup",
-    # r11 stale-cohort rotation, batch 2: monthly_revenue_trend (r1-stale)
-    # in, user_sessions_batch out — both window-function analytics; the
-    # window family re-points at monthly_revenue_trend
-    "monthly_revenue_trend",
-    # r11 stale batch 3 (r2 cohort): event_type_pivot in, cube_order_stats
-    # out — the pivot/rollup family re-points at event_type_pivot
-    "event_type_pivot",
+    # distinct_part_types in, salted_event_totals out (partial+final agg
+    # family sibling: kmeans_centroid_update)
+    "distinct_part_types",
+    # media_frame_sample in, semantic_dedup out (embedding-scoring family
+    # siblings: pq_adc_topk, pq_topk_streamed, pca_fixed_project)
+    "media_frame_sample",
+    # running_order_totals (r2-stale cumulative window) in,
+    # monthly_revenue_trend out — both window-function analytics; the
+    # window family re-points at running_order_totals
+    "running_order_totals",
+    # media_resize_estimate in, event_type_pivot out — the pivot/rollup
+    # family re-points at the incoming order_price_unpivot
+    "media_resize_estimate",
     # exactly-graded connected components over the md5-MinHash edge graph
     # (recursive-CTE closure oracle) — upgrades the components family from
     # rows-only; displaces hll_distinct_exact (green r7; count_min_exact
     # keeps the sketch family value-hashed)
     "dedup_components_exact",
-    # --- long-deferred (last graded r2-r3), back in r8 for freshness ---
-    "jaccard_token_pairs",
-    # r11 stale batch 2: customers_without_orders (r1-stale anti-join) in,
-    # orders_with_returns out (join-variant family re-points here)
-    "customers_without_orders",
+    # economy_revenue_share in, jaccard_token_pairs out (gram-overlap
+    # family sibling: ngram_novelty)
+    "economy_revenue_share",
+    # lang_id_heuristic (r2-stale n-gram heuristic language ID) in,
+    # customers_without_orders out (join-variant family sibling: the
+    # incoming suppliers_with_large_lineitems)
+    "lang_id_heuristic",
     "event_followups_range_join",
-    # r11 swap: corpus_to_shards_streamed in, rolling_fingerprints out —
-    # the COMPOSED streamed pipeline (online arrival-time admission on the
-    # decision store -> exactly-once shard materialization of survivors ->
-    # manifest from read-back, one oracle replaying the whole chain);
-    # rolling_fingerprints (green r10) defers with chunk_dedup keeping the
-    # sub-document fingerprint family value-hashed
-    "corpus_to_shards_streamed",
+    # r12 swap: corpus_to_shards_strict in, corpus_to_shards_streamed out
+    # — the STRICT incumbent-wins gate (VERDICT r11 #4) shares the whole
+    # composed-pipeline body and oracle CTE chain (only the adrops rule
+    # differs: drops = distinct later-arrivals over all pairs), so it
+    # re-grades the store, the decision discovery, the exactly-once
+    # writer, and the manifest; the arrival-loser variant (green r11) is
+    # its DEFER sibling
+    "corpus_to_shards_strict",
 ]
 
 DEFER: list[str] = [
     # --- graded green in r6, rotated out by the r7/r8 window ---
     "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
-    "rollup_sales",  # §2.5 rollup/pivot: event_type_pivot in-window (r11)
-    "top_customers_per_nation",  # window family: monthly_revenue_trend in-window (r11)
+    "rollup_sales",  # §2.5 rollup/pivot: order_price_unpivot in-window (r12)
+    "top_customers_per_nation",  # window family: running_order_totals in-window (r12)
     "asof_click_purchase",  # interval-join twin: event_followups_range_join in-window
     "histogram_quantiles",  # sketch family: count_min_exact in-window
     "hll_distinct_exact",  # sketch family: count_min_exact in-window
-    "user_funnel_full_outer",  # join variants: customers_without_orders in-window (r11)
-    "events_minutely_gapfill",  # events-table family: events_json_props in-window (r11)
+    "user_funnel_full_outer",  # join variants: suppliers_with_large_lineitems in-window (r12)
+    "events_minutely_gapfill",  # events-table family: events_sliding_streamed in-window
     "dedup_exact",  # exact-dedup family: corpus_ingest_bounded_streamed in-window
     "dup_cluster_sizes",  # cluster histogram: corpus_ingest_bounded_streamed in-window
     "corpus_ingest_streamed",  # unbounded gate (r10): bounded twin in-window
-    "shard_write_roundtrip",  # one-shot write (r10): shard_append_streamed in-window
+    "shard_write_roundtrip",  # one-shot write (r10): corpus_to_shards_strict in-window
     "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
     "embedding_covariance",  # batch tier (r11): streamed twin in-window, same oracle
+    # r12 stale-cohort rotation: the 14 r11-green entries displaced by the
+    # last 12 r1/r2-stale entries + the two new r12 operators; every
+    # family keeps an in-window sibling (mirrored in the test map)
+    "event_type_pivot",  # pivot/rollup: order_price_unpivot in-window (r12)
+    "monthly_revenue_trend",  # window analytics: running_order_totals in-window (r12)
+    "customers_without_orders",  # join variants: suppliers_with_large_lineitems in-window
+    "salted_event_totals",  # partial+final agg: kmeans_centroid_update in-window
+    "quantity_percentiles",  # percentile/sketch: count_min_exact in-window
+    "global_stats",  # A3 global stats: short_matrix_stats in-window
+    "media_metadata",  # media family: media_audio_energy in-window
+    "pii_scrub",  # curation flags: text_quality_by_lang in-window
+    "events_json_props",  # events-table family: events_sliding_streamed in-window
+    "jaccard_token_pairs",  # gram overlap: ngram_novelty in-window
+    "semantic_dedup",  # embedding scoring: pq_adc_topk in-window
+    "dedup_keep_best_streamed",  # keep-best chain: corpus_prep_pipeline_keepbest
+    #   in-window (same oracle); store graded via minhash_dedup_streamed +
+    #   the strict composed pipeline
+    "shard_append_streamed",  # exactly-once writer + manifest:
+    #   corpus_to_shards_strict runs both in-window
+    "corpus_to_shards_streamed",  # arrival-loser admission variant:
+    #   corpus_to_shards_strict shares body + oracle CTE chain in-window
     # r11 stale-cohort rotation: r10-green entries displaced by the five
     # round-1-stale entries; every family keeps an in-window sibling
     "local_supplier_volume",  # equi-join+agg: shipping_priority in-window
@@ -249,21 +282,22 @@ DEFER: list[str] = [
     "bpe_bytes_merges",  # byte-BPE trainer: bpe_bytes_encode in-window
     "cross_source_overlap",  # gram overlap: ngram_novelty in-window
     "tokenize_pack_pipeline",  # packer: mixture_pack_pipeline in-window
-    "events_hourly",  # events-table family: events_json_props in-window
-    "user_sessions_batch",  # window analytics (r11 b2): monthly_revenue_trend in-window
-    "orders_with_returns",  # join variants (r11 b2): customers_without_orders in-window
+    "events_hourly",  # events-table family: events_sliding_streamed in-window
+    "user_sessions_batch",  # window analytics: running_order_totals in-window (r12)
+    "orders_with_returns",  # join variants: suppliers_with_large_lineitems in-window
     "dsir_importance",  # curation (r11 b2/b3): text_quality_by_lang in-window
-    "cube_order_stats",  # rollup/pivot (r11 b3): event_type_pivot in-window
+    "cube_order_stats",  # rollup/pivot: order_price_unpivot in-window (r12)
     "repetition_signals",  # quality metrics (r11 b3): text_quality_by_lang in-window
-    "jaccard_shingle_pairs",  # Jaccard family: jaccard_token_pairs in-window
-    "minhash_lsh_exact",  # dedup_keep_best_streamed's oracle replays its whole chain
-    "simhash_exact",  # banded-sketch family: dedup_keep_best_streamed in-window
-    "dedup_keep_best",  # batch decision tier (r11): streamed twin in-window, same oracle
-    "embedding_near_dup",  # block-pair GEMM: semantic_dedup in-window
-    "jaccard_prefix_filtered",  # Jaccard family: jaccard_token_pairs in-window
+    "jaccard_shingle_pairs",  # Jaccard/gram family: ngram_novelty in-window
+    "minhash_lsh_exact",  # band chain: minhash_dedup_streamed grades the store,
+    #   corpus_prep_pipeline_keepbest's oracle replays the md5-MinHash chain
+    "simhash_exact",  # banded-sketch family: minhash_dedup_streamed in-window
+    "dedup_keep_best",  # decision chain: corpus_prep_pipeline_keepbest in-window
+    "embedding_near_dup",  # embedding scoring: pq_adc_topk in-window
+    "jaccard_prefix_filtered",  # Jaccard/gram family: ngram_novelty in-window
     "corpus_prep_pipeline_minhash",  # banded-edge twin: corpus_prep_pipeline_keepbest in-window
     "corpus_prep_pipeline",  # naive-edge funnel (r9): corpus_prep_pipeline_keepbest in-window
-    "knn_per_label",  # cosine kernel: cosine_topk in-window
+    "knn_per_label",  # cosine kernel: pq_adc_topk keeps similarity graded
     "ann_lsh_exact",  # ANN family: pq_adc_topk in-window
     "doc_fingerprints",  # sub-document fingerprints: chunk_dedup in-window (r11)
     "rolling_fingerprints",  # winnowing (r11 rotation): chunk_dedup in-window
@@ -276,7 +310,7 @@ DEFER: list[str] = [
     "token_counts",  # text stats (r10 rotation): lang_id_ngram in-window
     "wordpiece_merges",  # WordPiece trainer: wordpiece_encode in-window
     "gopher_quality_flags",  # quality metrics: text_quality_by_lang in-window (r11)
-    "benchmark_contamination",  # corpus-prep flags: pii_scrub in-window
+    "benchmark_contamination",  # corpus-prep flags: text_quality_by_lang in-window
     "stratified_sample",  # sampling: weighted_reservoir_sample in-window
     "bigram_logprob",  # corpus LM: lang_id_ngram in-window
     "substring_dedup",  # sub-document dedup: chunk_dedup in-window
@@ -285,7 +319,7 @@ DEFER: list[str] = [
     # keep graded members)
     "binmatrix_source_scan",  # S3 DataSource: binary_f64_scan reads the format
     "clamp_small_values",  # P4 map/filter: shipping_priority in-window (r11)
-    "shard_manifest",  # shard rollup: shard_append_streamed grades the same oracle
+    "shard_manifest",  # shard rollup: corpus_to_shards_strict grades the writer+manifest
     "events_dedup_streamed",  # stateful stream (r9): minhash_dedup_streamed in-window
     "binmatrix_sink_roundtrip",  # S10 sink: binmatrix_source_scan reads the format
     "bucketed_fact_join",  # equi-join at rest: shipping_priority in-window (r11)
@@ -309,24 +343,14 @@ DEFER: list[str] = [
     "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the pairing
     "partitioned_sink_roundtrip",  # S10 sink: binmatrix_source_scan (same connector)
     "events_hourly_streamed",  # tumbling stream: events_sliding_streamed in-window
-    "user_sessions_streamed",  # session windows: user_sessions_batch in-window
+    "user_sessions_streamed",  # session windows: running_order_totals in-window
     "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
     "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup in-window
     "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
-    "nation_set_ops",  # §2.5 set ops: event_type_pivot in-window (r11)
-    "lang_id_heuristic",  # text family: token_counts in-window
-    "orders_by_priority",  # keyed reduce: label_centroid_udaf in-window
-    "top_orders_by_price",  # sort+limit: user_sessions_batch keeps windows graded
-    "order_price_unpivot",  # pivot family: event_type_pivot in-window (r11)
-    "running_order_totals",  # cumulative window: user_sessions_batch in-window
-    "suppliers_with_large_lineitems",  # semi-join variant: orders_with_returns in-window
-    "distinct_part_types",  # DISTINCT: corpus_ingest_bounded_streamed in-window
-    "media_resize_estimate",  # metadata arithmetic: media_audio_energy in-window
-    "economy_revenue_share",  # global sum: mds_stress in-window
-    "customer_order_gaps",  # lag window: user_sessions_batch in-window
-    "media_frame_sample",  # frame explode: media_audio_energy in-window
+    # (the 12 r1/r2-stale entries previously listed here rotated INTO the
+    # r12 window — see the PROMOTE annotations)
     # --- approximate / iterative rows-only entries (no_oracle either way) ---
     "kmeans_full_demo",  # float-space demo; kmeans_full grades the loop exactly
     "damds_embed_demo",  # long anneal demo; damds_embed grades the lifecycle

@@ -848,15 +848,28 @@ def corpus_ingest_bounded_streamed(spark: SparkSession, sf_dir: str) -> DataFram
 CTS_SHARDS = 4
 
 
-def _cts_oracle() -> str:
+def _cts_oracle(strict: bool = False) -> str:
     from flink_mm_spark.operators.dedup import _kb_ctes
 
     # reuses the keep-best CTE chain (signatures -> bands -> pairs -> the
     # (n_tok, q_score) table -> attribute-attached pq); its trailing
-    # `losers` CTE (batch semantics) goes unused — the arrival-time rule
-    # below is the composed pipeline's admission semantics
-    return f"""
-    WITH {_kb_ctes()},
+    # `losers` CTE (batch semantics) goes unused — the admission rule
+    # below (arrival-loser, or strict incumbent-wins) decides the drops.
+    # `later` = the pair side that ARRIVED second under the
+    # content-determined (doc % CTS_SHARDS, doc) arrival order.
+    later_sql = f"""CASE WHEN (doc_a % {CTS_SHARDS} > doc_b % {CTS_SHARDS})
+                      OR (doc_a % {CTS_SHARDS} = doc_b % {CTS_SHARDS}
+                          AND doc_a > doc_b)
+                    THEN doc_a ELSE doc_b END"""
+    if strict:
+        # incumbent always wins: EVERY arrival that pairs with any prior
+        # member drops, no loser comparison — zero near-dups ever ship
+        adrops = f"""
+    adrops AS MATERIALIZED (
+      SELECT DISTINCT {later_sql} AS doc_id FROM pq
+    )"""
+    else:
+        adrops = f"""
     adrops AS MATERIALIZED (
       SELECT DISTINCT loser AS doc_id FROM (
         SELECT CASE WHEN ta < tb THEN doc_a
@@ -864,13 +877,12 @@ def _cts_oracle() -> str:
                     WHEN sa < sb THEN doc_a
                     WHEN sb < sa THEN doc_b
                     ELSE doc_b END AS loser,
-               CASE WHEN (doc_a % {CTS_SHARDS} > doc_b % {CTS_SHARDS})
-                      OR (doc_a % {CTS_SHARDS} = doc_b % {CTS_SHARDS}
-                          AND doc_a > doc_b)
-                    THEN doc_a ELSE doc_b END AS later
+               {later_sql} AS later
         FROM pq
       ) WHERE loser = later
-    )
+    )"""
+    return f"""
+    WITH {_kb_ctes()},{adrops}
     SELECT CAST(q.doc_id % {CTS_SHARDS} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -885,56 +897,32 @@ def _cts_oracle() -> str:
 _CTS_SINK_CACHE: list[str] = []  # previous invocation's decision sink table
 
 
-@register("corpus_to_shards_streamed", oracle=_cts_oracle())
-def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED streamed pipeline, end to end (r11): documents arrive
-    over micro-batches, the keep-best band store decides each discovered
-    near-dup pair ONLINE, survivors materialize as real shard files
-    through the EXACTLY-ONCE writer, and the manifest — counts, token
-    mass, xor-of-md5 fingerprint — is recomputed from the READ-BACK files
-    and value-hash graded against a SQL replay of the whole chain. This
-    closes the full composition the r9-r11 pieces built toward:
-    store (`minhash_dedup_streamed`) → decision (`dedup_keep_best_streamed`)
-    → idempotent materialization (`shard_append_streamed`).
+def keepbest_drop_ids(verdicts: DataFrame) -> DataFrame:
+    """Arrival-time admission drops over the decision store's verdict
+    stream (the quality-respecting rule): a document drops iff it LOSES
+    the keep-best chain at its own arrival. ONE definition behind the
+    composed entry and the rule-split tests."""
+    return (
+        verdicts.filter(F.col("loser") == F.col("arrival"))
+        .select(F.col("arrival").alias("doc_id"))
+        .distinct()
+    )
 
-    Admission semantics are ARRIVAL-TIME (the streaming-native rule): a
-    document is dropped iff it LOSES the keep-best decision chain against
-    a pair partner that arrived BEFORE it — you cannot unshard history, so
-    an already-admitted document stays admitted even if a later, better
-    duplicate arrives (the later copy is dropped instead when IT loses;
-    when it wins, both remain — dedup pressure falls on arrivals, never on
-    shipped shards). A STRICTER gate — drop every arrival that pairs with
-    ANY prior member, incumbent always wins, zero near-dups ever ship —
-    is one line on the same verdict stream (drops = distinct ``arrival``
-    over all pairs, no loser comparison) at the cost of sometimes shipping
-    the lower-quality copy; this entry grades the quality-respecting rule
-    because it composes the keep-best chain, which is the point. This
-    differs from batch keep-best (which drops losers
-    regardless of order) exactly the way a production stream must, and is
-    SQL-expressible because `deterministic_arrival_split` makes arrival
-    order a pure function of content: doc k arrives in batch k % 4, in
-    doc_id order within the batch — so the oracle replays the decision
-    with a (doc % 4, doc) arrival comparison. Dropped documents still
-    PROBE and JOIN the band store (the batch pair universe is preserved;
-    near-dup is not transitive, so pruning state by admission would
-    silently unlink future duplicates of the kept copy).
 
-    Execution: pass 1 streams band rows through the decision store and
-    drains the (pair, loser, arrival) verdicts; arrival-losers reduce to a
-    drop set (pair-bounded, checkpointed). Pass 2 streams the SAME arrival
-    files as documents, anti-joins each micro-batch against the broadcast
-    drop set, and appends survivors via `idempotent_shard_append` — each
-    batch owns a batchId-deterministic subpath, so a replayed batch cannot
-    duplicate slices (the kill-mid-append restart guarantee carries over
-    verbatim). The shard key is doc_id % CTS_SHARDS — content-determined,
-    equal to the arrival batch by construction. The verify side is one
-    scan of the read-back plus one shard-keyed aggregate.
+def strict_drop_ids(verdicts: DataFrame) -> DataFrame:
+    """STRICT incumbent-wins drops (VERDICT r11 #4): every arrival that
+    paired with ANY prior member drops, quality notwithstanding — the
+    one-line-on-the-same-verdict-stream rule the composed entry's
+    docstring promised, now code. Zero near-dup pairs ever ship (in every
+    pair the later side drops, so at most one endpoint survives), at the
+    cost of sometimes shipping the lower-quality copy."""
+    return verdicts.select(F.col("arrival").alias("doc_id")).distinct()
 
-    Scale shape: pass 1 is the decision store's ONE keyed exchange; the
-    drop set is pair-list-bounded (broadcastable at any realistic dup
-    rate; an anti-join exchange above that); pass 2 is scan → anti-join →
-    partitioned write, no other exchange. Nothing corpus-sized reaches
-    the driver."""
+
+def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+    """The composed streamed pipeline body shared by both admission rules
+    — see ``corpus_to_shards_streamed`` (arrival-loser, quality-respecting)
+    and ``corpus_to_shards_strict`` (incumbent-wins, zero near-dups)."""
     import uuid
 
     from flink_mm_spark.operators.dedup import kb_quality_cols
@@ -949,7 +937,7 @@ def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
     while _CTS_SINK_CACHE:
         spark.catalog.dropTempView(_CTS_SINK_CACHE.pop())
-    name = f"corpus_to_shards_streamed_{uuid.uuid4().hex[:8]}"
+    name = f"corpus_to_shards_{uuid.uuid4().hex[:8]}"
     _CTS_SINK_CACHE.append(name)
     q1 = (
         minhash_band_store(bands, decide=True)
@@ -961,12 +949,9 @@ def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q1.awaitTermination()
-    drops = (
-        spark.table(name)
-        .filter(F.col("loser") == F.col("arrival"))
-        .select(F.col("arrival").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)  # frozen before pass 2 re-reads the sink name
+    rule = strict_drop_ids if strict else keepbest_drop_ids
+    drops = rule(spark.table(name)).localCheckpoint(
+        eager=True  # frozen before pass 2 re-reads the sink name
     )
     # PASS 2 — materialize survivors through the exactly-once shard writer
     n_tok, _ = kb_quality_cols()
@@ -1002,3 +987,82 @@ def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register("corpus_to_shards_streamed", oracle=_cts_oracle())
+def corpus_to_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED streamed pipeline, end to end (r11): documents arrive
+    over micro-batches, the keep-best band store decides each discovered
+    near-dup pair ONLINE, survivors materialize as real shard files
+    through the EXACTLY-ONCE writer, and the manifest — counts, token
+    mass, xor-of-md5 fingerprint — is recomputed from the READ-BACK files
+    and value-hash graded against a SQL replay of the whole chain. This
+    closes the full composition the r9-r11 pieces built toward:
+    store (`minhash_dedup_streamed`) → decision (`dedup_keep_best_streamed`)
+    → idempotent materialization (`shard_append_streamed`).
+
+    Admission semantics are ARRIVAL-TIME (the streaming-native rule): a
+    document is dropped iff it LOSES the keep-best decision chain against
+    a pair partner that arrived BEFORE it — you cannot unshard history, so
+    an already-admitted document stays admitted even if a later, better
+    duplicate arrives (the later copy is dropped instead when IT loses;
+    when it wins, both remain — dedup pressure falls on arrivals, never on
+    shipped shards). The STRICTER gate — drop every arrival that pairs
+    with ANY prior member, incumbent always wins, zero near-dups ever
+    ship — is the registered sibling ``corpus_to_shards_strict`` (r12):
+    one line on the same verdict stream (``strict_drop_ids`` vs
+    ``keepbest_drop_ids``), sharing this entry's whole body and oracle
+    CTE chain. This entry grades the quality-respecting rule
+    because it composes the keep-best chain, which is the point. This
+    differs from batch keep-best (which drops losers
+    regardless of order) exactly the way a production stream must, and is
+    SQL-expressible because `deterministic_arrival_split` makes arrival
+    order a pure function of content: doc k arrives in batch k % 4, in
+    doc_id order within the batch — so the oracle replays the decision
+    with a (doc % 4, doc) arrival comparison. Dropped documents still
+    PROBE and JOIN the band store (the batch pair universe is preserved;
+    near-dup is not transitive, so pruning state by admission would
+    silently unlink future duplicates of the kept copy).
+
+    Execution: pass 1 streams band rows through the decision store and
+    drains the (pair, loser, arrival) verdicts; arrival-losers reduce to a
+    drop set (pair-bounded, checkpointed). Pass 2 streams the SAME arrival
+    files as documents, anti-joins each micro-batch against the broadcast
+    drop set, and appends survivors via `idempotent_shard_append` — each
+    batch owns a batchId-deterministic subpath, so a replayed batch cannot
+    duplicate slices (the kill-mid-append restart guarantee carries over
+    verbatim). The shard key is doc_id % CTS_SHARDS — content-determined,
+    equal to the arrival batch by construction. The verify side is one
+    scan of the read-back plus one shard-keyed aggregate.
+
+    Scale shape: pass 1 is the decision store's ONE keyed exchange; the
+    drop set is pair-list-bounded (broadcastable at any realistic dup
+    rate; an anti-join exchange above that); pass 2 is scan → anti-join →
+    partitioned write, no other exchange. Nothing corpus-sized reaches
+    the driver."""
+    return _corpus_to_shards(spark, sf_dir, strict=False)
+
+
+@register("corpus_to_shards_strict", oracle=_cts_oracle(strict=True))
+def corpus_to_shards_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline under the STRICT incumbent-wins gate (r12,
+    VERDICT r11 #4): identical store → decision → exactly-once
+    materialization → manifest chain as ``corpus_to_shards_streamed``,
+    with the admission rule swapped for ``strict_drop_ids`` — EVERY
+    arrival that pairs with any prior band-store member drops, no loser
+    comparison. The guarantee this buys is absolute: no near-dup pair can
+    ever ship (in every discovered pair the later arrival drops, so at
+    most one endpoint survives — pinned on the batch pair universe in
+    tests/test_streaming.py::test_corpus_to_shards_strict_ships_zero_near_dups);
+    the cost is sometimes shipping the lower-quality copy when a better
+    duplicate arrives later. The oracle shares ``_cts_oracle``'s whole
+    keep-best CTE chain — only the ``adrops`` CTE differs (distinct
+    later-arrivals over all pairs, strictly SIMPLER than the arrival-loser
+    rule), so this entry re-grades the signature/banding machinery, the
+    decision store's pair discovery, the exactly-once writer, and the
+    manifest in one value hash.
+
+    Scale shape: identical to the sibling — pass 1 is the decision
+    store's one keyed exchange, the drop set is pair-bounded and
+    broadcast, pass 2 is scan → anti-join → partitioned write."""
+    return _corpus_to_shards(spark, sf_dir, strict=True)

@@ -115,6 +115,9 @@ AUDITED = [
     "embedding_covariance_streamed",  # per-batch term exchange into d² state
     "pca_fixed_project",  # expect ~0: scan -> Arrow stage, no exchange
     "corpus_to_shards_streamed",  # decision-store exchange + anti-join + manifest
+    # r12: the strict incumbent-wins gate + streamed PQ retrieval
+    "corpus_to_shards_strict",  # same chain, drop set = all pairing arrivals
+    "pq_topk_streamed",  # encode exchange-free; per-batch local-topk + qid window
 ]
 
 

@@ -100,37 +100,54 @@ def test_every_deferred_query_has_a_graded_family_sibling():
     siblings = {
         # graded green in r6, rotated out by the r7/r8 window
         "pricing_summary": "shipping_priority",
-        "rollup_sales": "event_type_pivot",
-        "top_customers_per_nation": "monthly_revenue_trend",
+        "rollup_sales": "order_price_unpivot",
+        "top_customers_per_nation": "running_order_totals",
         "asof_click_purchase": "event_followups_range_join",
         "histogram_quantiles": "count_min_exact",
         "hll_distinct_exact": "count_min_exact",
-        "user_funnel_full_outer": "customers_without_orders",
-        "events_minutely_gapfill": "events_json_props",
+        "user_funnel_full_outer": "suppliers_with_large_lineitems",
+        "events_minutely_gapfill": "events_sliding_streamed",
         "dedup_exact": "corpus_ingest_bounded_streamed",
         "dup_cluster_sizes": "corpus_ingest_bounded_streamed",
-        "jaccard_shingle_pairs": "jaccard_token_pairs",
-        "minhash_lsh_exact": "dedup_keep_best_streamed",
-        "simhash_exact": "dedup_keep_best_streamed",
-        # r11 rotation: each streamed tier displaced its batch twin,
-        # which keeps the same oracle through the in-window entry
-        "dedup_keep_best": "dedup_keep_best_streamed",
+        "jaccard_shingle_pairs": "ngram_novelty",
+        "minhash_lsh_exact": "minhash_dedup_streamed",
+        "simhash_exact": "minhash_dedup_streamed",
+        # r11/r12 rotations: the batch twins keep their oracle graded
+        # through an in-window entry sharing the same chain
+        "dedup_keep_best": "corpus_prep_pipeline_keepbest",
         "embedding_covariance": "embedding_covariance_streamed",
-        # r11 stale-cohort rotation: r10-green entries displaced by the
-        # five round-1-stale entries
         "local_supplier_volume": "shipping_priority",
         "wordpiece_encode_holdout": "wordpiece_encode",
         "bpe_bytes_merges": "bpe_bytes_encode",
         "cross_source_overlap": "ngram_novelty",
         "tokenize_pack_pipeline": "mixture_pack_pipeline",
-        "events_hourly": "events_json_props",
-        "user_sessions_batch": "monthly_revenue_trend",
-        "orders_with_returns": "customers_without_orders",
+        "events_hourly": "events_sliding_streamed",
+        "user_sessions_batch": "running_order_totals",
+        "orders_with_returns": "suppliers_with_large_lineitems",
         "dsir_importance": "text_quality_by_lang",
-        "cube_order_stats": "event_type_pivot",
+        "cube_order_stats": "order_price_unpivot",
         "repetition_signals": "text_quality_by_lang",
-        "embedding_near_dup": "semantic_dedup",
-        "jaccard_prefix_filtered": "jaccard_token_pairs",
+        "embedding_near_dup": "pq_adc_topk",
+        "jaccard_prefix_filtered": "ngram_novelty",
+        # r12 stale-cohort rotation (VERDICT r11 #1): r11-green entries
+        # displaced by the 9 r1- + 3 r2-stale entries and the two new
+        # r12 operators; every family keeps an in-window sibling
+        "event_type_pivot": "order_price_unpivot",
+        "monthly_revenue_trend": "running_order_totals",
+        "customers_without_orders": "suppliers_with_large_lineitems",
+        "salted_event_totals": "kmeans_centroid_update",
+        "quantity_percentiles": "count_min_exact",
+        "global_stats": "short_matrix_stats",
+        "media_metadata": "media_audio_energy",
+        "pii_scrub": "text_quality_by_lang",
+        "events_json_props": "events_sliding_streamed",
+        "jaccard_token_pairs": "ngram_novelty",
+        "semantic_dedup": "pq_adc_topk",
+        # r12: the composed strict gate re-grades the decide store, the
+        # exactly-once writer, and the manifest oracle in one entry
+        "dedup_keep_best_streamed": "corpus_prep_pipeline_keepbest",
+        "shard_append_streamed": "corpus_to_shards_strict",
+        "corpus_to_shards_streamed": "corpus_to_shards_strict",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
         "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",
@@ -148,12 +165,12 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         # r10 rotation: each r10 entry displaced the prior tier of its own
         # family, which becomes its DEFER sibling
         "corpus_ingest_streamed": "corpus_ingest_bounded_streamed",
-        "shard_write_roundtrip": "shard_append_streamed",
+        "shard_write_roundtrip": "corpus_to_shards_strict",
         "unigram_logprob": "lang_id_ngram",
         "token_bigram_pmi": "lang_id_ngram",
         "wordpiece_merges": "wordpiece_encode",
         "gopher_quality_flags": "text_quality_by_lang",
-        "benchmark_contamination": "pii_scrub",
+        "benchmark_contamination": "text_quality_by_lang",
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "lang_id_ngram",
         "substring_dedup": "chunk_dedup",
@@ -161,7 +178,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
         "clamp_small_values": "shipping_priority",
-        "shard_manifest": "shard_append_streamed",
+        "shard_manifest": "corpus_to_shards_strict",
         "events_dedup_streamed": "minhash_dedup_streamed",
         "binmatrix_sink_roundtrip": "binary_f64_scan",
         "bucketed_fact_join": "shipping_priority",
@@ -185,24 +202,14 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "damds_sidefile_scan": "damds_embed",
         "partitioned_sink_roundtrip": "binary_f64_scan",
         "events_hourly_streamed": "events_sliding_streamed",
-        "user_sessions_streamed": "monthly_revenue_trend",
+        "user_sessions_streamed": "running_order_totals",
         "damds_bofz_bc": "damds_embed",
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
         "dup_span_coverage": "chunk_dedup",
         "quantize_roundtrip": "binary_i16_scan",
-        "nation_set_ops": "event_type_pivot",
-        "lang_id_heuristic": "lang_id_ngram",
-        "orders_by_priority": "label_centroid_udaf",
-        "top_orders_by_price": "monthly_revenue_trend",
-        "order_price_unpivot": "event_type_pivot",
-        "running_order_totals": "monthly_revenue_trend",
-        "suppliers_with_large_lineitems": "customers_without_orders",
-        "distinct_part_types": "corpus_ingest_bounded_streamed",
-        "media_resize_estimate": "media_audio_energy",
-        "economy_revenue_share": "mds_stress",
-        "customer_order_gaps": "monthly_revenue_trend",
-        "media_frame_sample": "media_audio_energy",
+        # (the r1/r2-stale cohort rotated INTO the r12 window needs no
+        # sibling rows here — they are the in-window representatives now)
         # rows-only demos keep their exactly-graded twins in-window
         "kmeans_full_demo": "kmeans_full",
         "damds_embed_demo": "damds_embed",

@@ -1387,3 +1387,112 @@ def test_decision_store_restart_recovers_attribute_state(spark, tmp_path):
     assert streamed == batch_losers, (sorted(streamed), sorted(batch_losers))
     life1_pairs = {(r["doc_a"], r["doc_b"]) for r in got[:n_life1]}
     assert all(p not in life1_pairs for p in cross)  # emitted by life 2 only
+
+
+def test_corpus_to_shards_strict_equals_oracle_replay(spark):
+    """The STRICT incumbent-wins variant (r12, VERDICT r11 #4) against a
+    DuckDB replay of its own oracle at sf0.001: drops = every arrival that
+    paired with ANY prior member (no loser comparison), so zero near-dup
+    pairs ever ship."""
+    import duckdb
+
+    from flink_mm_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    spec = registry.QUERIES["corpus_to_shards_strict"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert got == want and len(got) == 4
+
+
+def test_corpus_to_shards_strict_ships_zero_near_dups(spark):
+    """The strict gate's guarantee, verified through the manifest: the
+    batch pair universe restricted to SURVIVORS must be empty (in every
+    pair the later arrival dropped, so at most one endpoint survives),
+    and the manifest's total doc count must equal corpus − |drops| where
+    drops = distinct later-arrivals over all pairs."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.dedup import _kb_tables
+    from flink_mm_spark.streaming.documents import CTS_SHARDS
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    _, pq, _ = _kb_tables(spark, SF_DIR)
+    later = F.when(
+        (F.col("doc_a") % CTS_SHARDS > F.col("doc_b") % CTS_SHARDS)
+        | (
+            (F.col("doc_a") % CTS_SHARDS == F.col("doc_b") % CTS_SHARDS)
+            & (F.col("doc_a") > F.col("doc_b"))
+        ),
+        F.col("doc_a"),
+    ).otherwise(F.col("doc_b"))
+    drops = {r[0] for r in pq.select(later.alias("d")).distinct().collect()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pq.select("doc_a", "doc_b").collect()]
+    n_docs = table(spark, SF_DIR, "documents").count()
+    survivors = {
+        r["doc_id"]
+        for r in table(spark, SF_DIR, "documents").select("doc_id").collect()
+    } - drops
+    assert not [p for p in pairs if p[0] in survivors and p[1] in survivors]
+    manifest = registry.QUERIES["corpus_to_shards_strict"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in manifest) == n_docs - len(drops)
+
+
+def test_corpus_to_shards_strict_vs_keepbest_drop_sets(spark, tmp_path):
+    """On the crafted 3-doc corpus of the arrival-semantics test, the two
+    REGISTERED admission rules must split exactly as documented: the
+    quality-respecting rule drops {2} (doc 1 wins its own arrival), the
+    strict rule drops {1, 2} (every pairing arrival drops)."""
+    import uuid
+
+    import pandas as pd
+
+    from flink_mm_spark.streaming.documents import (
+        documents_stream,
+        keep_best_band_rows,
+        minhash_band_store,
+        strict_drop_ids,
+        keepbest_drop_ids,
+    )
+
+    base = " ".join(f"word{i:02d}" for i in range(30))
+    docs = {0: base, 1: base + " extra more", 2: " ".join(base.split()[:29])}
+    pdfs = [
+        pd.DataFrame(
+            {
+                "doc_id": [i],
+                "text": [docs[i]],
+                "lang": ["en"],
+                "source": ["srcX"],
+                "n_chars": [len(docs[i])],
+            }
+        )
+        for i in (0, 1, 2)
+    ]
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files(pdfs, src)
+    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    name = f"cts_rules_{uuid.uuid4().hex[:8]}"
+    q = (
+        minhash_band_store(bands, decide=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    verdicts = spark.table(name)
+    keep_best = {r[0] for r in keepbest_drop_ids(verdicts).collect()}
+    strict = {r[0] for r in strict_drop_ids(verdicts).collect()}
+    spark.catalog.dropTempView(name)
+    assert keep_best == {2}
+    assert strict == {1, 2}
