@@ -159,9 +159,14 @@ def main() -> None:
         F.pandas_udf(lambda s: s + 1, "long")("id")
     ).write.format("noop").mode("overwrite").save()
 
+    # SPARK_GRAFT_AUDIT_ONLY=a,b,c restricts the run to named entries
+    # (incremental re-audits after a builder change; default = full list)
+    only = os.environ.get("SPARK_GRAFT_AUDIT_ONLY")
+    audited = [n for n in AUDITED if n in set(only.split(","))] if only else AUDITED
+
     rows_out = []
     watermark = stage_totals(base, app_id, -1)["maxStageId"]
-    for name in AUDITED:
+    for name in audited:
         spec = registry.QUERIES.get(name)
         if spec is None:
             # no silent caps: an unknown name is a harness bug, not a skip
