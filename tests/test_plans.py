@@ -891,3 +891,30 @@ def test_corpus_to_shards_verify_side_is_scan_and_aggregate(spark):
     assert "HashAggregate" in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_corpus_to_shards_strict_verify_side_is_scan_and_aggregate(spark):
+    """corpus_to_shards_strict (r12): the strict gate shares the sibling's
+    body, so its verify side must carry the same contract — one parquet
+    scan of the read-back + one shard-keyed aggregate, no Python stage and
+    no join leaking in from the streaming passes."""
+    df = registry.QUERIES["corpus_to_shards_strict"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "HashAggregate" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pq_topk_streamed_readback_has_no_python_stage(spark):
+    """pq_topk_streamed (r12): the returned plan is the drained spool
+    read-back (scan + sort) — encoding and scoring ran inside the stream.
+    The ranked per-batch files carry rnk already, so the read-back must
+    not re-rank (no Window) and must not touch Python."""
+    df = registry.QUERIES["pq_topk_streamed"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
