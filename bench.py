@@ -128,6 +128,8 @@ HEADLINE = [
                                 # incumbent-wins gate (zero near-dups ship)
     "pq_topk_streamed",         # r12: streamed retrieval — query arrivals
                                 # probe the static PQ code table per batch
+    "pq_encode_streamed",       # r12: incremental index build — corpus
+                                # arrivals encoded + exactly-once appended
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -586,6 +586,20 @@ _PQS_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> staged query-arrival dir
 _PQS_CODES_CACHE: list[DataFrame] = []  # last persisted corpus code table
 
 
+def _pq_encode_block(cb: np.ndarray, pdf: pd.DataFrame) -> np.ndarray:
+    """(n, PQ_S) int64 code matrix for one Arrow batch of (vec_id, emb)
+    rows: per subspace, the argmin-distance codebook row (first min =
+    smallest c, matching the oracle's ROW_NUMBER(ORDER BY d_int, c)).
+    ONE kernel behind the streamed retrieval scan and the streamed
+    index-build encoder."""
+    x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+    cds = np.empty((len(x), PQ_S), dtype=np.int64)
+    for s in range(PQ_S):
+        d = np.stack([_pq_sqdist_int(cb, x, s, c) for c in range(PQ_NCB)], axis=1)
+        cds[:, s] = np.argmin(d, axis=1)
+    return cds
+
+
 def _pqs_query_split(spark: SparkSession, sf_dir: str) -> str:
     """Stage the PQS_NQ query vectors as one-row parquet files with
     strictly increasing mtimes, so the file source delivers them one per
@@ -708,13 +722,7 @@ def pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            cds = np.empty((len(x), PQ_S), dtype=np.int64)
-            for s in range(PQ_S):
-                d = np.stack(
-                    [_pq_sqdist_int(cb, x, s, c) for c in range(PQ_NCB)], axis=1
-                )
-                cds[:, s] = np.argmin(d, axis=1)  # first min = smallest c
+            cds = _pq_encode_block(cb, pdf)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(cds)}
             )
@@ -799,6 +807,107 @@ def pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.col("rnk").cast("int"))
         .orderBy("qid", "rnk")
     )
+
+
+_PQE_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> 4-file embedding-arrival dir
+
+
+def _pqe_oracle() -> str:
+    # the batch encoder's codes CTE rendered per vector — the same
+    # definition pq_adc_topk's oracle grades, as the index table itself
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.s, c.vec_id AS c, c.emb
+      FROM v c CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s) s
+      WHERE c.vec_id < {PQ_NCB}
+    ),
+    enc AS (
+      SELECT v.vec_id, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('v.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM v CROSS JOIN cb
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d_int, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, string_agg(CAST(code AS VARCHAR), '_' ORDER BY s) AS pq_code
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@register("pq_encode_streamed", oracle=_pqe_oracle())
+def pq_encode_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index build — the other half of the retrieval
+    lifecycle (r12): corpus vectors ARRIVE over micro-batches and are
+    encoded against the FROZEN codebook into the at-rest PQ code table,
+    each batch appended through the exactly-once overwrite-subpath
+    writer. With `pq_topk_streamed` this closes the full production loop:
+    the index is BUILT incrementally as the corpus arrives and QUERIED
+    incrementally as queries arrive, both sides graded by replays of the
+    one shared codes/LUT definition (`_pq_codebook` / `_pq_sqdist_int` /
+    `_pq_encode_block`).
+
+    The codebook is computed before ingestion starts and closed over by
+    the encoder — the production shape, where codebooks are trained on a
+    bounded sample and frozen before the corpus streams through
+    (retraining would invalidate previously written codes; that is a
+    reindex, not an append). Output is the read-back code table
+    (vec_id, pq_code), value-hash graded against the batch encoder's
+    codes CTE — the SAME rows `pq_adc_topk`'s oracle derives internally,
+    so a slice lost, duplicated, or mis-encoded by any append breaks the
+    hash.
+
+    Scale shape: per micro-batch ONE mapInPandas scan of the arrivals
+    (the 256 B → 8 B compression pass) and a partitioned write — no
+    exchange anywhere; a replayed batch overwrites its own
+    ``ingest=<b>`` subpath (the `idempotent_shard_append` guarantee).
+    The verify side is one scan of the read-back."""
+    from flink_mm_spark.session import scratch_dir
+
+    e = embeddings64(spark, sf_dir)
+    cb = _pq_codebook(e)
+    src = _PQE_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        # stage the corpus as 4 arrival files (order-independent output,
+        # so a plain repartition split suffices — the _arrival_split rule)
+        src = scratch_dir("pqe_src_")
+        e.select("vec_id", "emb").repartition(4).write.mode("overwrite").parquet(src)
+        _PQE_SPLIT_CACHE[sf_dir] = src
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cds = _pq_encode_block(cb, pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "pq_code": ["_".join(map(str, row)) for row in cds],
+                }
+            )
+
+    dst = scratch_dir("pqe_dst_")
+
+    def append_codes(df: DataFrame, bid: int) -> None:
+        df.mapInPandas(encode, "vec_id long, pq_code string").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/ingest={bid}")
+
+    q = (
+        spark.readStream.schema("vec_id long, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(append_codes)
+        .option("checkpointLocation", scratch_dir("pqe_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dst).drop("ingest").orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -112,12 +112,14 @@ PROMOTE: list[str] = [
     # to DEFER as its sibling)
     "corpus_prep_pipeline_keepbest",
     "count_min_exact",
-    # r11 swap: pca_fixed_project in, wordpiece_encode_holdout out — the
-    # Arrow projection kernel value-hashed on a fixed seeded orthonormal
-    # basis with integer-quantized outputs (VERDICT r10 #7), giving the
-    # projection path its exact/production twin split; the held-out
-    # encode (green r10) defers with wordpiece_encode as its sibling
-    "pca_fixed_project",
+    # r12 swap: pq_encode_streamed in, pca_fixed_project out — the
+    # INCREMENTAL index build (corpus arrivals encoded against the frozen
+    # codebook, exactly-once appends into the at-rest code table) closes
+    # the retrieval lifecycle alongside pq_topk_streamed, graded by the
+    # batch encoder's codes CTE; the projection kernel (green r11) defers
+    # with embedding_covariance_streamed keeping the PCA/covariance
+    # family value-hashed
+    "pq_encode_streamed",
     # mixture APPLY -> pack (r8); displaced cosine_topk (pq_adc_topk keeps
     # similarity graded)
     "mixture_pack_pipeline",
@@ -275,6 +277,8 @@ DEFER: list[str] = [
     #   corpus_to_shards_strict runs both in-window
     "corpus_to_shards_streamed",  # arrival-loser admission variant:
     #   corpus_to_shards_strict shares body + oracle CTE chain in-window
+    "pca_fixed_project",  # projection kernel (r12): PCA/covariance family
+    #   stays value-hashed through embedding_covariance_streamed in-window
     # r11 stale-cohort rotation: r10-green entries displaced by the five
     # round-1-stale entries; every family keeps an in-window sibling
     "local_supplier_volume",  # equi-join+agg: shipping_priority in-window

@@ -118,6 +118,7 @@ AUDITED = [
     # r12: the strict incumbent-wins gate + streamed PQ retrieval
     "corpus_to_shards_strict",  # same chain, drop set = all pairing arrivals
     "pq_topk_streamed",  # encode exchange-free; per-batch local-topk + qid window
+    "pq_encode_streamed",  # expect ~0: per-batch scan -> Arrow encode -> write
 ]
 
 

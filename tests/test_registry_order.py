@@ -148,6 +148,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "dedup_keep_best_streamed": "corpus_prep_pipeline_keepbest",
         "shard_append_streamed": "corpus_to_shards_strict",
         "corpus_to_shards_streamed": "corpus_to_shards_strict",
+        "pca_fixed_project": "embedding_covariance_streamed",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
         "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",

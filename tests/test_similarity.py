@@ -338,3 +338,58 @@ def test_pq_topk_streamed_local_topk_is_lossless(spark):
         .collect()
     ]
     assert streamed == brute
+
+
+def test_pq_encode_streamed_matches_oracle_replay(spark):
+    """Incremental index build (r12): corpus arrivals encoded per
+    micro-batch, exactly-once appended; the read-back code table must
+    match the batch encoder's codes CTE replayed by DuckDB."""
+    import duckdb
+
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    spec = registry.QUERIES["pq_encode_streamed"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_pq_encode_streamed_equals_batch_encoder(spark):
+    """The streamed appends must reproduce pq_adc_topk's batch encoding
+    bit-for-bit: same codebook, same argmin tie-breaks, every vector
+    present exactly once (a dropped or replay-duplicated batch would
+    break the row count; a mis-encoded one the codes)."""
+    import numpy as np
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import (
+        _pq_codebook,
+        _pq_encode_block,
+        embeddings64,
+    )
+
+    registry.load_all()
+    rows = embeddings64(spark, SF_DIR).orderBy("vec_id").collect()
+    cb = _pq_codebook(embeddings64(spark, SF_DIR))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": [r["vec_id"] for r in rows], "emb": [r["emb"] for r in rows]}
+    )
+    cds = _pq_encode_block(cb, pdf)
+    want = {
+        int(v): "_".join(map(str, row)) for v, row in zip(pdf["vec_id"], cds)
+    }
+    got = {
+        r["vec_id"]: r["pq_code"]
+        for r in registry.QUERIES["pq_encode_streamed"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # codebook rows encode to themselves (distance 0 in every subspace)
+    for vid in range(16):
+        assert got[vid] == "_".join([str(vid)] * 8)
