@@ -130,6 +130,8 @@ HEADLINE = [
                                 # probe the static PQ code table per batch
     "pq_encode_streamed",       # r12: incremental index build — corpus
                                 # arrivals encoded + exactly-once appended
+    "ivf_pq_topk_streamed",     # r12: online IVF-PQ — growing cell-sharded
+                                # index state, interleaved query waves
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -911,6 +911,321 @@ def pq_encode_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Online IVF-PQ retrieval against a GROWING index (r12)
+# ---------------------------------------------------------------------------
+
+ONL_NPROBE = 4  # probe cells per query (of the PQ_NCB=16 coarse cells)
+ONL_NQ = 4  # query vectors (vec_id 0..3), arriving in two mid-stream waves
+ONL_CBATCHES = 4  # corpus arrival files: vec_id % 4 == batch
+
+_ONL_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> staged 6-file arrival dir
+_ONL_SINK_CACHE: list[str] = []  # previous invocation's memory-sink table
+
+
+def _onl_oracle() -> str:
+    # integer coarse cells: a vector's cell is its argmin FULL distance to
+    # the 16 codebook rows, where the full distance is the SUM of the 8
+    # already-quantized subspace d_ints — pure int64, so cells, probes,
+    # candidates, ADC sums and ranking all replay exactly. The arrival
+    # rule: wave A (qid 0,1) arrives after corpus batches 0,1; wave B
+    # (qid 2,3) after all four — so a candidate must satisfy
+    # vec_id % 4 <= 1 for wave A and is unrestricted for wave B.
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.s, c.vec_id AS c, c.emb
+      FROM v c CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s) s
+      WHERE c.vec_id < {PQ_NCB}
+    ),
+    enc AS (
+      SELECT v.vec_id, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('v.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM v CROSS JOIN cb
+    ),
+    fulld AS MATERIALIZED (
+      SELECT vec_id, c, CAST(SUM(d_int) AS BIGINT) AS d FROM enc GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM fulld
+    ),
+    cells AS MATERIALIZED (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, c AS cell FROM ranked
+      WHERE rn <= {ONL_NPROBE} AND vec_id < {ONL_NQ}
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d_int, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT qs.qid, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('qs.qemb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM cb, (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {ONL_NQ}) qs
+    ),
+    cand AS (
+      SELECT p.qid, m.vec_id
+      FROM probes p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id % {ONL_CBATCHES} <= (CASE WHEN p.qid <= 1 THEN 1 ELSE {ONL_CBATCHES - 1} END)
+    ),
+    adc AS (
+      SELECT c.qid, c.vec_id, CAST(SUM(l.d_int) AS BIGINT) AS est_micro
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.qid = c.qid AND l.s = co.s AND l.c = co.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, est_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT qid, vec_id, est_micro,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_micro, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    ORDER BY qid, rnk
+    """
+
+
+def _onl_arrival_split(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the interleaved corpus/query arrival: 6 mtime-ordered files —
+    corpus batches 0, 1 (vec_id % 4), query wave A (qid 0, 1), corpus
+    batches 2, 3, query wave B (qid 2, 3) — so wave A genuinely queries a
+    HALF-BUILT index. Content-determined like the other arrival splits;
+    cached per (process, sf_dir)."""
+    import glob
+    import os
+    import shutil
+
+    from flink_mm_spark.session import scratch_dir
+
+    src = _ONL_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        src = scratch_dir("onl_src_")
+        e = embeddings64(spark, sf_dir)
+        corpus = e.select(
+            F.lit(0).alias("is_query"), F.col("vec_id").alias("id"), "emb"
+        )
+        queries = e.filter(F.col("vec_id") < ONL_NQ).select(
+            F.lit(1).alias("is_query"), F.col("vec_id").alias("id"), "emb"
+        )
+        waves = [
+            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 0),
+            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 1),
+            queries.filter(F.col("id") <= 1),
+            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 2),
+            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 3),
+            queries.filter(F.col("id") >= 2),
+        ]
+        t0 = int(os.path.getmtime(src)) - 3600
+        for k, df in enumerate(waves):
+            tmp = scratch_dir("onl_tmp_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = glob.glob(f"{tmp}/part-*.parquet")
+            dst = f"{src}/arrival{k}.parquet"
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        _ONL_SPLIT_CACHE[sf_dir] = src
+    return src
+
+
+@register("ivf_pq_topk_streamed", oracle=_onl_oracle())
+def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE IVF-PQ retrieval against a GROWING index, exactly graded —
+    the full production ANN loop in one streamed entry (r12): corpus
+    vectors and queries arrive INTERLEAVED over micro-batches; the index
+    is `applyInPandasWithState` keyed state SHARDED BY COARSE CELL (the
+    IVF layout — each state group holds one cell's (vec_id, codes)
+    members); an arriving corpus vector joins its cell's state, an
+    arriving query fans out to its ONL_NPROBE nearest cells and ADC-scores
+    each probed cell's members ACCUMULATED SO FAR. Query wave A (qid 0, 1)
+    arrives after corpus batches 0-1 and therefore sees a half-built
+    index; wave B (qid 2, 3) arrives last and sees everything — the
+    growing-index semantics a daily-crawl retrieval deployment actually
+    has, SQL-expressible because the staged arrival order is a pure
+    function of content (candidate ⇔ vec_id % 4 ≤ wave bound).
+
+    This upgrades the IVF-PQ composition from rows-only (`ivf_pq_topk`,
+    float-trained cells) to value-hash graded: the coarse cell of a
+    vector is its argmin over the 16 codebook rows of the FULL integer
+    distance (the sum of the 8 already-quantized subspace d_ints — pure
+    int64, same tie-breaks both engines), so cells, probes, candidates,
+    LUTs, ADC sums, and the (est_micro, vec_id) ranking all replay in the
+    oracle. Per-cell emission is the cell-local top-k — lossless for the
+    final per-query rank (any global top-k row is its own cell's top-k
+    row); the drained candidates take one qid window for the final rnk.
+
+    Scale shape: this is the shape a billion-vector online ANN runs —
+    state is the PQ-compressed index sharded by cell (8 B codes per
+    member; the skew unit is a cell, and cells are the IVF balance knob),
+    an arriving vector costs ONE keyed exchange row, an arriving query
+    costs ONL_NPROBE exchange rows (its cell fan-out, each carrying the
+    S×K int64 LUT ≈ 1 KB) plus O(cell members) vectorized numpy per
+    probed cell, and emission is query×cells×k-bounded. Nothing
+    corpus-sized leaves the state store; the pre-state encode is the
+    shared `_pq_encode_block` Arrow stage. Within a micro-batch corpus
+    rows join state BEFORE queries probe (arrivals never mix in the
+    staged order; the rule makes mixed batches deterministic anyway)."""
+    import uuid
+
+    from flink_mm_spark.session import scratch_dir
+
+    e = embeddings64(spark, sf_dir)
+    cb = _pq_codebook(e)
+    src = _onl_arrival_split(spark, sf_dir)
+
+    def enrich(batches):
+        # corpus rows -> (cell, codes); query rows -> ONL_NPROBE probe
+        # rows each carrying the flattened (S × NCB) int64 LUT
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            corp = pdf[pdf["is_query"] == 0]
+            if len(corp):
+                x = np.vstack(corp["emb"].to_numpy()).astype(np.float64)
+                cds = _pq_encode_block(cb, corp)
+                fd = np.stack(
+                    [
+                        sum(_pq_sqdist_int(cb, x, s, c) for s in range(PQ_S))
+                        for c in range(PQ_NCB)
+                    ],
+                    axis=1,
+                )  # (n, NCB) int64 full distances
+                cell = np.argmin(fd, axis=1)  # first min = smallest c
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cell": cell.astype(np.int32),
+                            "is_query": 0,
+                            "id": corp["id"].to_numpy(np.int64),
+                            "codes": list(cds),
+                            "lut": None,
+                        }
+                    )
+                )
+            qs = pdf[pdf["is_query"] == 1]
+            for _, row in qs.iterrows():
+                qv = np.asarray(row["emb"], dtype=np.float64)
+                lut = np.array(
+                    [
+                        [_pq_sqdist_int(cb, qv, s, c) for c in range(PQ_NCB)]
+                        for s in range(PQ_S)
+                    ],
+                    dtype=np.int64,
+                )
+                fd = lut.sum(axis=0)  # (NCB,) full distance per cell
+                probes = np.lexsort((np.arange(PQ_NCB), fd))[:ONL_NPROBE]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cell": probes.astype(np.int32),
+                            "is_query": 1,
+                            "id": np.full(len(probes), row["id"], dtype=np.int64),
+                            "codes": None,
+                            "lut": [lut.ravel()] * len(probes),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    enriched = (
+        spark.readStream.schema("is_query int, id long, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .mapInPandas(
+            enrich,
+            "cell int, is_query int, id long, codes array<long>, lut array<long>",
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("est_micro", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("codes", T.ArrayType(T.ArrayType(T.LongType()))),
+        ]
+    )
+
+    def probe_or_add(key, pdfs, state):
+        if state.exists:
+            vals = state.get
+            m_ids = np.asarray(vals[0], dtype=np.int64)
+            m_codes = np.array([np.asarray(c) for c in vals[1]], dtype=np.int64)
+        else:
+            m_ids = np.empty(0, dtype=np.int64)
+            m_codes = np.empty((0, PQ_S), dtype=np.int64)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        corp = batch[batch["is_query"] == 0].sort_values("id")
+        if len(corp):
+            m_ids = np.concatenate([m_ids, corp["id"].to_numpy(np.int64)])
+            m_codes = np.concatenate(
+                [m_codes, np.array([np.asarray(c) for c in corp["codes"]], dtype=np.int64)],
+                axis=0,
+            )
+            state.update((m_ids.tolist(), m_codes.tolist()))
+        outs = []
+        qs = batch[batch["is_query"] == 1]
+        if len(qs) and len(m_ids):
+            srange = np.arange(PQ_S)
+            for _, row in qs.iterrows():
+                lut = np.asarray(row["lut"], dtype=np.int64).reshape(PQ_S, PQ_NCB)
+                est = lut[srange[None, :], m_codes].sum(axis=1)
+                idx = np.lexsort((m_ids, est))[:PQ_TOPK]  # cell-local top-k
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(idx), row["id"], dtype=np.int64),
+                            "vec_id": m_ids[idx],
+                            "est_micro": est[idx],
+                        }
+                    )
+                )
+        yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {
+                "qid": np.empty(0, np.int64),
+                "vec_id": np.empty(0, np.int64),
+                "est_micro": np.empty(0, np.int64),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    candidates = enriched.groupBy("cell").applyInPandasWithState(
+        probe_or_add, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    while _ONL_SINK_CACHE:
+        spark.catalog.dropTempView(_ONL_SINK_CACHE.pop())
+    name = f"ivf_pq_online_{uuid.uuid4().hex[:8]}"
+    _ONL_SINK_CACHE.append(name)
+    q = (
+        candidates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("onl_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("qid").orderBy("est_micro", "vec_id")
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN: exactly-graded hyperplane-LSH twin
 # ---------------------------------------------------------------------------
 

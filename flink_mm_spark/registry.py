@@ -135,10 +135,15 @@ PROMOTE: list[str] = [
     # UNK-free) becomes the BPE family sentinel; the char-level encode
     # (green r8) moves to DEFER with this entry as its sibling
     "bpe_bytes_encode",
-    # exactly-graded Viterbi decoder (integer micro-nat weights) — the
-    # unigram family's first value-hash entry; displaces pack_sequences
-    # (green r7; tokenize_pack_pipeline keeps the packer graded)
-    "unigram_viterbi_encode",
+    # r12 swap: ivf_pq_topk_streamed in, unigram_viterbi_encode out — the
+    # ONLINE IVF-PQ retrieval against a GROWING index (cell-sharded
+    # applyInPandasWithState; interleaved corpus/query arrivals; integer
+    # coarse cells make the whole composition value-hash replayable,
+    # upgrading the rows-only ivf_pq_topk family to exactly graded); the
+    # Viterbi decoder (green r8-r11, freshest possible evidence) defers
+    # with the tokenizer-encode family staying graded through
+    # wordpiece_encode + bpe_bytes_encode
+    "ivf_pq_topk_streamed",
     # r12 stale rotation: nation_set_ops (r2-stale §2.5 set ops) in,
     # dedup_keep_best_streamed out (green r11; the keep-best chain stays
     # graded through corpus_prep_pipeline_keepbest's oracle and the store
@@ -279,6 +284,8 @@ DEFER: list[str] = [
     #   corpus_to_shards_strict shares body + oracle CTE chain in-window
     "pca_fixed_project",  # projection kernel (r12): PCA/covariance family
     #   stays value-hashed through embedding_covariance_streamed in-window
+    "unigram_viterbi_encode",  # tokenizer encode (r12): wordpiece_encode +
+    #   bpe_bytes_encode keep the encode family value-hashed in-window
     # r11 stale-cohort rotation: r10-green entries displaced by the five
     # round-1-stale entries; every family keeps an in-window sibling
     "local_supplier_volume",  # equi-join+agg: shipping_priority in-window

@@ -119,6 +119,7 @@ AUDITED = [
     "corpus_to_shards_strict",  # same chain, drop set = all pairing arrivals
     "pq_topk_streamed",  # encode exchange-free; per-batch local-topk + qid window
     "pq_encode_streamed",  # expect ~0: per-batch scan -> Arrow encode -> write
+    "ivf_pq_topk_streamed",  # cell-keyed exchange: 8B codes/vector + 1KB LUT/probe
 ]
 
 

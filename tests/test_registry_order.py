@@ -149,6 +149,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "shard_append_streamed": "corpus_to_shards_strict",
         "corpus_to_shards_streamed": "corpus_to_shards_strict",
         "pca_fixed_project": "embedding_covariance_streamed",
+        "unigram_viterbi_encode": "wordpiece_encode",
         "corpus_prep_pipeline_minhash": "corpus_prep_pipeline_keepbest",
         "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",

@@ -393,3 +393,41 @@ def test_pq_encode_streamed_equals_batch_encoder(spark):
     # codebook rows encode to themselves (distance 0 in every subspace)
     for vid in range(16):
         assert got[vid] == "_".join([str(vid)] * 8)
+
+
+def test_ivf_pq_online_matches_oracle_replay(spark):
+    """Online IVF-PQ against a growing index (r12): interleaved
+    corpus/query arrivals through the cell-sharded state store must match
+    the DuckDB replay (integer cells, probes, LUTs, ADC, arrival rule)."""
+    import duckdb
+
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    spec = registry.QUERIES["ivf_pq_topk_streamed"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pq_online_growing_index_semantics(spark):
+    """The growing index must MATTER: wave-A queries (qid 0, 1) arrived
+    after corpus batches 0-1 only, so every result row satisfies
+    vec_id % 4 <= 1 (a late arrival in a wave-A top-k would mean state
+    leaked forward); wave-B queries (qid 2, 3) arrived last and their
+    top-k must include at least one late-batch vector (the index grew
+    between the waves — holds by wide margin on the random corpus where
+    half the candidates are late-batch)."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["ivf_pq_topk_streamed"].fn(spark, SF_DIR).collect()
+    wave_a = [r for r in rows if r["qid"] <= 1]
+    wave_b = [r for r in rows if r["qid"] >= 2]
+    assert wave_a and wave_b
+    assert all(r["vec_id"] % 4 <= 1 for r in wave_a)
+    assert any(r["vec_id"] % 4 >= 2 for r in wave_b)
