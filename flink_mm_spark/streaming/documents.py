@@ -1060,7 +1060,13 @@ def corpus_to_shards_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     later-arrivals over all pairs, strictly SIMPLER than the arrival-loser
     rule), so this entry re-grades the signature/banding machinery, the
     decision store's pair discovery, the exactly-once writer, and the
-    manifest in one value hash.
+    manifest in one value hash. On the sf0.01 grading corpus the two
+    rules happen to produce the same drop set (its near-dup pairs' losers
+    are all the later arrivals), so the sibling manifests coincide there;
+    the rules' semantic split is pinned on the crafted 3-doc corpus where
+    they differ (tests/test_streaming.py::
+    test_corpus_to_shards_strict_vs_keepbest_drop_sets: keep-best drops
+    {2}, strict drops {1, 2}).
 
     Scale shape: identical to the sibling — pass 1 is the decision
     store's one keyed exchange, the drop set is pair-bounded and
