@@ -987,97 +987,72 @@ def _onl_oracle() -> str:
     """
 
 
-def _onl_arrival_split(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the interleaved corpus/query arrival: 6 mtime-ordered files —
-    corpus batches 0, 1 (vec_id % 4), query wave A (qid 0, 1), corpus
-    batches 2, 3, query wave B (qid 2, 3) — so wave A genuinely queries a
-    HALF-BUILT index. Content-determined like the other arrival splits;
-    cached per (process, sf_dir)."""
+def _onl_wave_dfs(e: DataFrame) -> list[DataFrame]:
+    """The six arrival waves: corpus batches 0, 1 (vec_id % 4), query
+    wave A (qid 0, 1), corpus batches 2, 3, query wave B (qid 2, 3) — so
+    wave A genuinely queries a HALF-BUILT index. Shared by the staged
+    entry split and the restart-recovery test (which replays the same
+    waves across a checkpoint stop)."""
+    corpus = e.select(F.lit(0).alias("is_query"), F.col("vec_id").alias("id"), "emb")
+    queries = e.filter(F.col("vec_id") < ONL_NQ).select(
+        F.lit(1).alias("is_query"), F.col("vec_id").alias("id"), "emb"
+    )
+    return [
+        corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 0),
+        corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 1),
+        queries.filter(F.col("id") <= 1),
+        corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 2),
+        corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 3),
+        queries.filter(F.col("id") >= 2),
+    ]
+
+
+def _write_wave_files(waves: list[DataFrame], src: str, start_k: int = 0) -> None:
+    """Write each wave as one mtime-ordered parquet file under ``src``
+    (file k gets mtime t0 + 10k, anchored safely in the past), so the
+    file source delivers them one per micro-batch in wave order."""
     import glob
     import os
     import shutil
 
     from flink_mm_spark.session import scratch_dir
 
+    os.makedirs(src, exist_ok=True)
+    t0 = int(os.path.getmtime(src)) - 3600
+    for i, df in enumerate(waves):
+        k = start_k + i
+        tmp = scratch_dir("onl_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(f"{tmp}/part-*.parquet")
+        dst = f"{src}/arrival{k}.parquet"
+        shutil.move(parts[0], dst)
+        os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _onl_arrival_split(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the interleaved corpus/query arrival as 6 mtime-ordered
+    files. Content-determined like the other arrival splits; cached per
+    (process, sf_dir)."""
+    from flink_mm_spark.session import scratch_dir
+
     src = _ONL_SPLIT_CACHE.get(sf_dir)
     if src is None:
         src = scratch_dir("onl_src_")
-        e = embeddings64(spark, sf_dir)
-        corpus = e.select(
-            F.lit(0).alias("is_query"), F.col("vec_id").alias("id"), "emb"
-        )
-        queries = e.filter(F.col("vec_id") < ONL_NQ).select(
-            F.lit(1).alias("is_query"), F.col("vec_id").alias("id"), "emb"
-        )
-        waves = [
-            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 0),
-            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 1),
-            queries.filter(F.col("id") <= 1),
-            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 2),
-            corpus.filter(F.pmod("id", F.lit(ONL_CBATCHES)) == 3),
-            queries.filter(F.col("id") >= 2),
-        ]
-        t0 = int(os.path.getmtime(src)) - 3600
-        for k, df in enumerate(waves):
-            tmp = scratch_dir("onl_tmp_")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            parts = glob.glob(f"{tmp}/part-*.parquet")
-            dst = f"{src}/arrival{k}.parquet"
-            shutil.move(parts[0], dst)
-            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
-            shutil.rmtree(tmp, ignore_errors=True)
+        _write_wave_files(_onl_wave_dfs(embeddings64(spark, sf_dir)), src)
         _ONL_SPLIT_CACHE[sf_dir] = src
     return src
 
 
-@register("ivf_pq_topk_streamed", oracle=_onl_oracle())
-def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONLINE IVF-PQ retrieval against a GROWING index, exactly graded —
-    the full production ANN loop in one streamed entry (r12): corpus
-    vectors and queries arrive INTERLEAVED over micro-batches; the index
-    is `applyInPandasWithState` keyed state SHARDED BY COARSE CELL (the
-    IVF layout — each state group holds one cell's (vec_id, codes)
-    members); an arriving corpus vector joins its cell's state, an
-    arriving query fans out to its ONL_NPROBE nearest cells and ADC-scores
-    each probed cell's members ACCUMULATED SO FAR. Query wave A (qid 0, 1)
-    arrives after corpus batches 0-1 and therefore sees a half-built
-    index; wave B (qid 2, 3) arrives last and sees everything — the
-    growing-index semantics a daily-crawl retrieval deployment actually
-    has, SQL-expressible because the staged arrival order is a pure
-    function of content (candidate ⇔ vec_id % 4 ≤ wave bound).
-
-    This upgrades the IVF-PQ composition from rows-only (`ivf_pq_topk`,
-    float-trained cells) to value-hash graded: the coarse cell of a
-    vector is its argmin over the 16 codebook rows of the FULL integer
-    distance (the sum of the 8 already-quantized subspace d_ints — pure
-    int64, same tie-breaks both engines), so cells, probes, candidates,
-    LUTs, ADC sums, and the (est_micro, vec_id) ranking all replay in the
-    oracle. Per-cell emission is the cell-local top-k — lossless for the
-    final per-query rank (any global top-k row is its own cell's top-k
-    row); the drained candidates take one qid window for the final rnk.
-
-    Scale shape: this is the shape a billion-vector online ANN runs —
-    state is the PQ-compressed index sharded by cell (8 B codes per
-    member; the skew unit is a cell, and cells are the IVF balance knob),
-    an arriving vector costs ONE keyed exchange row, an arriving query
-    costs ONL_NPROBE exchange rows (its cell fan-out, each carrying the
-    S×K int64 LUT ≈ 1 KB) plus O(cell members) vectorized numpy per
-    probed cell, and emission is query×cells×k-bounded. Nothing
-    corpus-sized leaves the state store; the pre-state encode is the
-    shared `_pq_encode_block` Arrow stage. Within a micro-batch corpus
-    rows join state BEFORE queries probe (arrivals never mix in the
-    staged order; the rule makes mixed batches deterministic anyway)."""
-    import uuid
-
-    from flink_mm_spark.session import scratch_dir
-
-    e = embeddings64(spark, sf_dir)
-    cb = _pq_codebook(e)
-    src = _onl_arrival_split(spark, sf_dir)
+def onl_candidate_stream(spark: SparkSession, src: str, cb: np.ndarray) -> DataFrame:
+    """The online IVF-PQ pipeline over an arrival directory: pre-state
+    Arrow enrichment (corpus rows → (cell, codes); query rows → probe-cell
+    fan-out carrying the flattened int64 LUT) into the cell-sharded
+    probe-or-add state store. ONE definition behind the registered entry
+    and the restart-recovery test (which stops the stream mid-corpus and
+    proves wave B scores life-1 members recovered from the checkpoint)."""
 
     def enrich(batches):
-        # corpus rows -> (cell, codes); query rows -> ONL_NPROBE probe
-        # rows each carrying the flattened (S × NCB) int64 LUT
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1198,11 +1173,60 @@ def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.window import Window
 
-    candidates = enriched.groupBy("cell").applyInPandasWithState(
+    return enriched.groupBy("cell").applyInPandasWithState(
         probe_or_add, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+@register("ivf_pq_topk_streamed", oracle=_onl_oracle())
+def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE IVF-PQ retrieval against a GROWING index, exactly graded —
+    the full production ANN loop in one streamed entry (r12): corpus
+    vectors and queries arrive INTERLEAVED over micro-batches; the index
+    is `applyInPandasWithState` keyed state SHARDED BY COARSE CELL (the
+    IVF layout — each state group holds one cell's (vec_id, codes)
+    members); an arriving corpus vector joins its cell's state, an
+    arriving query fans out to its ONL_NPROBE nearest cells and ADC-scores
+    each probed cell's members ACCUMULATED SO FAR. Query wave A (qid 0, 1)
+    arrives after corpus batches 0-1 and therefore sees a half-built
+    index; wave B (qid 2, 3) arrives last and sees everything — the
+    growing-index semantics a daily-crawl retrieval deployment actually
+    has, SQL-expressible because the staged arrival order is a pure
+    function of content (candidate ⇔ vec_id % 4 ≤ wave bound).
+
+    This upgrades the IVF-PQ composition from rows-only (`ivf_pq_topk`,
+    float-trained cells) to value-hash graded: the coarse cell of a
+    vector is its argmin over the 16 codebook rows of the FULL integer
+    distance (the sum of the 8 already-quantized subspace d_ints — pure
+    int64, same tie-breaks both engines), so cells, probes, candidates,
+    LUTs, ADC sums, and the (est_micro, vec_id) ranking all replay in the
+    oracle. Per-cell emission is the cell-local top-k — lossless for the
+    final per-query rank (any global top-k row is its own cell's top-k
+    row); the drained candidates take one qid window for the final rnk.
+
+    Scale shape: this is the shape a billion-vector online ANN runs —
+    state is the PQ-compressed index sharded by cell (8 B codes per
+    member; the skew unit is a cell, and cells are the IVF balance knob),
+    an arriving vector costs ONE keyed exchange row, an arriving query
+    costs ONL_NPROBE exchange rows (its cell fan-out, each carrying the
+    S×K int64 LUT ≈ 1 KB) plus O(cell members) vectorized numpy per
+    probed cell, and emission is query×cells×k-bounded. Nothing
+    corpus-sized leaves the state store; the pre-state encode is the
+    shared `_pq_encode_block` Arrow stage. Within a micro-batch corpus
+    rows join state BEFORE queries probe (arrivals never mix in the
+    staged order; the rule makes mixed batches deterministic anyway)."""
+    import uuid
+
+    from flink_mm_spark.session import scratch_dir
+
+    e = embeddings64(spark, sf_dir)
+    cb = _pq_codebook(e)
+    src = _onl_arrival_split(spark, sf_dir)
+    candidates = onl_candidate_stream(spark, src, cb)
+
+    from pyspark.sql.window import Window
+
     while _ONL_SINK_CACHE:
         spark.catalog.dropTempView(_ONL_SINK_CACHE.pop())
     name = f"ivf_pq_online_{uuid.uuid4().hex[:8]}"

@@ -431,3 +431,69 @@ def test_ivf_pq_online_growing_index_semantics(spark):
     assert wave_a and wave_b
     assert all(r["vec_id"] % 4 <= 1 for r in wave_a)
     assert any(r["vec_id"] % 4 >= 2 for r in wave_b)
+
+
+def test_ivf_pq_online_restart_recovers_index_state(spark, tmp_path):
+    """Two-life restart for the online ANN index (r12): life 1 ingests
+    corpus batches 0-1 and query wave A, then stops at the checkpoint;
+    life 2 resumes with corpus batches 2-3 and wave B. The combined
+    ranked top-k must equal the registered one-life entry's — wave B can
+    only score life-1 members if the cell-sharded (ids, codes) state
+    RECOVERED — and life 2's emissions must actually contain life-1
+    vectors. Sink is foreachBatch: the memory sink refuses checkpoint
+    recovery outside complete mode (CLAUDE.md gotcha)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import (
+        PQ_TOPK,
+        _onl_wave_dfs,
+        _pq_codebook,
+        _write_wave_files,
+        embeddings64,
+        onl_candidate_stream,
+    )
+
+    registry.load_all()
+    e = embeddings64(spark, SF_DIR)
+    cb = _pq_codebook(e)
+    waves = _onl_wave_dfs(e)
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+
+    def run_life():
+        q = (
+            onl_candidate_stream(spark, src, cb)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _write_wave_files(waves[:3], src)
+    run_life()
+    n1 = len(got)
+    _write_wave_files(waves[3:], src, start_k=3)
+    run_life()
+
+    cand = spark.createDataFrame(pd.DataFrame([r.asDict() for r in got]))
+    w = Window.partitionBy("qid").orderBy("est_micro", "vec_id")
+    mine = [
+        tuple(r)
+        for r in cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .orderBy("qid", "rnk")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in registry.QUERIES["ivf_pq_topk_streamed"].fn(spark, SF_DIR).collect()
+    ]
+    assert mine == want
+    life2 = got[n1:]
+    assert any(r["qid"] >= 2 and r["vec_id"] % 4 <= 1 for r in life2)
