@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"median_of": N, "queries": {name: sec}, "sf": ...}. Mirrors SURVEY §7.1 M6 /
+"median_of": N, "queries": {name: sec}, "load": [start_1min, end_1min],
+"sf": ...} — compact separators, per-value adaptive rounding, kept under
+the driver's 2000-char tail-capture cap (see the emit() note at the
+bottom). Mirrors SURVEY §7.1 M6 /
 BASELINE.md "operative baseline": the k-means loop (10 iters, d=2, k=100 on
 sf-derived points — the reference's benchmarked workload,
 kmeans/KMeansBlock.java), GEMM, and the relational/LLM-pipeline suite.
@@ -442,29 +445,41 @@ def main() -> None:
     )
     vecs.unpersist()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     m = __import__("re").search(r"sf([0-9.]+)/?$", SF_DIR)
     sf = m.group(1) if m else SF_DIR
     load_end = os.getloadavg()
-    print(
-        json.dumps(
+
+    # The driver's capture keeps only the LAST 2000 characters of stdout
+    # (BENCH_r12's head lost its first 6 entries), so the WHOLE line must
+    # fit under that cap. Three levers (VERDICT r12 #5): compact
+    # separators, adaptive per-value rounding (<10 s → 2 dp, <100 s →
+    # 1 dp, else 0 dp: every value ≤4 chars), and scalar 1-min load
+    # stamps ("load":[start,end], still AFTER "queries" per r11 #2). If
+    # future entries ever push past the cap anyway, degrade to 1 dp
+    # across the board rather than ship a truncated head.
+    def emit(dp_small: int) -> str:
+        def fmt(v: float) -> float:
+            return round(v, dp_small if v < 10 else (1 if v < 100 else 0))
+
+        return json.dumps(
             {
-                "metric": "headline_suite_total",
+                "metric": "suite",
                 "value": total,
                 "unit": "sec",
                 "median_of": BENCH_REPS,
-                "ncpu": os.cpu_count(),
-                "queries": timings,
-                # the load stamp sits AFTER "queries" (VERDICT r11 #2): the
-                # driver's capture keeps only the TAIL of the output line,
-                # so a stamp ahead of the per-query dict was truncated out
-                # of BENCH_r11 exactly when a loaded boot needed it
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
+                # no "ncpu": the driver's wrapper records "cpus" itself
+                "queries": {k: fmt(v) for k, v in timings.items()},
+                "load": [round(load_start[0], 1), round(load_end[0], 1)],
                 "sf": float(sf) if isinstance(sf, str) and sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    line = emit(2)
+    if len(line) > 1990:
+        line = emit(1)
+    print(line)
     spark.stop()
 
 

@@ -72,10 +72,12 @@ GRADE_WINDOW = 50
 #   the DEFER comments + tests/test_registry_order.py's sibling map.
 # r12 swaps: the LAST 12 r1/r2-stale oracle entries rotate in (finishing
 # the r10-opened rotation: nothing is older than r3 after this window
-# grades) plus the two new r12 entries (corpus_to_shards_strict,
-# pq_topk_streamed); the 14 displaced are all r11-green, preferring
-# streamed twins whose machinery the strict composed pipeline re-grades
-# (VERDICT r11 #6) so driver wall stays flat.
+# grades) plus the FOUR new r12 entries (corpus_to_shards_strict,
+# pq_topk_streamed, pq_encode_streamed, ivf_pq_topk_streamed); the 16
+# displaced are all r11-green, preferring streamed twins whose machinery
+# the strict composed pipeline re-grades (VERDICT r11 #6) so driver wall
+# stays flat. (Counts corrected per ADVICE r12 — the first cut of this
+# note predated the second pair of r12 entries.)
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
@@ -261,8 +263,8 @@ DEFER: list[str] = [
     "shard_write_roundtrip",  # one-shot write (r10): corpus_to_shards_strict in-window
     "unigram_logprob",  # corpus LM (r10): lang_id_ngram in-window
     "embedding_covariance",  # batch tier (r11): streamed twin in-window, same oracle
-    # r12 stale-cohort rotation: the 14 r11-green entries displaced by the
-    # last 12 r1/r2-stale entries + the two new r12 operators; every
+    # r12 stale-cohort rotation: the 16 r11-green entries displaced by the
+    # last 12 r1/r2-stale entries + the four new r12 operators; every
     # family keeps an in-window sibling (mirrored in the test map)
     "event_type_pivot",  # pivot/rollup: order_price_unpivot in-window (r12)
     "monthly_revenue_trend",  # window analytics: running_order_totals in-window (r12)

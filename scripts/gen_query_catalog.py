@@ -84,6 +84,12 @@ lines += [
     "",
     "## Grade freshness (oracle entries by latest driver grade)",
     "",
+    f"As of `CORRECTNESS_r{cur_round}.json` — the latest driver artifact at",
+    "generation time. The table is regenerated each round BEFORE the driver",
+    "grades, so entries promoted into the current window still show their",
+    "previous grade here (VERDICT r12 'what's wrong' #2: stamp the",
+    "provenance so a reader never misreads the debt).",
+    "",
     "| latest grade | n | entries |",
     "|---|---|---|",
 ]

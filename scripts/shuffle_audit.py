@@ -162,9 +162,20 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # SPARK_GRAFT_AUDIT_ONLY=a,b,c restricts the run to named entries
-    # (incremental re-audits after a builder change; default = full list)
+    # (incremental re-audits after a builder change; default = full list).
+    # Names must exist in AUDITED: a typo'd filter silently auditing
+    # nothing is the same harness bug as an unknown entry (ADVICE r12).
     only = os.environ.get("SPARK_GRAFT_AUDIT_ONLY")
-    audited = [n for n in AUDITED if n in set(only.split(","))] if only else AUDITED
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(AUDITED)
+        if unknown:
+            raise KeyError(
+                f"SPARK_GRAFT_AUDIT_ONLY names not in AUDITED: {sorted(unknown)}"
+            )
+        audited = [n for n in AUDITED if n in wanted]
+    else:
+        audited = AUDITED
 
     rows_out = []
     watermark = stage_totals(base, app_id, -1)["maxStageId"]
