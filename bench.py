@@ -135,6 +135,10 @@ HEADLINE = [
                                 # arrivals encoded + exactly-once appended
     "ivf_pq_topk_streamed",     # r12: online IVF-PQ — growing cell-sharded
                                 # index state, interleaved query waves
+    "ivf_pq_index_compacted",   # r13: online state -> at-rest code table
+                                # flush (statestore reader + exactly-once
+                                # write; reuses the prior entry's ckpt, so
+                                # this times the DRAIN itself)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -61,8 +61,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 GRADE_WINDOW = 50
 
-# Current as of ROUND 12 (base = the round-11 window, 50/50 green in
-# CORRECTNESS_r11.json). Standing rules:
+# Current as of ROUND 13 (base = the round-12 window, 50/50 green in
+# CORRECTNESS_r12.json). Standing rules:
 # - every new oracle entry enters the window the round it LANDS (never
 #   before — the r7 docs-ahead-of-code lesson), displacing a green entry
 #   whose family keeps an in-window sibling;
@@ -78,6 +78,15 @@ GRADE_WINDOW = 50
 # the strict composed pipeline re-grades (VERDICT r11 #6) so driver wall
 # stays flat. (Counts corrected per ADVICE r12 — the first cut of this
 # note predated the second pair of r12 entries.)
+# r13 swaps (VERDICT r12 #1/#3): the NEW oracle entry
+# ivf_pq_index_compacted enters the round it lands, and the SEVEN
+# standalone r3-stale entries rotate in (centroid_lines_scan,
+# dup_span_coverage, events_hourly_streamed, matrix_generators_roundtrip,
+# partitioned_sink_roundtrip, quantize_roundtrip, user_sessions_streamed
+# — the full ≤r3 tail minus the five damds internals, which damds_embed
+# re-grades every round). The 8 displaced are all r12-green with
+# in-window family siblings. The new capped online-ANN tier
+# (ivf_pq_topk_streamed_capped) is genuinely rows-only → DEFER direct.
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
@@ -146,6 +155,14 @@ PROMOTE: list[str] = [
     # with the tokenizer-encode family staying graded through
     # wordpiece_encode + bpe_bytes_encode
     "ivf_pq_topk_streamed",
+    # r13 NEW: online-index → at-rest-index compaction (VERDICT r12 #1) —
+    # drains the cell-sharded state through the state-store reader into
+    # the same (vec_id, pq_code) table pq_encode_streamed builds, graded
+    # by the same batch-encoder codes CTE; placed right after the online
+    # entry so the driver-run checkpoint is reused (self-sufficient if
+    # not). Displaces media_frame_sample (r12-green; media family keeps
+    # media_audio_energy in-window)
+    "ivf_pq_index_compacted",
     # r12 stale rotation: nation_set_ops (r2-stale §2.5 set ops) in,
     # dedup_keep_best_streamed out (green r11; the keep-best chain stays
     # graded through corpus_prep_pipeline_keepbest's oracle and the store
@@ -154,8 +171,35 @@ PROMOTE: list[str] = [
     # gram-overlap family sentinel (r9; its twin cross_source_overlap
     # rotated to DEFER in r11 for the stale cohort)
     "ngram_novelty",
-    # --- graded r5, rotated out in r6, back in r8 for freshness ---
-    "chunk_dedup",
+    # r13 stale rotation (VERDICT r12 #3), the seven standalone r3
+    # entries — the whole remaining ≤r3 tail except the five damds
+    # internals (re-graded through damds_embed every round; annotated in
+    # DEFER). Each displaces an r12-green entry whose family keeps an
+    # in-window sibling:
+    # dup_span_coverage in, chunk_dedup out (sub-document dedup family:
+    # the span-coverage entry becomes the in-window sibling for
+    # chunk_dedup / doc_fingerprints / rolling_fingerprints /
+    # substring_dedup)
+    "dup_span_coverage",
+    # centroid_lines_scan in, lang_id_heuristic out (S6 text-line scan
+    # family rejoins text_points_scan; lang-ID keeps lang_id_ngram)
+    "centroid_lines_scan",
+    # events_hourly_streamed in, distinct_part_types out (tumbling-window
+    # stream family: events_sliding_streamed stays; distinct/set-ops keep
+    # nation_set_ops)
+    "events_hourly_streamed",
+    # matrix_generators_roundtrip in, media_resize_estimate out (S12
+    # generators re-graded at the window; media keeps media_audio_energy)
+    "matrix_generators_roundtrip",
+    # partitioned_sink_roundtrip in, economy_revenue_share out (S10
+    # partitioned sink; broadcast-join family keeps gemm_broadcast_cells)
+    "partitioned_sink_roundtrip",
+    # quantize_roundtrip in, orders_by_priority out (F12 quant/dequant
+    # rejoins binary_i16_scan; P1/P3 map-filter keeps shipping_priority)
+    "quantize_roundtrip",
+    # user_sessions_streamed in, customer_order_gaps out (session-window
+    # stream family; window analytics keep running_order_totals)
+    "user_sessions_streamed",
     # r9 swap: minhash_dedup_streamed in, events_dedup_streamed out — the
     # incremental band-store dedup (applyInPandasWithState probing state
     # populated by earlier micro-batches, r8 ask #4) keeps the stateful-
@@ -185,20 +229,17 @@ PROMOTE: list[str] = [
     # equi-join+agg; the P1/P3/J1 families re-point at shipping_priority)
     "shipping_priority",
     # r12 stale rotation, the r1 nine (graded ONLY on pre-regeneration
-    # round-1 testdata until now — VERDICT r11 #1). Each displaces an
-    # r11-green entry whose family keeps an in-window sibling:
-    # orders_by_priority in, global_stats out (A3 global stats sibling:
-    # short_matrix_stats, the same DoubleStatistics kernel)
-    "orders_by_priority",
+    # round-1 testdata until now — VERDICT r11 #1); orders_by_priority,
+    # customer_order_gaps, media_frame_sample, media_resize_estimate,
+    # economy_revenue_share, lang_id_heuristic and distinct_part_types
+    # were regraded green in r12 and rotated back out in r13 (see the
+    # DEFER annotations):
     # top_orders_by_price in, quantity_percentiles out (percentile/sketch
     # family sibling: count_min_exact)
     "top_orders_by_price",
     # order_price_unpivot in, events_json_props out (events-table family
     # re-points at events_sliding_streamed)
     "order_price_unpivot",
-    # customer_order_gaps in, media_metadata out (media family siblings:
-    # media_audio_energy + the two incoming media entries)
-    "customer_order_gaps",
     # suppliers_with_large_lineitems in, pii_scrub out (curation-flags
     # family sibling: text_quality_by_lang)
     "suppliers_with_large_lineitems",
@@ -211,31 +252,15 @@ PROMOTE: list[str] = [
     # so the corpus-LM family stays value-hashed through it; the unigram
     # scorer (green r9) moves to DEFER as its sibling
     "lang_id_ngram",
-    # distinct_part_types in, salted_event_totals out (partial+final agg
-    # family sibling: kmeans_centroid_update)
-    "distinct_part_types",
-    # media_frame_sample in, semantic_dedup out (embedding-scoring family
-    # siblings: pq_adc_topk, pq_topk_streamed, pca_fixed_project)
-    "media_frame_sample",
     # running_order_totals (r2-stale cumulative window) in,
     # monthly_revenue_trend out — both window-function analytics; the
     # window family re-points at running_order_totals
     "running_order_totals",
-    # media_resize_estimate in, event_type_pivot out — the pivot/rollup
-    # family re-points at the incoming order_price_unpivot
-    "media_resize_estimate",
     # exactly-graded connected components over the md5-MinHash edge graph
     # (recursive-CTE closure oracle) — upgrades the components family from
     # rows-only; displaces hll_distinct_exact (green r7; count_min_exact
     # keeps the sketch family value-hashed)
     "dedup_components_exact",
-    # economy_revenue_share in, jaccard_token_pairs out (gram-overlap
-    # family sibling: ngram_novelty)
-    "economy_revenue_share",
-    # lang_id_heuristic (r2-stale n-gram heuristic language ID) in,
-    # customers_without_orders out (join-variant family sibling: the
-    # incoming suppliers_with_large_lineitems)
-    "lang_id_heuristic",
     "event_followups_range_join",
     # r12 swap: corpus_to_shards_strict in, corpus_to_shards_streamed out
     # — the STRICT incumbent-wins gate (VERDICT r11 #4) shares the whole
@@ -248,6 +273,17 @@ PROMOTE: list[str] = [
 ]
 
 DEFER: list[str] = [
+    # r13 stale-cohort rotation: the 8 r12-green entries displaced by the
+    # seven standalone r3-stale entries + the new compaction operator;
+    # every family keeps an in-window sibling (mirrored in the test map)
+    "chunk_dedup",  # sub-document dedup: dup_span_coverage in-window (r13)
+    "customer_order_gaps",  # window analytics: running_order_totals in-window
+    "orders_by_priority",  # P1/P3 map/filter: shipping_priority in-window
+    "economy_revenue_share",  # broadcast join: gemm_broadcast_cells in-window
+    "lang_id_heuristic",  # language ID: lang_id_ngram in-window
+    "media_resize_estimate",  # media family: media_audio_energy in-window
+    "distinct_part_types",  # distinct/set ops: nation_set_ops in-window
+    "media_frame_sample",  # media family: media_audio_energy in-window
     # --- graded green in r6, rotated out by the r7/r8 window ---
     "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
     "rollup_sales",  # §2.5 rollup/pivot: order_price_unpivot in-window (r12)
@@ -350,20 +386,20 @@ DEFER: list[str] = [
     "media_decode_features",  # multimodal: media_audio_energy in-window
     "mixture_plan",  # mixture family: mixture_pack_pipeline applies the plan in-window
     "dedup_components",  # components: dedup_components_exact in-window (exact grade)
+    # the five DA-MDS internals are the only remaining r3-graded entries
+    # (r13 rotated every other ≤r3 entry back in): deliberately held out
+    # of the rotation because damds_embed RE-GRADES their machinery
+    # (V-array, BofZ/BC barrier, CG loop, temperature schedule, side-file
+    # pairing) through its own per-round value hash — fresh evidence on
+    # identical code every round without spending window slots
     "damds_varray_vp",  # DA-MDS internals: damds_embed grades the lifecycle
-    "matrix_generators_roundtrip",  # S12 generators: binary_f64_scan reads their output
-    "centroid_lines_scan",  # S6 text lines: text_points_scan in-window
     "damds_sidefile_scan",  # S7/S8 side-files: damds_embed consumes the pairing
-    "partitioned_sink_roundtrip",  # S10 sink: binmatrix_source_scan (same connector)
-    "events_hourly_streamed",  # tumbling stream: events_sliding_streamed in-window
-    "user_sessions_streamed",  # session windows: running_order_totals in-window
     "damds_bofz_bc",  # F6: damds_embed runs the fused stress+BofZ barrier
     "damds_temp_schedule",  # F10: damds_embed drives the schedule
     "damds_cg_step",  # F9/I2: damds_embed runs CG to termination
-    "dup_span_coverage",  # Lee et al. span coverage: chunk_dedup in-window
-    "quantize_roundtrip",  # F12 quant/dequant: binary_i16_scan reads the quantized format
     # (the 12 r1/r2-stale entries previously listed here rotated INTO the
-    # r12 window — see the PROMOTE annotations)
+    # r12 window; the 7 standalone r3-stale entries rotated into the r13
+    # window — see the PROMOTE annotations)
     # --- approximate / iterative rows-only entries (no_oracle either way) ---
     "kmeans_full_demo",  # float-space demo; kmeans_full grades the loop exactly
     "damds_embed_demo",  # long anneal demo; damds_embed grades the lifecycle
@@ -382,6 +418,11 @@ DEFER: list[str] = [
     # order (prefix cap), so no SQL oracle exists — graded by exact
     # replay-equivalence tests; exact twin minhash_dedup_streamed in-window
     "minhash_dedup_streamed_capped",
+    # capped online IVF-PQ tier (r13): per-cell prefix cap — rows-only by
+    # the capped-tier convention; exact twin ivf_pq_topk_streamed (and
+    # the compacted index) in-window; replay-equivalence + hot-cell
+    # cap-binding pinned in tests/test_similarity.py
+    "ivf_pq_topk_streamed_capped",
     # PCA projection (r10): partial-Gram basis is float-order
     # nondeterministic at the last ulp — rows-only; the covariance it
     # reduces is value-hash graded through embedding_covariance_streamed

@@ -71,6 +71,16 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # DRIVER_SIM_ONLY=a,b,c — targeted re-verify of named entries after an
+    # incremental change (the full run stays the per-round gate). Unknown
+    # names are an error, not a silent skip (the shuffle-audit rule).
+    only = os.environ.get("DRIVER_SIM_ONLY")
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(qs)
+        if unknown:
+            raise KeyError(f"DRIVER_SIM_ONLY names not registered: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in wanted}
     print(f"{len(qs)} queries, {len(oracles)} with oracle")
     n_match = n_rows_only = n_fail = 0
     for name, fn in sorted(qs.items()):

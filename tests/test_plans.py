@@ -918,3 +918,18 @@ def test_pq_topk_streamed_readback_has_no_python_stage(spark):
     assert "FileScan parquet" in plan, plan[:3000]
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_ivf_pq_compacted_readback_has_no_python_stage(spark):
+    """ivf_pq_index_compacted (r13): the returned plan is the at-rest
+    code-table read-back (scan + sort) — the state drain and the
+    exactly-once write ran eagerly inside the builder. Encoding must not
+    re-run (no Python stage) and the rows carry pq_code already (no
+    Window, no join)."""
+    df = registry.QUERIES["ivf_pq_index_compacted"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:3000]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

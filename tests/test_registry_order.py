@@ -154,8 +154,8 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "corpus_prep_pipeline": "corpus_prep_pipeline_keepbest",
         "knn_per_label": "pq_adc_topk",
         "ann_lsh_exact": "pq_adc_topk",
-        "doc_fingerprints": "chunk_dedup",
-        "rolling_fingerprints": "chunk_dedup",
+        "doc_fingerprints": "dup_span_coverage",  # chunk family sentinel moved r13
+        "rolling_fingerprints": "dup_span_coverage",
         "vocab_top_terms": "lang_id_ngram",
         "quality_logit_score": "lang_id_ngram",
         "bm25_topk": "lang_id_ngram",
@@ -175,7 +175,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "benchmark_contamination": "text_quality_by_lang",
         "stratified_sample": "weighted_reservoir_sample",
         "bigram_logprob": "lang_id_ngram",
-        "substring_dedup": "chunk_dedup",
+        "substring_dedup": "dup_span_coverage",
         "curation_funnel": "text_quality_by_lang",
         # r9 rotation: out for the 2 never-graded oracle entries
         "binmatrix_source_scan": "binary_f64_scan",
@@ -199,19 +199,23 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "mixture_plan": "mixture_pack_pipeline",
         "dedup_components": "dedup_components_exact",
         "damds_varray_vp": "damds_embed",
-        "matrix_generators_roundtrip": "binary_f64_scan",
-        "centroid_lines_scan": "text_points_scan",
         "damds_sidefile_scan": "damds_embed",
-        "partitioned_sink_roundtrip": "binary_f64_scan",
-        "events_hourly_streamed": "events_sliding_streamed",
-        "user_sessions_streamed": "running_order_totals",
         "damds_bofz_bc": "damds_embed",
         "damds_temp_schedule": "damds_embed",
         "damds_cg_step": "damds_embed",
-        "dup_span_coverage": "chunk_dedup",
-        "quantize_roundtrip": "binary_i16_scan",
-        # (the r1/r2-stale cohort rotated INTO the r12 window needs no
-        # sibling rows here — they are the in-window representatives now)
+        # r13 stale-cohort rotation: the r12-green entries displaced by
+        # the seven standalone r3-stale entries + the compaction operator
+        "chunk_dedup": "dup_span_coverage",
+        "customer_order_gaps": "running_order_totals",
+        "orders_by_priority": "shipping_priority",
+        "economy_revenue_share": "gemm_broadcast_cells",
+        "lang_id_heuristic": "lang_id_ngram",
+        "media_resize_estimate": "media_audio_energy",
+        "distinct_part_types": "nation_set_ops",
+        "media_frame_sample": "media_audio_energy",
+        # (the r1/r2-stale cohort rotated INTO the r12 window and the r3
+        # cohort rotated into the r13 window need no sibling rows here —
+        # they are the in-window representatives now)
         # rows-only demos keep their exactly-graded twins in-window
         "kmeans_full_demo": "kmeans_full",
         "damds_embed_demo": "damds_embed",

@@ -497,3 +497,214 @@ def test_ivf_pq_online_restart_recovers_index_state(spark, tmp_path):
     assert mine == want
     life2 = got[n1:]
     assert any(r["qid"] >= 2 and r["vec_id"] % 4 <= 1 for r in life2)
+
+
+def test_ivf_pq_index_compacted_unifies_with_encode_streamed(spark):
+    """Compaction (r13, VERDICT r12 #1): draining the online index's
+    cell-sharded state through the state-store reader must yield the SAME
+    (vec_id, pq_code) table the incremental builder writes — one at-rest
+    artifact, two production paths (stream-encode vs state-flush). Both
+    entries are graded by the same batch-encoder codes CTE; this pins
+    their row-level equality to each other directly."""
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    got = [
+        (r["vec_id"], r["pq_code"])
+        for r in registry.QUERIES["ivf_pq_index_compacted"].fn(spark, SF_DIR).collect()
+    ]
+    enc = [
+        (r["vec_id"], r["pq_code"])
+        for r in registry.QUERIES["pq_encode_streamed"].fn(spark, SF_DIR).collect()
+    ]
+    assert len(got) > 0
+    assert got == enc
+
+
+def test_ivf_pq_compaction_agrees_with_midstream_state(spark, tmp_path):
+    """Compaction + state must agree at EVERY point in the index's life
+    (r13): life 1 ingests corpus batches 0-1 + query wave A, stops at the
+    checkpoint; compacting THEN must produce exactly the codes of the
+    arrived half (vec_id % 4 <= 1) — nothing more (no future leak),
+    nothing less (no lost member). Life 2 resumes with batches 2-3 +
+    wave B; compacting again must produce the full table. Encoder truth
+    is the shared Arrow kernel `_pq_encode_block`."""
+    import pandas as pd
+
+    from flink_mm_spark.operators.similarity import (
+        _onl_wave_dfs,
+        _pq_codebook,
+        _pq_encode_block,
+        _write_wave_files,
+        compact_index_from_state,
+        embeddings64,
+        onl_candidate_stream,
+    )
+
+    e = embeddings64(spark, SF_DIR)
+    cb = _pq_codebook(e)
+    waves = _onl_wave_dfs(e)
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_life():
+        q = (
+            onl_candidate_stream(spark, src, cb)
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def compacted() -> dict[int, str]:
+        return {
+            r["vec_id"]: r["pq_code"]
+            for r in compact_index_from_state(spark, ckpt).collect()
+        }
+
+    pdf = e.select("vec_id", "emb").orderBy("vec_id").toPandas()
+    cds = _pq_encode_block(cb, pdf)
+    full = {int(v): "_".join(map(str, row)) for v, row in zip(pdf["vec_id"], cds)}
+
+    _write_wave_files(waves[:3], src)
+    run_life()
+    half = compacted()
+    assert half == {v: c for v, c in full.items() if v % 4 <= 1}
+
+    _write_wave_files(waves[3:], src, start_k=3)
+    run_life()
+    assert compacted() == full
+
+
+def _onl_capped_replay(spark, cap: int):
+    """Driver-local numpy replay of the capped online IVF-PQ pipeline:
+    capped membership per cell is the first `cap` arrivals in
+    (vec_id % ONL_CBATCHES, vec_id) order; wave A (qid 0, 1) scores the
+    post-batch-1 snapshot, wave B (qid 2, 3) the final membership."""
+    import numpy as np
+
+    from flink_mm_spark.operators.similarity import (
+        ONL_CBATCHES,
+        ONL_NPROBE,
+        ONL_NQ,
+        PQ_NCB,
+        PQ_S,
+        PQ_TOPK,
+        _pq_codebook,
+        _pq_encode_block,
+        _pq_sqdist_int,
+        embeddings64,
+    )
+
+    e = embeddings64(spark, SF_DIR)
+    cb = _pq_codebook(e)
+    pdf = e.select("vec_id", "emb").orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+    codes = _pq_encode_block(cb, pdf)
+    fd = np.stack(
+        [sum(_pq_sqdist_int(cb, x, s, c) for s in range(PQ_S)) for c in range(PQ_NCB)],
+        axis=1,
+    )
+    cell = np.argmin(fd, axis=1)
+
+    # capped membership, replayed batch by batch
+    members: dict[int, list[int]] = {c: [] for c in range(PQ_NCB)}
+    snapshots: dict[int, dict[int, list[int]]] = {}
+    arrival = np.lexsort((ids, ids % ONL_CBATCHES))
+    for j in arrival:
+        b = int(ids[j]) % ONL_CBATCHES
+        if b == 2 and 1 not in snapshots:
+            snapshots[1] = {c: list(v) for c, v in members.items()}
+        if len(members[int(cell[j])]) < cap:
+            members[int(cell[j])].append(int(ids[j]))
+    snapshots[1] = snapshots.get(1) or {c: list(v) for c, v in members.items()}
+    snapshots[3] = members
+
+    id_pos = {int(v): k for k, v in enumerate(ids)}
+    out = []
+    for qid in range(ONL_NQ):
+        qv = x[id_pos[qid]]
+        lut = np.array(
+            [[_pq_sqdist_int(cb, qv, s, c) for c in range(PQ_NCB)] for s in range(PQ_S)],
+            dtype=np.int64,
+        )
+        probes = np.lexsort((np.arange(PQ_NCB), lut.sum(axis=0)))[:ONL_NPROBE]
+        snap = snapshots[1 if qid <= 1 else 3]
+        cand = sorted({m for p in probes for m in snap[int(p)]})
+        if not cand:
+            continue
+        cm = np.array([codes[id_pos[m]] for m in cand], dtype=np.int64)
+        est = lut[np.arange(PQ_S)[None, :], cm].sum(axis=1)
+        order = np.lexsort((np.array(cand), est))[:PQ_TOPK]
+        for rnk, k in enumerate(order, start=1):
+            out.append((qid, int(cand[k]), int(est[k]), rnk))
+    return out
+
+
+def test_onl_capped_matches_driver_replay(spark):
+    """The capped tier must equal the numpy replay of its own rule —
+    the rows-only twin's replay-equivalence contract (the
+    minhash_dedup_streamed_capped precedent)."""
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import ONL_CELL_CAP
+
+    registry.load_all()
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["ivf_pq_topk_streamed_capped"].fn(spark, SF_DIR).collect()
+    ]
+    want = _onl_capped_replay(spark, ONL_CELL_CAP)
+    assert got == want and len(got) > 0
+
+
+def test_onl_capped_cap_binds_on_hot_cell(spark, tmp_path):
+    """The cap must BIND (tests/test_caps.py pattern): a synthetic corpus
+    where every vector lands in ONE coarse cell. With cap=10 and 40
+    arrivals, the cell's state holds exactly the first 10 by arrival
+    order — verified through the state-store reader — and a late query
+    scores ONLY those 10 (the 30 over-cap arrivals were never stored)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_mm_spark.operators.similarity import (
+        compact_index_from_state,
+        onl_candidate_stream,
+        _write_wave_files,
+    )
+
+    cb = np.zeros((16, 64), dtype=np.float64)
+    for c in range(16):
+        cb[c, c] = 10.0  # well-separated one-hot codebook rows
+    hot = [cb[5].tolist()] * 20
+
+    def wave(is_query, ids, embs):
+        return spark.createDataFrame(
+            pd.DataFrame({"is_query": is_query, "id": ids, "emb": embs}),
+            "is_query int, id long, emb array<double>",
+        )
+
+    waves = [
+        wave(0, list(range(100, 120)), hot),
+        wave(0, list(range(120, 140)), hot),
+        wave(1, [0], [cb[5].tolist()]),
+    ]
+    src = str(tmp_path / "hot_arrivals")
+    ckpt = str(tmp_path / "hot_ckpt")
+    _write_wave_files(waves, src)
+    got: list = []
+    q = (
+        onl_candidate_stream(spark, src, cb, cell_cap=10)
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    state = {r["vec_id"] for r in compact_index_from_state(spark, ckpt).collect()}
+    assert state == set(range(100, 110))  # first 10 by arrival; 30 dropped
+    assert got and {r["vec_id"] for r in got} == set(range(100, 110))
