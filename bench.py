@@ -139,6 +139,8 @@ HEADLINE = [
                                 # flush (statestore reader + exactly-once
                                 # write; reuses the prior entry's ckpt, so
                                 # this times the DRAIN itself)
+    "ivf_pq_topk_streamed_deletes",  # r13: erasure against the online
+                                # index (delete wave between query waves)
     "wordpiece_encode_holdout", # r8: held-out encode (train on documents,
     #   apply to part names — the nonzero-UNK deploy path)
     "wordpiece_encode",         # r6: MaxMatch inference (train + segment

@@ -1128,10 +1128,16 @@ def onl_candidate_stream(
             if not len(pdf):
                 continue
             out = []
-            corp = pdf[pdf["is_query"] == 0]
-            if len(corp):
+            # corpus ADDS (is_query=0) and DELETES (is_query=2) both route
+            # to the vector's coarse cell — a delete carries its vector,
+            # so the cell is recomputed here exactly like the add's was
+            # (production's key→cell lookup table, expressed as the pure
+            # function it is in this engine); deletes ship no codes
+            for kind in (0, 2):
+                corp = pdf[pdf["is_query"] == kind]
+                if not len(corp):
+                    continue
                 x = np.vstack(corp["emb"].to_numpy()).astype(np.float64)
-                cds = _pq_encode_block(cb, corp)
                 fd = np.stack(
                     [
                         sum(_pq_sqdist_int(cb, x, s, c) for s in range(PQ_S))
@@ -1144,9 +1150,9 @@ def onl_candidate_stream(
                     pd.DataFrame(
                         {
                             "cell": cell.astype(np.int32),
-                            "is_query": 0,
+                            "is_query": kind,
                             "id": corp["id"].to_numpy(np.int64),
-                            "codes": list(cds),
+                            "codes": list(_pq_encode_block(cb, corp)) if kind == 0 else None,
                             "lut": None,
                         }
                     )
@@ -1210,6 +1216,17 @@ def onl_candidate_stream(
             m_ids = np.empty(0, dtype=np.int64)
             m_codes = np.empty((0, PQ_S), dtype=np.int64)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # within a micro-batch: deletes apply first, then adds, then
+        # queries (the staged waves never mix kinds; the fixed rule makes
+        # mixed batches deterministic anyway). A delete for an id not in
+        # the cell is a no-op — the production upsert-log semantics.
+        dels = batch[batch["is_query"] == 2]
+        if len(dels) and len(m_ids):
+            keep = ~np.isin(m_ids, dels["id"].to_numpy(np.int64))
+            if not keep.all():
+                m_ids = m_ids[keep]
+                m_codes = m_codes[keep]
+                state.update((m_ids.tolist(), m_codes.tolist()))
         corp = batch[batch["is_query"] == 0].sort_values("id")
         if cell_cap is not None and len(corp):
             # bounded tier: admit only into the remaining room, in
@@ -1297,22 +1314,31 @@ def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _onl_run(
-    spark: SparkSession, sf_dir: str, cell_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cell_cap: int | None = None,
+    src: str | None = None,
 ) -> tuple[str, str]:
     """Run the online IVF-PQ arrival stream to completion over the staged
     waves; returns (checkpoint dir, memory-sink table name). ONE runner
-    behind the exact entry, the capped tier, and (via the checkpoint
-    cache) the compaction entry. The stream starts under
-    ``ONL_STATE_PARTS`` shuffle partitions — the state-partition count is
-    pinned into the checkpoint at creation, so it is a per-stream knob,
-    not session state (conf restored after the run)."""
+    behind the exact entry, the capped tier, the delete tier (which
+    passes its own staged ``src``), and (via the checkpoint cache) the
+    compaction entry. The stream starts under ``ONL_STATE_PARTS`` shuffle
+    partitions — the state-partition count is pinned into the checkpoint
+    at creation, so it is a per-stream knob, not session state (conf
+    restored after the run)."""
     import uuid
 
     from flink_mm_spark.session import scratch_dir
 
     e = embeddings64(spark, sf_dir)
     cb = _pq_codebook(e)
-    src = _onl_arrival_split(spark, sf_dir)
+    # only the canonical (uncapped, default-arrival) run feeds the
+    # compaction entry's checkpoint cache — it must drain THE index the
+    # codes-CTE oracle describes
+    cache_ok = cell_cap is None and src is None
+    if src is None:
+        src = _onl_arrival_split(spark, sf_dir)
     candidates = onl_candidate_stream(spark, src, cb, cell_cap=cell_cap)
 
     while _ONL_SINK_CACHE:
@@ -1334,7 +1360,7 @@ def _onl_run(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    if cell_cap is None:
+    if cache_ok:
         # the compaction entry drains exactly this (uncapped) index
         _ONL_CKPT_CACHE[sf_dir] = ckpt
     return ckpt, name
@@ -1377,6 +1403,137 @@ def ivf_pq_topk_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer grow a multi-GB state partition. Cell count remains the
     first-line balance knob (SCALE.md)."""
     _, name = _onl_run(spark, sf_dir, cell_cap=ONL_CELL_CAP)
+    return _onl_rank(spark, name)
+
+
+# Delete tier (r13): the delete wave removes ids ≡ ONL_DEL_RES
+# (mod ONL_DEL_MOD) — all of which satisfy id % 4 == 1, i.e. they arrived
+# in corpus batch 1, BEFORE the delete wave (a delete for an absent id is
+# a no-op, so the rule stays total either way).
+ONL_DEL_MOD = 16
+ONL_DEL_RES = 5
+
+_ONL_DEL_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> staged 7-file arrival dir
+
+
+def _onl_del_wave_dfs(e: DataFrame) -> list[DataFrame]:
+    """The seven delete-tier waves: corpus 0, corpus 1, query wave A,
+    DELETE wave (ids ≡ ONL_DEL_RES mod ONL_DEL_MOD, each carrying its
+    vector), corpus 2, corpus 3, query wave B — so wave A still sees the
+    deleted members (it precedes the delete) and wave B must not."""
+    w = _onl_wave_dfs(e)
+    dels = e.filter(
+        F.pmod("vec_id", F.lit(ONL_DEL_MOD)) == ONL_DEL_RES
+    ).select(F.lit(2).alias("is_query"), F.col("vec_id").alias("id"), "emb")
+    return w[:3] + [dels] + w[3:]
+
+
+def _onl_del_arrival_split(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 7-wave delete-tier arrival; cached per (process, sf_dir)."""
+    from flink_mm_spark.session import scratch_dir
+
+    src = _ONL_DEL_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        src = scratch_dir("onld_src_")
+        _write_wave_files_onepass(
+            spark, _onl_del_wave_dfs(embeddings64(spark, sf_dir)), src
+        )
+        _ONL_DEL_SPLIT_CACHE[sf_dir] = src
+    return src
+
+
+def _onl_del_oracle() -> str:
+    # the growing-index oracle with the delete rule folded into the
+    # candidate predicate: wave A (qid 0,1) ran before the delete wave, so
+    # its candidates are the first two corpus batches UNFILTERED; wave B
+    # (qid 2,3) ran after, so deleted ids are excluded outright
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.s, c.vec_id AS c, c.emb
+      FROM v c CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s) s
+      WHERE c.vec_id < {PQ_NCB}
+    ),
+    enc AS (
+      SELECT v.vec_id, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('v.emb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM v CROSS JOIN cb
+    ),
+    fulld AS MATERIALIZED (
+      SELECT vec_id, c, CAST(SUM(d_int) AS BIGINT) AS d FROM enc GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM fulld
+    ),
+    cells AS MATERIALIZED (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, c AS cell FROM ranked
+      WHERE rn <= {ONL_NPROBE} AND vec_id < {ONL_NQ}
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d_int, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT qs.qid, cb.s, cb.c,
+             CAST(FLOOR(({_pq_sqdist_sql('qs.qemb', 'cb.emb')}) * 1000000 + 0.5) AS BIGINT) AS d_int
+      FROM cb, (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {ONL_NQ}) qs
+    ),
+    cand AS (
+      SELECT p.qid, m.vec_id
+      FROM probes p JOIN cells m ON m.cell = p.cell
+      WHERE CASE WHEN p.qid <= 1
+                 THEN m.vec_id % {ONL_CBATCHES} <= 1
+                 ELSE m.vec_id % {ONL_DEL_MOD} <> {ONL_DEL_RES} END
+    ),
+    adc AS (
+      SELECT c.qid, c.vec_id, CAST(SUM(l.d_int) AS BIGINT) AS est_micro
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.qid = c.qid AND l.s = co.s AND l.c = co.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, est_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT qid, vec_id, est_micro,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_micro, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    ORDER BY qid, rnk
+    """
+
+
+@register("ivf_pq_topk_streamed_deletes", oracle=_onl_del_oracle())
+def ivf_pq_topk_streamed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IVF-PQ with DELETES, exactly graded (r13): the operation a
+    growing retrieval index needs next after add/query/compact — GDPR
+    erasure, content takedowns, and recrawl upserts all hit it. A delete
+    arrival (is_query=2) carries its vector, routes to its coarse cell
+    like an add (one keyed exchange row — the cell is a pure function of
+    content here; production keeps a key→cell log), and removes the id
+    from that cell's (ids, codes) state in place. Within a batch deletes
+    apply before adds and queries; a delete for an absent id is a no-op
+    (upsert-log semantics).
+
+    Arrival script: corpus 0-1 → wave A → DELETE ids ≡ ONL_DEL_RES=5
+    (mod ONL_DEL_MOD=16) → corpus 2-3 → wave B. Every deleted id arrived
+    in corpus batch 1, so wave A provably still scores them (a pre-delete
+    query must see the member — anything else is a time-travel bug) and
+    wave B provably cannot (tests pin both directions, plus the drained
+    state via the state-store reader). The whole composition stays
+    SQL-replayable: the delete rule folds into the oracle's candidate
+    predicate, everything else is the growing-index replay unchanged.
+
+    Scale shape: a delete costs exactly what an add costs — one exchange
+    row and an O(cell) in-place filter; state only shrinks. Compaction
+    after deletes drains the post-delete index (pinned), which is how an
+    erasure becomes durable at rest without rewriting history."""
+    _, name = _onl_run(
+        spark, sf_dir, src=_onl_del_arrival_split(spark, sf_dir)
+    )
     return _onl_rank(spark, name)
 
 

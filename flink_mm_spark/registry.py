@@ -78,15 +78,17 @@ GRADE_WINDOW = 50
 # the strict composed pipeline re-grades (VERDICT r11 #6) so driver wall
 # stays flat. (Counts corrected per ADVICE r12 — the first cut of this
 # note predated the second pair of r12 entries.)
-# r13 swaps (VERDICT r12 #1/#3): the NEW oracle entry
-# ivf_pq_index_compacted enters the round it lands, and the SEVEN
-# standalone r3-stale entries rotate in (centroid_lines_scan,
-# dup_span_coverage, events_hourly_streamed, matrix_generators_roundtrip,
-# partitioned_sink_roundtrip, quantize_roundtrip, user_sessions_streamed
-# — the full ≤r3 tail minus the five damds internals, which damds_embed
-# re-grades every round). The 8 displaced are all r12-green with
-# in-window family siblings. The new capped online-ANN tier
-# (ivf_pq_topk_streamed_capped) is genuinely rows-only → DEFER direct.
+# r13 swaps (VERDICT r12 #1/#2/#3): TWO new oracle entries enter the
+# round they land — ivf_pq_index_compacted (online→at-rest index flush)
+# and ivf_pq_topk_streamed_deletes (erasure against the online index) —
+# and the SEVEN standalone r3-stale entries rotate in
+# (centroid_lines_scan, dup_span_coverage, events_hourly_streamed,
+# matrix_generators_roundtrip, partitioned_sink_roundtrip,
+# quantize_roundtrip, user_sessions_streamed — the full ≤r3 tail minus
+# the five damds internals, which damds_embed re-grades every round).
+# The 9 displaced are all r12-green with in-window family siblings. The
+# new capped online-ANN tier (ivf_pq_topk_streamed_capped) is genuinely
+# rows-only → DEFER direct.
 #
 # DEFER now lists EVERY non-window entry (no unordered middle) so each
 # rotation is a PROMOTE<->DEFER swap that the invariants in
@@ -163,6 +165,14 @@ PROMOTE: list[str] = [
     # not). Displaces media_frame_sample (r12-green; media family keeps
     # media_audio_energy in-window)
     "ivf_pq_index_compacted",
+    # r13 NEW: deletes against the online index (GDPR erasure / takedown /
+    # recrawl upsert) — a delete arrival routes to its coarse cell and
+    # removes the id from state in place; wave A provably still sees the
+    # member, wave B provably cannot, and the whole composition replays
+    # in the oracle's candidate predicate. Displaces top_orders_by_price
+    # (r12-green; §2.5 sort/top-k analytics keep running_order_totals
+    # in-window)
+    "ivf_pq_topk_streamed_deletes",
     # r12 stale rotation: nation_set_ops (r2-stale §2.5 set ops) in,
     # dedup_keep_best_streamed out (green r11; the keep-best chain stays
     # graded through corpus_prep_pipeline_keepbest's oracle and the store
@@ -234,9 +244,6 @@ PROMOTE: list[str] = [
     # economy_revenue_share, lang_id_heuristic and distinct_part_types
     # were regraded green in r12 and rotated back out in r13 (see the
     # DEFER annotations):
-    # top_orders_by_price in, quantity_percentiles out (percentile/sketch
-    # family sibling: count_min_exact)
-    "top_orders_by_price",
     # order_price_unpivot in, events_json_props out (events-table family
     # re-points at events_sliding_streamed)
     "order_price_unpivot",
@@ -284,6 +291,8 @@ DEFER: list[str] = [
     "media_resize_estimate",  # media family: media_audio_energy in-window
     "distinct_part_types",  # distinct/set ops: nation_set_ops in-window
     "media_frame_sample",  # media family: media_audio_energy in-window
+    "top_orders_by_price",  # sort/top-k analytics: running_order_totals
+    #   in-window (displaced r13 by the delete tier; graded green r12)
     # --- graded green in r6, rotated out by the r7/r8 window ---
     "pricing_summary",  # P4 map/filter: shipping_priority in-window (r11)
     "rollup_sales",  # §2.5 rollup/pivot: order_price_unpivot in-window (r12)

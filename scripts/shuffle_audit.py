@@ -120,9 +120,10 @@ AUDITED = [
     "pq_topk_streamed",  # encode exchange-free; per-batch local-topk + qid window
     "pq_encode_streamed",  # expect ~0: per-batch scan -> Arrow encode -> write
     "ivf_pq_topk_streamed",  # cell-keyed exchange: 8B codes/vector + 1KB LUT/probe
-    # r13: index compaction + the bounded online tier
+    # r13: index compaction + the bounded online tier + deletes
     "ivf_pq_index_compacted",  # statestore scan -> write; expect ~0 beyond read-back sort
     "ivf_pq_topk_streamed_capped",  # same exchange as the exact twin; state bounded
+    "ivf_pq_topk_streamed_deletes",  # delete = one exchange row, like an add
 ]
 
 

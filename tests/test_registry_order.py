@@ -213,6 +213,7 @@ def test_every_deferred_query_has_a_graded_family_sibling():
         "media_resize_estimate": "media_audio_energy",
         "distinct_part_types": "nation_set_ops",
         "media_frame_sample": "media_audio_energy",
+        "top_orders_by_price": "running_order_totals",
         # (the r1/r2-stale cohort rotated INTO the r12 window and the r3
         # cohort rotated into the r13 window need no sibling rows here —
         # they are the in-window representatives now)

@@ -708,3 +708,58 @@ def test_onl_capped_cap_binds_on_hot_cell(spark, tmp_path):
     state = {r["vec_id"] for r in compact_index_from_state(spark, ckpt).collect()}
     assert state == set(range(100, 110))  # first 10 by arrival; 30 dropped
     assert got and {r["vec_id"] for r in got} == set(range(100, 110))
+
+
+def test_ivf_pq_deletes_match_oracle_replay(spark):
+    """Delete tier (r13): interleaved adds/deletes/queries through the
+    cell-sharded state store must match the DuckDB replay — the delete
+    rule folds into the candidate predicate, everything else is the
+    growing-index replay."""
+    import duckdb
+
+    from flink_mm_spark import registry
+
+    registry.load_all()
+    spec = registry.QUERIES["ivf_pq_topk_streamed_deletes"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pq_deletes_semantics_and_state(spark):
+    """Deletes must MATTER in both directions: wave A ran before the
+    delete wave, so deleted ids are legal (and, on this corpus, present)
+    wave-A candidates; wave B ran after, so NO result row may carry a
+    deleted id. The drained state (state-store reader) must equal the
+    full corpus minus the deleted ids — the erasure is durable in the
+    index, not just filtered from one query's output."""
+    from flink_mm_spark import registry
+    from flink_mm_spark.operators.similarity import (
+        ONL_DEL_MOD,
+        ONL_DEL_RES,
+        _onl_del_arrival_split,
+        _onl_run,
+        compact_index_from_state,
+        embeddings64,
+    )
+
+    registry.load_all()
+    rows = registry.QUERIES["ivf_pq_topk_streamed_deletes"].fn(spark, SF_DIR).collect()
+    wave_b = [r for r in rows if r["qid"] >= 2]
+    assert wave_b
+    assert all(r["vec_id"] % ONL_DEL_MOD != ONL_DEL_RES for r in wave_b)
+
+    ckpt, _ = _onl_run(spark, SF_DIR, src=_onl_del_arrival_split(spark, SF_DIR))
+    state_ids = {
+        r["vec_id"] for r in compact_index_from_state(spark, ckpt).collect()
+    }
+    all_ids = {
+        r["vec_id"] for r in embeddings64(spark, SF_DIR).select("vec_id").collect()
+    }
+    deleted = {v for v in all_ids if v % ONL_DEL_MOD == ONL_DEL_RES}
+    assert deleted  # the rule selects a nonempty set on this corpus
+    assert state_ids == all_ids - deleted
