@@ -1346,9 +1346,9 @@ def _onl_run(
     name = f"ivf_pq_online_{uuid.uuid4().hex[:8]}"
     _ONL_SINK_CACHE.append(name)
     ckpt = scratch_dir("onl_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(ONL_STATE_PARTS))
-    try:
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark, ONL_STATE_PARTS):
         q = (
             candidates.writeStream.format("memory")
             .queryName(name)
@@ -1358,8 +1358,6 @@ def _onl_run(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if cache_ok:
         # the compaction entry drains exactly this (uncapped) index
         _ONL_CKPT_CACHE[sf_dir] = ckpt

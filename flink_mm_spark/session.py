@@ -41,6 +41,52 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# State-store partitions for the engine's stateful streams. A stateful
+# streaming stage loads/commits a state store for EVERY shuffle partition
+# EVERY micro-batch — even empty ones — so partitions beyond what the
+# stream can use are pure constant overhead. Two r13 measurements set the
+# policy:
+# - partitions ≫ CORES is always waste: the plain local[8] grading
+#   session inherited 32-partition streams and paid 4-8× (band store
+#   62.8→8.0 s, ingest gate 31.8→9.9 s once cores-matched);
+# - partitions ≪ cores hurts streams with REAL per-key work: the band
+#   stores at sf0.1 on local[32] lost 1.5-2× when forced to 8 (thousands
+#   of live buckets want the parallelism), while small-key streams
+#   (16-cell ANN index, sketch cells, the ingest gates) measured FASTER
+#   at 8 even with 32 cores.
+# Default therefore: min(cores, 32) — cores-matched; streams with a
+# known-small key space pass an explicit ``n``. Per-STREAM (pinned into
+# the checkpoint at stream start), not session state; a cluster
+# deployment sizes it to keys × executors instead.
+STREAM_STATE_PARTS_SMALL = 8  # explicit n for known-small key spaces
+
+
+def stream_state_parts(spark: SparkSession, n: int | None = None):
+    """Context manager: run a stream (start → awaitTermination) under
+    ``n`` shuffle partitions (default: cores-matched, capped at 32),
+    restoring the session conf afterwards. foreachBatch inner jobs
+    launched while the stream runs inherit the same setting — intended:
+    per-batch jobs in these streams are state-/batch-sized, not
+    corpus-sized. ``SPARK_GRAFT_STATE_PARTS`` overrides the default."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        parts = (
+            n
+            or int(os.environ.get("SPARK_GRAFT_STATE_PARTS", "0"))
+            or min(spark.sparkContext.defaultParallelism, 32)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _ctx()
+
+
 def get_spark(
     app_name: str = "flink-mm-spark",
     shuffle_partitions: int | None = None,

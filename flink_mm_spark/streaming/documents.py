@@ -390,16 +390,19 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(_SINK_CACHE.pop())
     name = f"minhash_dedup_streamed_{uuid.uuid4().hex[:8]}"
     _SINK_CACHE.append(name)
-    q = (
-        minhash_band_store(bands)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("mds_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            minhash_band_store(bands)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("mds_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .dropDuplicates(["doc_a", "doc_b"])
@@ -484,16 +487,19 @@ def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(_KBS_SINK_CACHE.pop())
     name = f"dedup_keep_best_streamed_{uuid.uuid4().hex[:8]}"
     _KBS_SINK_CACHE.append(name)
-    q = (
-        minhash_band_store(bands, decide=True)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("kbs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            minhash_band_store(bands, decide=True)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("kbs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     decided = spark.table(name).dropDuplicates(["doc_a", "doc_b"])
     n_tok, q_score = kb_quality_cols()
     quality = parallelize_scan(table(spark, sf_dir, "documents")).select(
@@ -646,17 +652,20 @@ def minhash_dedup_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     src = deterministic_arrival_split(spark, sf_dir)
     bands = minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
     spool = scratch_dir("mdsc_pairs_")
-    q = (
-        minhash_band_store(bands, cap=STREAM_HOT_CAP, ttl_minutes=60)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("append").parquet(spool)
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            minhash_band_store(bands, cap=STREAM_HOT_CAP, ttl_minutes=60)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(spool)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("mdsc_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("mdsc_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_with_timers(q)  # ProcessingTimeTimeout blocks self-termination
+        drain_with_timers(q)  # ProcessingTimeTimeout blocks self-termination
     pair_schema = T.StructType(
         [
             T.StructField("doc_a", T.LongType()),
@@ -780,15 +789,21 @@ def corpus_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(_INGEST_SINK_CACHE.pop())
     name = f"corpus_ingest_streamed_{uuid.uuid4().hex[:8]}"
     _INGEST_SINK_CACHE.append(name)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("ci_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import STREAM_STATE_PARTS_SMALL, stream_state_parts
+
+    # measured faster at the small setting even on 32 cores (r13:
+    # 9.1->3.5 s at sf0.1) — per-key work is light JVM row hashing,
+    # micro-batch constants dominate
+    with stream_state_parts(spark, STREAM_STATE_PARTS_SMALL):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("ci_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("source")
 
 
@@ -830,15 +845,18 @@ def corpus_ingest_bounded_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         spark.catalog.dropTempView(_INGEST_BND_SINK_CACHE.pop())
     name = f"corpus_ingest_bounded_streamed_{uuid.uuid4().hex[:8]}"
     _INGEST_BND_SINK_CACHE.append(name)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("cib_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import STREAM_STATE_PARTS_SMALL, stream_state_parts
+
+    with stream_state_parts(spark, STREAM_STATE_PARTS_SMALL):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("cib_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("source")
 
 
@@ -939,16 +957,19 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
         spark.catalog.dropTempView(_CTS_SINK_CACHE.pop())
     name = f"corpus_to_shards_{uuid.uuid4().hex[:8]}"
     _CTS_SINK_CACHE.append(name)
-    q1 = (
-        minhash_band_store(bands, decide=True)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("cts1_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q1.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q1 = (
+            minhash_band_store(bands, decide=True)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("cts1_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
     rule = strict_drop_ids if strict else keepbest_drop_ids
     drops = rule(spark.table(name)).localCheckpoint(
         eager=True  # frozen before pass 2 re-reads the sink name

@@ -116,15 +116,18 @@ def embedding_covariance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.catalog.dropTempView(_COV_SINK_CACHE.pop())
     name = f"embedding_covariance_streamed_{uuid.uuid4().hex[:8]}"
     _COV_SINK_CACHE.append(name)
-    q = (
-        acc.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("ecs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            acc.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("ecs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # localCheckpoint: the assembly joins three branches of this table and
     # Spark cannot re-instance MemoryPlan attributes for self-joins
     # (INTERNAL_ERROR "conflicting references", observed r11); checkpointing

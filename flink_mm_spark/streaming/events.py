@@ -433,15 +433,18 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"events_hourly_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("ehs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("ehs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -512,15 +515,18 @@ def user_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"user_sessions_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("uss_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("uss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "start_us")
 
 
@@ -572,15 +578,18 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"events_enriched_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("ees_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("ees_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("nation", "event_type")
 
 
@@ -646,15 +655,18 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     name = f"events_dedup_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("eds_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("eds_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("event_type")
 
 
@@ -706,15 +718,18 @@ def click_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("c_ts") - F.unix_micros("p_ts")).cast("long").alias("gap_us"),
     )
     name = f"click_purchase_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("cps_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("cps_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -757,15 +772,18 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_micros(F.col("w.start")).alias("start_us"), "n", "sum_value")
     )
     name = f"events_sliding_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("esl_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("esl_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("start_us")
 
 
@@ -842,15 +860,18 @@ def user_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     name = f"user_stats_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", scratch_dir("ust_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from flink_mm_spark.session import stream_state_parts
+
+    with stream_state_parts(spark):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", scratch_dir("ust_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         spark.table(name)
@@ -918,15 +939,22 @@ def events_hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir, glob="events.parquet")
     regs = hll_register_stream(stream)
     name = f"events_hll_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("hll_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from flink_mm_spark.session import (
+        STREAM_STATE_PARTS_SMALL,
+        stream_state_parts,
     )
-    q.awaitTermination()
+
+    # sketch state is O(registers/cells) — known-small key space
+    with stream_state_parts(spark, STREAM_STATE_PARTS_SMALL):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("hll_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     agg = (
         spark.table(name)
         .groupBy("event_type")
@@ -1066,15 +1094,22 @@ def events_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir, glob="events.parquet")
     cells = cms_cell_stream(stream)
     name = f"events_cms_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        cells.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", scratch_dir("cms_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from flink_mm_spark.session import (
+        STREAM_STATE_PARTS_SMALL,
+        stream_state_parts,
     )
-    q.awaitTermination()
+
+    # sketch state is O(registers/cells) — known-small key space
+    with stream_state_parts(spark, STREAM_STATE_PARTS_SMALL):
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch_dir("cms_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = spark.range(CM_D).select(F.col("id").cast("int").alias("r"))
     probes = spark.createDataFrame(
         [(u,) for u in CMS_PROBE_USERS], "user_id bigint"
