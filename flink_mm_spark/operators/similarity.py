@@ -619,16 +619,26 @@ def _pqs_query_split(spark: SparkSession, sf_dir: str) -> str:
         src = scratch_dir("pqs_q_")
         e = embeddings64(spark, sf_dir)
         t0 = int(os.path.getmtime(src)) - 3600
+        # ONE pass for all PQS_NQ query files (VERDICT r12 nit): a
+        # duplicated partition column keeps vec_id in the data files
+        # (partitionBy drops its own column), and repartition by it
+        # collapses each query into exactly one task → one file
+        tmp = scratch_dir("pqs_q_tmp_")
+        (
+            e.filter(F.col("vec_id") < PQS_NQ)
+            .select("vec_id", "emb", F.col("vec_id").alias("qfile"))
+            .repartition("qfile")
+            .write.partitionBy("qfile")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
         for k in range(PQS_NQ):
-            tmp = scratch_dir("pqs_q_tmp_")
-            e.filter(F.col("vec_id") == k).select("vec_id", "emb").coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            parts = glob.glob(f"{tmp}/part-*.parquet")
+            parts = glob.glob(f"{tmp}/qfile={k}/part-*.parquet")
+            assert len(parts) == 1, parts
             dst = f"{src}/query{k}.parquet"
             shutil.move(parts[0], dst)
             os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
-            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         _PQS_SPLIT_CACHE[sf_dir] = src
     return src
 
