@@ -11,7 +11,9 @@ the batch split, and the SAME SQL oracle grades the streamed result.
 The stream folds all three statistics (pair products, per-dimension sums,
 the row count) into ONE keyed aggregation by tagging each term with an
 (i, j) key: products at (i, j) with i,j ≥ 0, sums at (i, -1), the count at
-(-1, -1) — one stateful operator holding d² + d + 1 decimal accumulators,
+(-1, -1) — one stateful operator holding d(d+1)/2 + d + 1 decimal
+accumulators (the upper triangle; the mirror cells are bit-equal by
+decimal commutativity and are re-expanded after the drain — r13),
 O(d²) state forever, never O(rows).
 """
 
@@ -56,15 +58,21 @@ def _emb_arrival_split(spark: SparkSession, sf_dir: str) -> str:
 
 def covariance_terms(stream: DataFrame) -> DataFrame:
     """Per-row decimal term stream: each embedding row explodes into its
-    d² pair-product terms keyed (i, j), its d sum terms keyed (i, -1),
-    and one count term keyed (-1, -1) — identical decimal(28,14) casts to
-    the batch tier, so the accumulated totals are bit-equal by decimal
-    associativity. One interpreted transform per row (the CLAUDE.md HOF
-    rule: fine once per row), exploded JVM-side."""
+    d(d+1)/2 UPPER-TRIANGLE pair-product terms keyed (i, j) with j >= i
+    (r13 optimization: x_i*x_j == x_j*x_i is the same IEEE double and the
+    same decimal(28,14) cast, so the i < j cells MIRROR from the
+    accumulated triangle after the drain — bit-equal by decimal
+    commutativity, and the per-batch explode volume and the state row
+    count both halve), its d sum terms keyed (i, -1), and one count term
+    keyed (-1, -1) — identical decimal(28,14) casts to the batch tier, so
+    the accumulated totals are bit-equal by decimal associativity. One
+    interpreted transform per row (the CLAUDE.md HOF rule: fine once per
+    row), exploded JVM-side."""
     terms = F.expr(
         "concat("
-        "  flatten(transform(emb, (x, i) -> transform(emb, (y, j) -> "
-        "    struct(i AS i, j AS j, CAST(x * y AS decimal(28,14)) AS p)))),"
+        "  flatten(transform(emb, (x, i) -> "
+        "    transform(slice(emb, i + 1, size(emb) - i), (y, dj) -> "
+        "    struct(i AS i, i + dj AS j, CAST(x * y AS decimal(28,14)) AS p)))),"
         "  transform(emb, (x, i) -> "
         "    struct(i AS i, -1 AS j, CAST(x AS decimal(28,14)) AS p)),"
         "  array(struct(-1 AS i, -1 AS j, CAST(1 AS decimal(28,14)) AS p))"
@@ -94,7 +102,7 @@ def embedding_covariance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: per micro-batch the plan is the batch tier's term explode
     plus one (i, j)-keyed map-side-combined exchange into streaming state
-    of d² + d + 1 decimal accumulators — state is O(d²) FOREVER (16 KB
+    of d(d+1)/2 + d + 1 decimal accumulators — state is O(d²) FOREVER (8 KB
     here), never O(rows); the complete-mode sink rewrites d² rows per
     batch, not the corpus. This is the audit tier streamed; the
     production path at 100 TB remains the partial-Gram PCA twin, certified
@@ -131,10 +139,18 @@ def embedding_covariance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     # localCheckpoint: the assembly joins three branches of this table and
     # Spark cannot re-instance MemoryPlan attributes for self-joins
     # (INTERNAL_ERROR "conflicting references", observed r11); checkpointing
-    # rewrites the d² + d + 1 rows as a LogicalRDD, which can. O(d²) data.
+    # rewrites the d(d+1)/2 + d + 1 rows as a LogicalRDD, which can.
     t = spark.table(name).localCheckpoint(eager=True)
-    prods = t.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+    prods_ut = t.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
         "i", "j", F.col("sp").alias("sxy")
+    )
+    # mirror the accumulated upper triangle into the i > j cells — the
+    # same decimal (see covariance_terms), so the assembled matrix is
+    # bit-identical to the full-d² accumulator it replaces
+    prods = prods_ut.unionByName(
+        prods_ut.filter("i < j").select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
+        )
     )
     sums = t.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         "i", F.col("sp").alias("sx")

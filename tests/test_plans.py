@@ -815,7 +815,9 @@ def test_embedding_covariance_one_keyed_aggregate_no_python(spark):
     carries d² keys regardless of corpus size)."""
     plan = _plan(spark, "embedding_covariance")
     assert "HashAggregate" in plan, plan[:3000]
-    assert "Generate explode" in plan  # the JVM term generator
+    # r13: the term generator is two codegen'd posexplode Generates over
+    # the upper triangle (was one interpreted nested-transform explode)
+    assert "Generate posexplode" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "Python" not in plan and "MapInPandas" not in plan
@@ -856,11 +858,12 @@ def test_dedup_keep_best_streamed_report_stays_jvm(spark):
 
 def test_embedding_covariance_streamed_assembly_over_checkpoint(spark):
     """embedding_covariance_streamed (r11): the returned plan is the
-    assembly over the checkpointed d²-row accumulator table — broadcast
+    assembly over the checkpointed triangle-accumulator table — broadcast
     re-attach joins only, no file scan (the corpus was consumed by the
     stream), no Python, no shuffle. The accumulator itself must hold
-    exactly d² + d + 1 rows (products + sums + count), the O(d²)-state
-    claim as a number."""
+    exactly d(d+1)/2 + d + 1 rows (upper-triangle products + sums +
+    count; r13 triangle optimization), the O(d²)-state claim as a
+    number."""
     from flink_mm_spark.operators.similarity import EMB_DIM
 
     df = registry.QUERIES["embedding_covariance_streamed"].fn(spark, SF_DIR)
@@ -875,7 +878,9 @@ def test_embedding_covariance_streamed_assembly_over_checkpoint(spark):
 
     assert _COV_SINK_CACHE, "sink table name not cached"
     n_rows = spark.table(_COV_SINK_CACHE[-1]).count()
-    assert n_rows == EMB_DIM * EMB_DIM + EMB_DIM + 1
+    # r13: the accumulator holds the UPPER TRIANGLE only (mirror cells
+    # are bit-equal by decimal commutativity, re-expanded after drain)
+    assert n_rows == EMB_DIM * (EMB_DIM + 1) // 2 + EMB_DIM + 1
 
 
 def test_corpus_to_shards_verify_side_is_scan_and_aggregate(spark):
