@@ -75,6 +75,27 @@ def documents_stream(
     return reader.option("pathGlobFilter", glob).parquet(path)
 
 
+def spread_batches(stream: DataFrame) -> DataFrame:
+    """Fan each micro-batch out to the session's cores BEFORE the
+    per-batch signature/quality stages (r13 optimization, guide §2.5
+    input skew): with ``maxFilesPerTrigger=1`` a micro-batch arrives as
+    ONE file split, so every downstream per-batch stage — the Arrow
+    signature kernel, the interpreted md5-shingle transform, the term
+    explode — ran on a single core while 31 idled (measured: the
+    band-row projection alone was 13.2 s of addBatch across 4 sf0.1
+    batches; spread it is ~6 s, and the full exact band store halved
+    34.4 → 15.3 s wall with bit-identical emissions). The round-robin
+    exchange moves only the micro-batch's raw rows; every consumer here
+    is partitioning-independent (signatures are per-document pure
+    functions, the state exchange re-keys anyway). Scale-adaptive:
+    sized from ``defaultParallelism``, never a constant (on a cluster a
+    micro-batch is usually many splits already — the exchange is then a
+    cheap rebalance of one batch, not a bottleneck)."""
+    return stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 # membership cap for the capped throughput tier — the streaming analogue
 # of the batch hot-bucket suppression, reusing the SAME production constant
 # (review r10: an independent literal here would silently diverge if the
@@ -381,7 +402,9 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_mm_spark.session import scratch_dir
 
     src = _arrival_split(spark, sf_dir)
-    bands = minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    bands = minhash_band_rows(
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+    )
     # sink swap (review r9, the module-cache discipline applied to memory
     # sinks): each invocation's uniquely-named sink would otherwise pin its
     # full pair list in driver memory for the session lifetime — bench
@@ -482,7 +505,9 @@ def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_mm_spark.sources.tables import parallelize_scan
 
     src = _arrival_split(spark, sf_dir)
-    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    bands = keep_best_band_rows(
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+    )
     while _KBS_SINK_CACHE:
         spark.catalog.dropTempView(_KBS_SINK_CACHE.pop())
     name = f"dedup_keep_best_streamed_{uuid.uuid4().hex[:8]}"
@@ -650,7 +675,9 @@ def minhash_dedup_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     from flink_mm_spark.session import scratch_dir
 
     src = deterministic_arrival_split(spark, sf_dir)
-    bands = minhash_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    bands = minhash_band_rows(
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+    )
     spool = scratch_dir("mdsc_pairs_")
     from flink_mm_spark.session import stream_state_parts
 
@@ -952,7 +979,9 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
 
     src = deterministic_arrival_split(spark, sf_dir, n_batches=CTS_SHARDS)
     # PASS 1 — online decisions over the arriving corpus
-    bands = keep_best_band_rows(documents_stream(spark, src, max_files_per_trigger=1))
+    bands = keep_best_band_rows(
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+    )
     while _CTS_SINK_CACHE:
         spark.catalog.dropTempView(_CTS_SINK_CACHE.pop())
     name = f"corpus_to_shards_{uuid.uuid4().hex[:8]}"

@@ -119,7 +119,17 @@ def embedding_covariance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("pathGlobFilter", "*.parquet")
         .parquet(src)
     )
-    acc = covariance_terms(stream).groupBy("i", "j").agg(F.sum("p").alias("sp"))
+    # fan the one-file micro-batch out to the cores before the term
+    # explode (streaming/documents.spread_batches rationale, r13): the
+    # d(d+1)/2-term explode + partial aggregate otherwise run single-core
+    # per batch; decimal sums are associative, so this is value-identical
+    from flink_mm_spark.streaming.documents import spread_batches
+
+    acc = (
+        covariance_terms(spread_batches(stream))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+    )
     while _COV_SINK_CACHE:
         spark.catalog.dropTempView(_COV_SINK_CACHE.pop())
     name = f"embedding_covariance_streamed_{uuid.uuid4().hex[:8]}"
