@@ -1047,10 +1047,23 @@ def idempotent_shard_append(df: DataFrame, batch_id: int, dst: str) -> None:
     test (tests/test_streaming.py::test_shard_append_restart_exactly_once):
     life 1 appends batch 1 then dies BEFORE the commit; life 2 replays it
     and the final manifest value-hash-equals the one-shot batch write —
-    zero duplicate slices."""
-    df.write.mode("overwrite").partitionBy("shard_id").parquet(
-        f"{dst}/ingest={batch_id}"
-    )
+    zero duplicate slices.
+
+    r13 optimization (guide §2.5/§6): a one-file micro-batch is a single
+    task, so the ``partitionBy`` write created every shard's file
+    SERIALLY through the commit protocol (132 shard dirs per batch at
+    sf0.1 — measured 9.6-10.6 s for the 4-batch stream). Hash-exchanging
+    the batch on shard_id first spreads the dirs across the cores —
+    each shard still lands wholly in one task, so the committed tree
+    (one file per (ingest, shard)) is byte-layout-identical and the
+    exactly-once overwrite contract is untouched; the exchange moves
+    only the micro-batch's rows. Measured 5.0-8.9 s; the manifest
+    rollup of both layouts compares equal (xor fingerprints are
+    order-insensitive by design)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, "shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{dst}/ingest={batch_id}")
 
 
 def read_back_shards(spark: SparkSession, dst: str) -> DataFrame:
