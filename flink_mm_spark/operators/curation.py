@@ -46,7 +46,13 @@ def _ngrams_raw(toks: Column, k: int) -> Column:
     Unlike ``dedup.shingles_expr`` this keeps duplicates — repetition
     metrics are about multiplicity. Guarded: <k tokens yields an empty
     array (``sequence(1, 0)`` would count DOWN, so the guard is required).
-    """
+
+    r13: ``toks`` must be a MATERIALIZED attribute column, never a
+    derived expression — HOFs are interpreted with no CSE, so an
+    expression argument is re-evaluated once per shingle by the
+    ``slice`` inside the lambda (the ``dedup.shingles_from_tokens``
+    O(tokens²) finding; the dsir caller used to pass ``tokens_expr()``
+    directly and re-split per bigram)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -377,9 +383,10 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_scan(
         table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
-    toks = tokens_expr()
-    f = d.select(
-        "doc_id", "lang", F.explode(_ngrams_raw(toks, 2)).alias("gram")
+    # stage tokens as a column before the bigram lambda (r13: see
+    # _ngrams_raw — an expression argument re-splits once per bigram)
+    f = d.select("doc_id", "lang", tokens_expr().alias("_toks")).select(
+        "doc_id", "lang", F.explode(_ngrams_raw(F.col("_toks"), 2)).alias("gram")
     )
     # raw and target counts in ONE aggregate (one corpus shuffle, no
     # raw⋈target join): t_cnt is a conditional sum over the same groups
@@ -1032,13 +1039,14 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in `substring_dedup`'s audited shape. The gram table feeds the
     frequency aggregate AND the rejoin, so it persists via the module
     cache."""
-    from flink_mm_spark.operators.dedup import shingles_expr
+    from flink_mm_spark.operators.dedup import shingles_from_tokens, tokens_expr
 
     while _NOV_CACHE:
         _NOV_CACHE.pop().unpersist()
     d = parallelize_scan(table(spark, sf_dir, "documents"))
     g = (
-        d.select("doc_id", F.explode(shingles_expr(NOVELTY_K)).alias("gram"))
+        d.select("doc_id", tokens_expr().alias("_toks"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", NOVELTY_K)).alias("gram"))
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),

@@ -103,24 +103,50 @@ def tokens_expr(col: str = "text") -> Column:
     return F.split(norm_text(col), r"\s+")
 
 
-def shingles_expr(k: int, col: str = "text") -> Column:
-    """Distinct k-word shingles as an array<string> (JVM higher-order fns).
+def shingles_from_tokens(t: Column | str, k: int) -> Column:
+    """Distinct k-word shingles over a MATERIALIZED token-array column.
+
+    ``t`` must be an attribute (a column staged via
+    ``tokens_expr().alias(...)`` in a prior select), never a derived
+    expression: HOFs are interpreted with no codegen and no
+    common-subexpression elimination, so an expression here is
+    re-evaluated once PER SHINGLE by the ``slice`` inside the lambda —
+    the r13 O(tokens²)-per-document finding (the whole
+    split(lower(trim(text))) chain ran once per shingle; staging the
+    tokens measured 2-3× on the shingle stage feeding every MinHash
+    signature, gram-hash, and band-store pipeline, outputs identical
+    cell-for-cell at k=3 and k=5 on sf0.01/sf0.1 plus NULL/short-doc
+    edges). An attribute reference per element is O(1), so the staged
+    shape is safe. (A single-expression fix — binding the array as a
+    lambda variable via ``transform(array(toks), t -> ...)[1]`` — was
+    value-identical and fast, but nested lambdas inside a pandas-UDF
+    argument hit INTERNAL_ERROR "Cannot evaluate expression" when the
+    optimizer inlines the chain, so the staged-column form is the one
+    that ships.)
 
     Documents with fewer than k tokens yield an EMPTY array — guarded
     explicitly because sequence(1, 0) would count DOWN to [1, 0] and
-    slice(toks, 0, k) throws (SQL arrays are 1-indexed).
-    """
-    toks = tokens_expr(col)
-    n = F.size(toks)
+    slice(toks, 0, k) throws (SQL arrays are 1-indexed)."""
+    t = F.col(t) if isinstance(t, str) else t
+    n = F.size(t)
     return F.when(
         n >= k,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_expr(k: int, col: str = "text") -> Column:
+    """Single-expression shingle form (tests / cold paths ONLY): inlines
+    the token split into the shingle lambda, which interpreted HOF
+    evaluation re-runs once per shingle — O(tokens²) per document. Hot
+    paths stage ``tokens_expr().alias(...)`` and use
+    ``shingles_from_tokens`` instead (r13)."""
+    return shingles_from_tokens(tokens_expr(col), k)
 
 
 def gram_hash_cte(key: str, k: int, name: str = "g") -> str:
@@ -362,7 +388,11 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by its rarest word's).
     """
     d = parallelize_scan(table(spark, sf_dir, "documents"))
-    sets = d.select("doc_id", "source", shingles_expr(_SHINGLE_K).alias("sh"))
+    # stage tokens, then shingle over the attribute (r13: see
+    # shingles_from_tokens — the inline form re-split per shingle)
+    sets = d.select("doc_id", "source", tokens_expr().alias("_toks")).select(
+        "doc_id", "source", shingles_from_tokens("_toks", _SHINGLE_K).alias("sh")
+    )
     posting = sets.select(
         "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
@@ -488,8 +518,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
     complete in ~1.5 s wall on local[32].
     """
     d = parallelize_scan(table(spark, sf_dir, "documents"))
-    hashes = F.transform(shingles_expr(k), lambda s: F.xxhash64(s))
-    base = d.select("doc_id", "source", hashes.alias("hs"))
+    hashes = F.transform(
+        shingles_from_tokens("_toks", k), lambda s: F.xxhash64(s)
+    )
+    base = d.select("doc_id", "source", tokens_expr().alias("_toks")).select(
+        "doc_id", "source", hashes.alias("hs")
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hs: pd.Series) -> pd.Series:
@@ -722,9 +756,20 @@ def mhx_signatures(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     exact int64 arithmetic one permutation-vector at a time (md5-derived xs
     are already 31-bit-folded JVM-side, which the oracle replays verbatim).
     """
-    sh = shingles_expr(3)
-    base = d.select("doc_id", "source", *carry, sh.alias("sh")).filter(
-        F.size("sh") > 0
+    # filter on the staged token count, NOT on size(sh) > 0: the two are
+    # equivalent (shingles are empty iff tokens < k, including NULL text),
+    # but a filter on the derived sh column gets pushed below the project
+    # and INLINES the whole split+shingle lambda chain into the predicate
+    # — re-creating the O(tokens²) shape the staging exists to avoid
+    # (observed in the optimized plan: slice(split(...)) inside the
+    # pushed Filter)
+    base = (
+        d.select("doc_id", "source", *carry, tokens_expr().alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select(
+            "doc_id", "source", *carry,
+            shingles_from_tokens("_toks", 3).alias("sh"),
+        )
     )
     x = lambda s: (  # noqa: E731 — 31-bit-folded md5 base hash
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

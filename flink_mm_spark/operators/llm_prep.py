@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_mm_spark.operators.dedup import norm_text, shingles_expr, tokens_expr
+from flink_mm_spark.operators.dedup import norm_text, shingles_from_tokens, tokens_expr
 from flink_mm_spark.operators.text import STOPWORDS, _sql_list
 from flink_mm_spark.registry import register
 from flink_mm_spark.sources.tables import parallelize_scan, table
@@ -205,21 +205,35 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ≤ |sources|-key shuffle.
     """
     d = table(spark, sf_dir, "documents")
-    toks = tokens_expr()
-    n = F.size(toks)
-    letters = F.length(norm_text()) - (n - 1)
+    # r13: materialize toks/grams as columns first — HOF exprs are
+    # interpreted with no CSE, so the old single-projection shape
+    # re-split the text once per bigram inside the lambda (O(tokens²)
+    # per document) and re-built `grams` twice (dg and g) and `toks`
+    # thrice; staged columns evaluate each exactly once
+    staged = d.select(
+        "source",
+        F.length(norm_text()).alias("nt_len"),
+        tokens_expr().alias("toks"),
+    )
+    n = F.size("toks")
     grams = F.when(
         n >= 2,
-        F.transform(F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+        ),
     ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(
+        "source", "nt_len", "toks", n.alias("n"), grams.alias("grams")
+    )
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    per_doc = d.select(
+    per_doc = staged.select(
         "source",
-        n.alias("n"),
-        letters.alias("letters"),
-        F.size(F.array_distinct(grams)).alias("dg"),
-        F.size(grams).alias("g"),
-        F.size(F.array_intersect(F.array_distinct(toks), en_stop)).alias("stops"),
+        "n",
+        (F.col("nt_len") - (F.col("n") - 1)).alias("letters"),
+        F.size(F.array_distinct("grams")).alias("dg"),
+        F.size("grams").alias("g"),
+        F.size(F.array_intersect(F.array_distinct("toks"), en_stop)).alias("stops"),
     )
     p_wc = F.col("n").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
     p_ml = F.col("letters").between(2 * F.col("n"), 10 * F.col("n"))
@@ -291,7 +305,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = parallelize_scan(table(spark, sf_dir, "documents"))
     is_eval = F.col("doc_id") % _BC_MOD == 0
-    grams = d.select("doc_id", "source", F.explode(shingles_expr(_BC_K)).alias("gram"))
+    grams = d.select(
+        "doc_id", "source", tokens_expr().alias("_toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_tokens("_toks", _BC_K)).alias("gram"),
+    )
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     hits = (
         grams.filter(~is_eval)
@@ -1101,9 +1121,11 @@ def shard_append_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart test pins zero duplicate slices across a forced replay.
 
     Scale shape: per micro-batch the plan is ONE file scan of the
-    arriving slices plus the partitioned write — ``partitionBy`` adds
-    files, never an exchange, and the packer does NOT re-run (the stream
-    stages its output once; plan-pinned in tests/test_plans.py). A shard
+    arriving slices, ONE batch-sized exchange hashing the rows on
+    shard_id (r13: parallelizes per-shard file creation — see
+    ``idempotent_shard_append``), and the partitioned write —
+    ``partitionBy`` adds files, and the packer does NOT re-run (the
+    stream stages its output once; plan-pinned in tests/test_plans.py). A shard
     whose slices arrive across batches accumulates one directory per
     (batch, shard) — append is directory-level, so no batch touches
     another batch's data. The verify side is the roundtrip entry's: one
@@ -1201,7 +1223,8 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _XSO_CACHE.pop().unpersist()
     d = parallelize_scan(table(spark, sf_dir, "documents"))
     g = (
-        d.select("source", F.explode(shingles_expr(_XSO_K)).alias("gram"))
+        d.select("source", tokens_expr().alias("_toks"))
+        .select("source", F.explode(shingles_from_tokens("_toks", _XSO_K)).alias("gram"))
         .select(
             "source",
             F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),

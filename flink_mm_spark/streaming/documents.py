@@ -1006,8 +1006,11 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
     # PASS 2 — materialize survivors through the exactly-once shard writer
     n_tok, _ = kb_quality_cols()
     dst = scratch_dir("cts_dst_")
+    # spread_batches: the n_tok regexp count otherwise runs single-task
+    # on the one-file micro-batch (r13; pure per-document function, and
+    # the writer re-keys on shard_id anyway so layout is unchanged)
     doc_stream = (
-        documents_stream(spark, src, max_files_per_trigger=1)
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
         .withColumn("n_tok", n_tok.cast("bigint"))
         .withColumn("shard_id", F.pmod("doc_id", F.lit(CTS_SHARDS)).cast("bigint"))
         .select("doc_id", "n_tok", "shard_id")
