@@ -4,9 +4,11 @@ The daily-crawl shape every production dedup pipeline eventually needs
 (VERDICT r8 ask #4): documents ARRIVE over time, and each arrival must be
 checked against a PERSISTED MinHash band store instead of a batch re-scan
 of the whole corpus. Here the band store is Structured Streaming keyed
-state: band rows group by (source, band_id, band_key) through
-``applyInPandasWithState``, the state value is the bucket's accumulated
-(doc_id, signature) members, and each arriving document scores against the
+state: band rows group by a hash SHARD of (source, band_id, band_key)
+through ``applyInPandasWithState`` (r13 — buckets were near-singleton, so
+bucket-per-group paid one protocol round-trip per band row; see
+``minhash_band_store``), the state value is the shard's accumulated
+per-bucket (doc_id, signature) members, and each arriving document scores against the
 bucket's PRIOR members only — so every near-dup pair is emitted exactly
 once no matter how arrivals split across micro-batches, and the union over
 time equals the batch ``minhash_lsh_exact`` candidate list on the same
@@ -166,10 +168,28 @@ def minhash_band_store(
     ``dropDuplicates`` (the decision is a pure function of the pair's
     attributes, so cross-band copies agree on the loser).
 
+    GROUPING (r13): state groups are hash SHARDS of buckets, not the
+    buckets themselves. Bucket-per-group made ~every band row its own
+    group (near-singleton buckets on real corpora), so micro-batches
+    paid one Arrow/state protocol round-trip per TINY bucket — ~10k per
+    sf0.1 batch — which dwarfed the probe math. Buckets now hash into
+    ``SPARK_GRAFT_STREAM_GROUPS`` shards (default 4×cores); the bucket
+    identity rides in state as a per-member ``bkts`` column and every
+    probe/cap/TTL decision is still strictly per bucket — the pair set,
+    cap behavior, and eviction bounds are unchanged (TTL gains an
+    inline per-bucket sweep at shard events; the shard timer fires only
+    when every bucket in it has been idle ≥ TTL, so whole-shard
+    eviction preserves the per-bucket bound). Like the state-partition
+    count, the shard count is pinned for a store's lifetime.
+
     Estimates are matches/32 — dyadic rationals, so float equality with
     the batch kernel and the SQL replay is exact. State schema is the
-    member arrays; output mode append (pairs are immutable facts).
+    member arrays (+ ``bkts``, + ``touch`` under TTL); output mode
+    append (pairs are immutable facts).
     """
+    import os
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -190,7 +210,16 @@ def minhash_band_store(
         else []
     )
     out_schema = T.StructType(out_fields)
+    # r13: state is SHARD-grouped, not bucket-grouped. The old per-bucket
+    # grouping made ~every band row its own applyInPandasWithState group
+    # (39,953 state rows for 40,000 band rows at sf0.1 — near-singleton
+    # buckets), so each micro-batch paid ~10k per-group Arrow/state
+    # protocol round-trips that dwarfed the actual probe math. Buckets now
+    # hash into a bounded number of shards (``grp`` below); the bucket
+    # identity (source\x1fband\x1fkey) moves INTO the state as a
+    # per-member column and probe/cap/TTL stay per bucket, bit-identical.
     state_fields = [
+        T.StructField("bkts", T.ArrayType(T.StringType())),
         T.StructField("ids", T.ArrayType(T.LongType())),
         T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
     ] + (
@@ -200,8 +229,14 @@ def minhash_band_store(
         ]
         if decide
         else []
+    ) + (
+        # per-member last-bucket-touch (ms): TTL sweeps evict per BUCKET
+        [T.StructField("touch", T.ArrayType(T.LongType()))]
+        if ttl_minutes is not None
+        else []
     )
     state_schema = T.StructType(state_fields)
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
 
     def out_frame(a, b, e, l=None, arr=None):  # noqa: E741 — l mirrors 'loser'
         cols = {"doc_a": a, "doc_b": b, "est_jaccard": e}
@@ -215,44 +250,82 @@ def minhash_band_store(
     )
 
     def probe_then_add(key, pdfs, state: GroupState):
-        # VECTORIZED probe (VERDICT r9 #2): state is one members×PERM
-        # int64 matrix; the whole arrival batch scores against it in ONE
-        # numpy compare (plus one strict-lower-triangle compare for
-        # in-batch pairs) — never a per-member interpreted loop, which on
-        # a hot bucket (the skew case LSH exists for) cost O(members)
-        # Python iterations per arrival. Temp memory is the
-        # (arrivals × members × PERM) byte compare per bucket — bounded
-        # by the micro-batch on the exact tier and by the membership cap
-        # on the capped tier. Semantics are unchanged (pinned by the
-        # loop-replay equivalence in tests/test_streaming.py): arrivals
-        # process in doc_id order, probe PRIOR members only, estimates
-        # stay exact dyadic matches/PERM.
-        if ttl_minutes is not None and state.hasTimedOut:
-            # idle past the duplicate-arrival horizon: evict the bucket
+        # VECTORIZED probe (VERDICT r9 #2), per BUCKET within the shard:
+        # each bucket's state is one members×PERM int64 matrix and the
+        # bucket's whole arrival set scores against it in ONE numpy
+        # compare (plus one strict-lower-triangle compare for in-batch
+        # pairs) — never a per-member interpreted loop. Semantics are
+        # unchanged from the bucket-grouped store (pinned by the
+        # loop-replay equivalence in tests/test_streaming.py): per bucket,
+        # arrivals process in doc_id order, probe PRIOR members only,
+        # estimates stay exact dyadic matches/PERM.
+        if ttl_ms is not None and state.hasTimedOut:
+            # the shard timer re-arms on EVERY shard touch, so when it
+            # fires every bucket in the shard has been idle >= TTL —
+            # the whole shard evicts (the per-bucket idleness bound
+            # holds member-by-member)
             state.remove()
             yield empty_out
             return
         if state.exists:
             vals = state.get
-            member_ids = np.asarray(vals[0], dtype=np.int64)
-            members = np.array([np.asarray(s) for s in vals[1]], dtype=np.int64)
+            s_bkt = np.asarray(vals[0], dtype=object)
+            s_ids = np.asarray(vals[1], dtype=np.int64)
+            s_sig = (
+                np.array([np.asarray(x) for x in vals[2]], dtype=np.int64)
+                if len(s_ids)
+                else np.empty((0, MHX_PERM), dtype=np.int64)
+            )
             if decide:
-                member_tok = np.asarray(vals[2], dtype=np.int64)
-                member_sc = np.asarray(vals[3], dtype=np.int64)
+                s_tok = np.asarray(vals[3], dtype=np.int64)
+                s_sc = np.asarray(vals[4], dtype=np.int64)
+            else:
+                s_tok = s_sc = np.empty(0, dtype=np.int64)
+            s_touch = (
+                np.asarray(vals[-1], dtype=np.int64)
+                if ttl_ms is not None
+                else np.empty(0, dtype=np.int64)
+            )
         else:
-            member_ids = np.empty(0, dtype=np.int64)
-            members = np.empty((0, MHX_PERM), dtype=np.int64)
-            member_tok = member_sc = np.empty(0, dtype=np.int64)
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-        bids = batch["doc_id"].to_numpy(dtype=np.int64)
-        bsigs = (
+            s_bkt = np.empty(0, dtype=object)
+            s_ids = np.empty(0, dtype=np.int64)
+            s_sig = np.empty((0, MHX_PERM), dtype=np.int64)
+            s_tok = s_sc = s_touch = np.empty(0, dtype=np.int64)
+        now_ms = int(_time.time() * 1000)
+        if ttl_ms is not None and len(s_ids):
+            # inline sweep: a bucket idle past TTL evicts at the shard's
+            # next data event, so the per-bucket state bound does not
+            # depend on the shard's OTHER buckets going quiet too
+            live = (now_ms - s_touch) < ttl_ms
+            if not live.all():
+                s_bkt, s_ids, s_sig = s_bkt[live], s_ids[live], s_sig[live]
+                s_touch = s_touch[live]
+                if decide:
+                    s_tok, s_sc = s_tok[live], s_sc[live]
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["bkt", "doc_id"], kind="stable"
+        )
+        a_bkt = batch["bkt"].to_numpy(dtype=object)
+        a_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        a_sig = (
             np.array([np.asarray(s) for s in batch["sig"]], dtype=np.int64)
             if len(batch)
             else np.empty((0, MHX_PERM), dtype=np.int64)
         )
         if decide:
-            btok = batch["n_tok"].to_numpy(dtype=np.int64)
-            bsc = batch["q_score"].to_numpy(dtype=np.int64)
+            a_tok = batch["n_tok"].to_numpy(dtype=np.int64)
+            a_sc = batch["q_score"].to_numpy(dtype=np.int64)
+        # bucket index over the (swept) state: the STABLE argsort keeps
+        # each bucket's members in insertion order — the prefix-cap
+        # contract ("first cap members in arrival order") depends on it
+        if len(s_ids):
+            s_order = np.argsort(s_bkt, kind="stable")
+            s_sorted = s_bkt[s_order]
+            s_uni, s_lo = np.unique(s_sorted, return_index=True)
+            s_hi = np.append(s_lo[1:], len(s_order))
+            s_slices = {u: s_order[lo:hi] for u, lo, hi in zip(s_uni, s_lo, s_hi)}
+        else:
+            s_slices = {}
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_e: list[np.ndarray] = []
@@ -263,10 +336,10 @@ def minhash_band_store(
             # x is always the LATER ARRIVAL: arrivals-vs-members probes have
             # x = this batch's doc, and in-batch probes have x = the
             # later doc_id in the batch's sorted processing order
-            a_ids = np.minimum(x_ids, y_ids)
-            b_ids = np.maximum(x_ids, y_ids)
-            out_a.append(a_ids)
-            out_b.append(b_ids)
+            a_min = np.minimum(x_ids, y_ids)
+            b_max = np.maximum(x_ids, y_ids)
+            out_a.append(a_min)
+            out_b.append(b_max)
             out_e.append(matches / MHX_PERM)
             if decide:
                 swap = x_ids > y_ids  # orient attrs with (a, b)
@@ -275,47 +348,114 @@ def minhash_band_store(
                 a_sc = np.where(swap, y_sc, x_sc)
                 b_tok = np.where(swap, x_tok, y_tok)
                 b_sc = np.where(swap, x_sc, y_sc)
-                out_l.append(kb_losers_vec(a_ids, a_tok, a_sc, b_ids, b_tok, b_sc))
+                out_l.append(kb_losers_vec(a_min, a_tok, a_sc, b_max, b_tok, b_sc))
                 out_r.append(np.asarray(x_ids, dtype=np.int64))
 
-        # under a prefix cap only the first `room` sorted arrivals join
-        # the member set; everyone still PROBES the (capped) members
-        room = len(bids) if cap is None else max(0, cap - len(member_ids))
-        if len(bids) and len(member_ids):
-            m = (bsigs[:, None, :] == members[None, :, :]).sum(axis=2)
-            bi, mj = np.nonzero(m >= MHX_THRESHOLD * MHX_PERM)
-            emit(
-                bids[bi],
-                member_ids[mj],
-                m[bi, mj],
-                (btok[bi], bsc[bi]) if decide else None,
-                (member_tok[mj], member_sc[mj]) if decide else None,
+        new_bkt: list[np.ndarray] = []
+        new_ids: list[np.ndarray] = []
+        new_sig: list[np.ndarray] = []
+        new_tok: list[np.ndarray] = []
+        new_sc: list[np.ndarray] = []
+        touched: list[np.ndarray] = []
+        # arrival bucket runs over the (bkt, doc_id)-sorted batch
+        if len(a_ids):
+            change = np.nonzero(a_bkt[1:] != a_bkt[:-1])[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(a_ids)]])
+        else:
+            starts = ends = np.empty(0, dtype=np.int64)
+        for lo, hi in zip(starts, ends):
+            b = a_bkt[lo]
+            bids = a_ids[lo:hi]
+            bsigs = a_sig[lo:hi]
+            idx = s_slices.get(b)
+            if idx is not None:
+                member_ids = s_ids[idx]
+                members = s_sig[idx]
+                if decide:
+                    member_tok = s_tok[idx]
+                    member_sc = s_sc[idx]
+                if ttl_ms is not None:
+                    touched.append(idx)  # any arrival re-arms the bucket
+            else:
+                member_ids = np.empty(0, dtype=np.int64)
+                members = np.empty((0, MHX_PERM), dtype=np.int64)
+                member_tok = member_sc = np.empty(0, dtype=np.int64)
+            if decide:
+                btok = a_tok[lo:hi]
+                bsc = a_sc[lo:hi]
+            # under a prefix cap only the first `room` sorted arrivals join
+            # the member set; everyone still PROBES the (capped) members
+            room = len(bids) if cap is None else max(0, cap - len(member_ids))
+            if len(member_ids):
+                m = (bsigs[:, None, :] == members[None, :, :]).sum(axis=2)
+                bi, mj = np.nonzero(m >= MHX_THRESHOLD * MHX_PERM)
+                emit(
+                    bids[bi],
+                    member_ids[mj],
+                    m[bi, mj],
+                    (btok[bi], bsc[bi]) if decide else None,
+                    (member_tok[mj], member_sc[mj]) if decide else None,
+                )
+            if len(bids) > 1 and room > 0:
+                m2 = (bsigs[:, None, :] == bsigs[None, :, :]).sum(axis=2)
+                # row i (later doc_id) probes row j (earlier): strict lower
+                # triangle reproduces the sorted probe-prior-only order;
+                # columns past `room` never joined, so they are unprobeable
+                hit = np.tril(m2 >= MHX_THRESHOLD * MHX_PERM, k=-1)
+                hit[:, room:] = False
+                ii, jj = np.nonzero(hit)
+                emit(
+                    bids[ii],
+                    bids[jj],
+                    m2[ii, jj],
+                    (btok[ii], bsc[ii]) if decide else None,
+                    (btok[jj], bsc[jj]) if decide else None,
+                )
+            if room > 0 and len(bids):
+                take = min(room, len(bids))
+                new_bkt.append(np.full(take, b, dtype=object))
+                new_ids.append(bids[:take])
+                new_sig.append(bsigs[:take])
+                if decide:
+                    new_tok.append(btok[:take])
+                    new_sc.append(bsc[:take])
+        if ttl_ms is not None and touched:
+            s_touch = s_touch.copy()
+            s_touch[np.concatenate(touched)] = now_ms
+        nb = np.concatenate([s_bkt] + new_bkt) if new_bkt else s_bkt
+        if len(nb) == 0:
+            # a TTL sweep can empty the shard with nothing joining
+            if state.exists:
+                state.remove()
+            yield out_frame(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
             )
-        if len(bids) > 1 and room > 0:
-            m2 = (bsigs[:, None, :] == bsigs[None, :, :]).sum(axis=2)
-            # row i (later doc_id) probes row j (earlier): strict lower
-            # triangle reproduces the sorted probe-prior-only order;
-            # columns past `room` never joined, so they are unprobeable
-            hit = np.tril(m2 >= MHX_THRESHOLD * MHX_PERM, k=-1)
-            hit[:, room:] = False
-            ii, jj = np.nonzero(hit)
-            emit(
-                bids[ii],
-                bids[jj],
-                m2[ii, jj],
-                (btok[ii], bsc[ii]) if decide else None,
-                (btok[jj], bsc[jj]) if decide else None,
-            )
+            return
+        n_new = sum(len(x) for x in new_ids)
         new_state = [
-            np.concatenate([member_ids, bids[:room]]).tolist(),
-            np.concatenate([members, bsigs[:room]], axis=0).tolist(),
+            nb.tolist(),
+            (np.concatenate([s_ids] + new_ids) if new_ids else s_ids).tolist(),
+            (
+                np.concatenate([s_sig] + new_sig, axis=0) if new_sig else s_sig
+            ).tolist(),
         ]
         if decide:
-            new_state.append(np.concatenate([member_tok, btok[:room]]).tolist())
-            new_state.append(np.concatenate([member_sc, bsc[:room]]).tolist())
+            new_state.append(
+                (np.concatenate([s_tok] + new_tok) if new_tok else s_tok).tolist()
+            )
+            new_state.append(
+                (np.concatenate([s_sc] + new_sc) if new_sc else s_sc).tolist()
+            )
+        if ttl_ms is not None:
+            new_state.append(
+                np.concatenate(
+                    [s_touch, np.full(n_new, now_ms, dtype=np.int64)]
+                ).tolist()
+            )
         state.update(tuple(new_state))
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(int(ttl_minutes * 60_000))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield out_frame(
             np.concatenate(out_a) if out_a else np.empty(0, np.int64),
             np.concatenate(out_b) if out_b else np.empty(0, np.int64),
@@ -329,7 +469,24 @@ def minhash_band_store(
         if ttl_minutes is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
-    return bands.groupBy("source", "band_id", "band_key").applyInPandasWithState(
+    # r13 shard count: enough shards that one shard's state stays a small
+    # slice of the store (and hash-uniform, so no shard skew), few enough
+    # that per-shard protocol overhead stops dominating. Scale-adaptive
+    # local default (4 groups per core); production pins
+    # SPARK_GRAFT_STREAM_GROUPS so per-shard state stays memory-bounded as
+    # the corpus grows — like the state-partition count, the shard count
+    # is part of a store's lifetime (a checkpoint must be resumed under
+    # the same value; every registered entry uses a fresh checkpoint).
+    n_groups = int(os.environ.get("SPARK_GRAFT_STREAM_GROUPS", "0")) or (
+        4 * bands.sparkSession.sparkContext.defaultParallelism
+    )
+    keyed = bands.withColumn(
+        "bkt",
+        F.concat_ws(
+            "\x1f", F.col("source"), F.col("band_id").cast("string"), F.col("band_key")
+        ),
+    ).withColumn("grp", F.pmod(F.xxhash64("bkt"), F.lit(n_groups)))
+    return keyed.groupBy("grp").applyInPandasWithState(
         probe_then_add, out_schema, state_schema, "append", timeout
     )
 
