@@ -1816,7 +1816,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation at sf0.1, plus the unchanged oracle hash). Two
     # posexplode Generates + a codegen'd cast replace the old interpreted
     # nested-transform struct builder (2.65× measured: 15.9 s → 6.0 s
-    # dedicated median); term volume drops d² → d(d+1)/2 per row.
+    # dedicated median).
     fst = e.select(F.posexplode("emb").alias("i", "x"), "emb")
     snd = fst.select(
         "i",
@@ -1828,7 +1828,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("dj")).alias("j"),
         (F.col("x") * F.col("y")).cast("decimal(28,14)").alias("p"),
     )
-    prods_ut = pair_terms.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    # persist the aggregated triangle (d(d+1)/2 rows) before mirroring:
+    # prods_ut feeds BOTH unionByName branches, and without the persist
+    # the whole posexplode+HashAggregate subtree executed twice (ADVICE
+    # r13 #2 — the r13 plan showed no ReusedExchange, so the REALIZED
+    # term volume was still d(d+1), not d(d+1)/2; the module-cache rule
+    # for 2+-consumer DataFrames applies). With it the explode/aggregate
+    # runs once and the mirror reads 2080 cached rows.
+    prods_ut = pair_terms.groupBy("i", "j").agg(F.sum("p").alias("sxy")).persist()
+    _COV_CACHE.append(prods_ut)
     prods = prods_ut.unionByName(
         prods_ut.filter("i < j").select(
             F.col("j").alias("i"), F.col("i").alias("j"), "sxy"

@@ -77,7 +77,19 @@ def documents_stream(
     return reader.option("pathGlobFilter", glob).parquet(path)
 
 
-def spread_batches(stream: DataFrame) -> DataFrame:
+def _bytes_conf(v: str) -> int:
+    """Parse a Spark byte-size conf value ("128m", "134217728b", "1g")."""
+    v = v.strip().lower()
+    for suf, mult in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4), ("b", 1),
+    ):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)]) * mult)
+    return int(float(v))
+
+
+def spread_batches(stream: DataFrame, src: str | None = None) -> DataFrame:
     """Fan each micro-batch out to the session's cores BEFORE the
     per-batch signature/quality stages (r13 optimization, guide §2.5
     input skew): with ``maxFilesPerTrigger=1`` a micro-batch arrives as
@@ -90,12 +102,38 @@ def spread_batches(stream: DataFrame) -> DataFrame:
     exchange moves only the micro-batch's raw rows; every consumer here
     is partitioning-independent (signatures are per-document pure
     functions, the state exchange re-keys anyway). Scale-adaptive:
-    sized from ``defaultParallelism``, never a constant (on a cluster a
-    micro-batch is usually many splits already — the exchange is then a
-    cheap rebalance of one batch, not a bottleneck)."""
-    return stream.repartition(
-        stream.sparkSession.sparkContext.defaultParallelism
-    )
+    sized from ``defaultParallelism``, never a constant.
+
+    MANY-SPLIT GUARD (r14, VERDICT r13 #2): the r13 exchange was
+    unconditional — at production ingest rates a batch of large files
+    already arrives as ≥ cores scan splits and re-shuffling the wide raw
+    rows is pure cost. A streaming DataFrame's per-batch partition count
+    is not knowable at plan time, but the SOURCE layout is: with
+    ``src`` given, the guard estimates the SMALLEST single-file batch's
+    split count from the staged files and ``maxPartitionBytes`` and
+    skips the exchange when even that batch saturates the cores (every
+    batch at least as wide → rebalance buys nothing). Locally the
+    arrival files are ≪ one split each, so the plan is unchanged here;
+    the guard exists for the large-file deployment (SCALE.md)."""
+    import glob
+    import math
+    import os
+
+    spark = stream.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if src is not None:
+        sizes = [
+            os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet"))
+        ]
+        if sizes:
+            mpb = _bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+            # one file per trigger (every caller here): the narrowest
+            # batch is the smallest file's split count
+            if max(1, math.ceil(min(sizes) / mpb)) >= par:
+                return stream
+    return stream.repartition(par)
 
 
 # membership cap for the capped throughput tier — the streaming analogue
@@ -126,11 +164,55 @@ def kb_losers_vec(a_ids, a_tok, a_sc, b_ids, b_tok, b_sc):
     )
 
 
+def band_store_groups(spark: SparkSession) -> int:
+    """The band store's state-shard count: ``SPARK_GRAFT_STREAM_GROUPS``
+    or 4 groups per core (see the r13 grouping note in
+    ``minhash_band_store``). Exposed so callers can PIN the value beside
+    a checkpoint before the stream starts (``pin_stream_groups``)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_STREAM_GROUPS", "0")) or (
+        4 * spark.sparkContext.defaultParallelism
+    )
+
+
+def pin_stream_groups(ckpt: str, n_groups: int) -> int:
+    """Persist the band store's shard count beside its checkpoint and
+    FAIL FAST on mismatch (ADVICE r13 #1): unlike the shuffle-partition
+    count, Spark does not pin this data-level hash into the checkpoint —
+    resuming on a host with a different core count (or a changed
+    SPARK_GRAFT_STREAM_GROUPS) would silently hash buckets to shards
+    that don't hold their state, so arrivals would probe empty state and
+    near-dup pairs would silently vanish. The marker file makes the
+    docstring rule enforceable: written at stream start, checked on
+    every later start against the same checkpoint."""
+    import os
+
+    os.makedirs(ckpt, exist_ok=True)
+    marker = os.path.join(ckpt, "_spark_graft_stream_groups")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            pinned = int(f.read().strip())
+        if pinned != n_groups:
+            raise ValueError(
+                f"band-store checkpoint {ckpt} was created with "
+                f"{pinned} state shards but this session computes "
+                f"{n_groups}; resume under the original value "
+                f"(SPARK_GRAFT_STREAM_GROUPS={pinned}) — a different "
+                "shard count hashes buckets away from their state"
+            )
+        return pinned
+    with open(marker, "w") as f:
+        f.write(str(n_groups))
+    return n_groups
+
+
 def minhash_band_store(
     bands: DataFrame,
     cap: int | None = None,
     ttl_minutes: int | None = None,
     decide: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """The incremental band store: a stateful probe-then-add per bucket —
     ONE implementation behind all tiers (the ``_banded_pairs`` twin-unity
@@ -475,15 +557,25 @@ def minhash_band_store(
     # local default (4 groups per core); production pins
     # SPARK_GRAFT_STREAM_GROUPS so per-shard state stays memory-bounded as
     # the corpus grows — like the state-partition count, the shard count
-    # is part of a store's lifetime (a checkpoint must be resumed under
-    # the same value; every registered entry uses a fresh checkpoint).
-    n_groups = int(os.environ.get("SPARK_GRAFT_STREAM_GROUPS", "0")) or (
-        4 * bands.sparkSession.sparkContext.defaultParallelism
-    )
+    # is part of a store's lifetime. r14: callers that own a checkpoint
+    # record the count beside it via ``pin_stream_groups`` and pass it
+    # here, so a resume under a different core count fails fast instead
+    # of silently probing empty shards (ADVICE r13 #1).
+    if n_groups is None:
+        n_groups = band_store_groups(bands.sparkSession)
+    # bucket key: NULL fields take an explicit sentinel so they cannot
+    # collapse into the separator and merge two distinct buckets (ADVICE
+    # r13 #4 — concat_ws SKIPS nulls; the upstream isNotNull filter keeps
+    # this theoretical on current data, but the store is the one
+    # implementation behind every tier)
+    def _nn(c):
+        return F.coalesce(c.cast("string"), F.lit("\x00NULL\x00"))
+
     keyed = bands.withColumn(
         "bkt",
         F.concat_ws(
-            "\x1f", F.col("source"), F.col("band_id").cast("string"), F.col("band_key")
+            "\x1f", _nn(F.col("source")), F.col("band_id").cast("string"),
+            _nn(F.col("band_key")),
         ),
     ).withColumn("grp", F.pmod(F.xxhash64("bkt"), F.lit(n_groups)))
     return keyed.groupBy("grp").applyInPandasWithState(
@@ -560,7 +652,7 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _arrival_split(spark, sf_dir)
     bands = minhash_band_rows(
-        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1), src)
     )
     # sink swap (review r9, the module-cache discipline applied to memory
     # sinks): each invocation's uniquely-named sink would otherwise pin its
@@ -572,13 +664,15 @@ def minhash_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SINK_CACHE.append(name)
     from flink_mm_spark.session import stream_state_parts
 
+    ckpt = scratch_dir("mds_ckpt_")
+    grps = pin_stream_groups(ckpt, band_store_groups(spark))
     with stream_state_parts(spark):
         q = (
-            minhash_band_store(bands)
+            minhash_band_store(bands, n_groups=grps)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", scratch_dir("mds_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -663,7 +757,7 @@ def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _arrival_split(spark, sf_dir)
     bands = keep_best_band_rows(
-        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1), src)
     )
     while _KBS_SINK_CACHE:
         spark.catalog.dropTempView(_KBS_SINK_CACHE.pop())
@@ -671,13 +765,15 @@ def dedup_keep_best_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _KBS_SINK_CACHE.append(name)
     from flink_mm_spark.session import stream_state_parts
 
+    ckpt = scratch_dir("kbs_ckpt_")
+    grps = pin_stream_groups(ckpt, band_store_groups(spark))
     with stream_state_parts(spark):
         q = (
-            minhash_band_store(bands, decide=True)
+            minhash_band_store(bands, decide=True, n_groups=grps)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", scratch_dir("kbs_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -700,7 +796,11 @@ _DET_SPLIT_CACHE: dict[tuple[str, int], str] = {}
 
 
 def drain_with_timers(
-    q, poll_s: float = 0.25, min_elapsed_s: float = 0.0, max_wall_s: float = 300.0
+    q,
+    poll_s: float = 0.25,
+    min_elapsed_s: float = 0.0,
+    max_wall_s: float = 300.0,
+    expected_batches: int | None = None,
 ) -> None:
     """Drain an availableNow stream whose stateful operator arms
     ProcessingTimeTimeout timers. With such timers pending, availableNow
@@ -720,7 +820,23 @@ def drain_with_timers(
     deterministically in-life). ``max_wall_s`` is the overall deadline
     (ADVICE r10 #3): a query that stalls without ever producing two
     consecutive no-file progress entries is stopped and raised on loudly
-    instead of hanging the bench/driver run forever."""
+    instead of hanging the bench/driver run forever.
+
+    ``expected_batches`` (r14, VERDICT r13 #1): when the caller KNOWS how
+    many file-consuming batches the run must commit (a FRESH checkpoint
+    over a staged arrival dir with ``maxFilesPerTrigger=1`` commits
+    exactly one per file), the stream is provably drained as soon as that
+    many consuming progress entries exist — a progress entry is posted
+    only after its batch commits, so stopping there cannot truncate data,
+    and the pending TTL timers are safety machinery with nothing left to
+    evict inside the run. This skips the ~2 s × 2 empty timer-check
+    batches the conservative offset rule waits out (~4-5 s of
+    ``minhash_dedup_streamed_capped``'s wall was that wait). The offset
+    rule stays as fallback — and is the ONLY rule when
+    ``expected_batches`` is None, which every checkpoint-RESUMING caller
+    must keep using (a restart replays the last planned timer batch
+    first, so the consumed count under-runs there; the two-life
+    restart/eviction tests all use the default)."""
     import time
 
     def no_file(p) -> bool:
@@ -733,6 +849,11 @@ def drain_with_timers(
         drained = len(progress) >= 2 and no_file(progress[-1]) and no_file(
             progress[-2]
         )
+        if expected_batches is not None and not drained:
+            consumed = sum(
+                1 for p in progress if p.get("sources") and not no_file(p)
+            )
+            drained = consumed >= expected_batches
         if drained and time.monotonic() - t0 >= min_elapsed_s:
             q.stop()
             break
@@ -833,23 +954,35 @@ def minhash_dedup_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 
     src = deterministic_arrival_split(spark, sf_dir)
     bands = minhash_band_rows(
-        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1), src)
     )
     spool = scratch_dir("mdsc_pairs_")
     from flink_mm_spark.session import stream_state_parts
 
+    ckpt = scratch_dir("mdsc_ckpt_")
+    grps = pin_stream_groups(ckpt, band_store_groups(spark))
     with stream_state_parts(spark):
         q = (
-            minhash_band_store(bands, cap=STREAM_HOT_CAP, ttl_minutes=60)
+            minhash_band_store(
+                bands, cap=STREAM_HOT_CAP, ttl_minutes=60, n_groups=grps
+            )
             .writeStream.foreachBatch(
                 lambda df, bid: df.write.mode("append").parquet(spool)
             )
             .outputMode("append")
-            .option("checkpointLocation", scratch_dir("mdsc_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        drain_with_timers(q)  # ProcessingTimeTimeout blocks self-termination
+        # ProcessingTimeTimeout blocks self-termination; this is a FRESH
+        # checkpoint over the staged files, so the consumed-batch count
+        # proves drained-ness without waiting out empty timer batches
+        # (r14, VERDICT r13 #1 — ~4-5 s of this entry's wall was the wait)
+        import glob as _glob
+
+        drain_with_timers(
+            q, expected_batches=len(_glob.glob(f"{src}/*.parquet"))
+        )
     pair_schema = T.StructType(
         [
             T.StructField("doc_a", T.LongType()),
@@ -1137,7 +1270,7 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
     src = deterministic_arrival_split(spark, sf_dir, n_batches=CTS_SHARDS)
     # PASS 1 — online decisions over the arriving corpus
     bands = keep_best_band_rows(
-        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+        spread_batches(documents_stream(spark, src, max_files_per_trigger=1), src)
     )
     while _CTS_SINK_CACHE:
         spark.catalog.dropTempView(_CTS_SINK_CACHE.pop())
@@ -1145,13 +1278,15 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
     _CTS_SINK_CACHE.append(name)
     from flink_mm_spark.session import stream_state_parts
 
+    ckpt = scratch_dir("cts1_ckpt_")
+    grps = pin_stream_groups(ckpt, band_store_groups(spark))
     with stream_state_parts(spark):
         q1 = (
-            minhash_band_store(bands, decide=True)
+            minhash_band_store(bands, decide=True, n_groups=grps)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", scratch_dir("cts1_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -1160,14 +1295,21 @@ def _corpus_to_shards(spark: SparkSession, sf_dir: str, strict: bool) -> DataFra
     drops = rule(spark.table(name)).localCheckpoint(
         eager=True  # frozen before pass 2 re-reads the sink name
     )
-    # PASS 2 — materialize survivors through the exactly-once shard writer
+    # PASS 2 — materialize survivors through the exactly-once shard writer.
+    # Arrival ORDER only matters to pass 1 (the admission decisions); the
+    # materialization is a pure per-document map + anti-join against the
+    # frozen drop set, so pass 2 takes ALL staged files in ONE availableNow
+    # micro-batch (r14: was maxFilesPerTrigger=1 — 4 batches × full
+    # micro-batch planning/commit + 4 × 132 shard files; now 1 batch and
+    # 132 files, exactly-once contract unchanged since the single batch
+    # still owns its batchId-deterministic ``ingest=0`` subpath).
     n_tok, _ = kb_quality_cols()
     dst = scratch_dir("cts_dst_")
     # spread_batches: the n_tok regexp count otherwise runs single-task
-    # on the one-file micro-batch (r13; pure per-document function, and
+    # on the few-file micro-batch (r13; pure per-document function, and
     # the writer re-keys on shard_id anyway so layout is unchanged)
     doc_stream = (
-        spread_batches(documents_stream(spark, src, max_files_per_trigger=1))
+        spread_batches(documents_stream(spark, src), src)
         .withColumn("n_tok", n_tok.cast("bigint"))
         .withColumn("shard_id", F.pmod("doc_id", F.lit(CTS_SHARDS)).cast("bigint"))
         .select("doc_id", "n_tok", "shard_id")

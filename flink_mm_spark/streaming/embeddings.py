@@ -126,7 +126,7 @@ def embedding_covariance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     from flink_mm_spark.streaming.documents import spread_batches
 
     acc = (
-        covariance_terms(spread_batches(stream))
+        covariance_terms(spread_batches(stream, src))
         .groupBy("i", "j")
         .agg(F.sum("p").alias("sp"))
     )

@@ -799,6 +799,19 @@ def test_shard_append_batches_add_no_exchange(spark, tmp_path):
     # a 3-stage job.
     assert len(jids) <= 2, stage_lists
     assert all(len(s) <= 2 for s in stage_lists), stage_lists
+    # ...and the exchange must EXIST (ADVICE r13 #3: the bounds above also
+    # pass for the old single-task writer): a no-shuffle plan is a single
+    # 1-stage job, so require ≥2 stages in total, and pin the exchange key
+    # on the writer's own input plan — exactly one shard_id
+    # hashpartitioning, nothing else repartitioning the batch.
+    assert sum(len(s) for s in stage_lists) >= 2, stage_lists
+    from flink_mm_spark.operators.llm_prep import _shard_append_df
+
+    wplan = (
+        _shard_append_df(batch_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert wplan.count("hashpartitioning(shard_id") == 1, wplan[:3000]
+    assert "roundrobin" not in wplan.lower(), wplan[:3000]
 
 
 def test_lang_id_ngram_broadcasts_profiles_and_stays_jvm(spark):

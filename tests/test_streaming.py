@@ -1496,3 +1496,72 @@ def test_corpus_to_shards_strict_vs_keepbest_drop_sets(spark, tmp_path):
     spark.catalog.dropTempView(name)
     assert keep_best == {2}
     assert strict == {1, 2}
+
+
+def test_pin_stream_groups_fails_fast_on_mismatch(tmp_path):
+    """r14 (ADVICE r13 #1): the band store's shard count is a data-level
+    hash Spark does NOT pin into the checkpoint — pin_stream_groups must
+    record it at stream start and refuse a resume under a different
+    value (which would silently hash buckets to shards that don't hold
+    their state)."""
+    from flink_mm_spark.streaming.documents import pin_stream_groups
+
+    ckpt = str(tmp_path / "ckpt")
+    assert pin_stream_groups(ckpt, 128) == 128
+    # same value: idempotent
+    assert pin_stream_groups(ckpt, 128) == 128
+    with pytest.raises(ValueError, match="128 state shards"):
+        pin_stream_groups(ckpt, 64)
+
+
+def test_drain_with_timers_expected_batches_skips_empty_wait(spark, tmp_path):
+    """r14 (VERDICT r13 #1): with expected_batches set on a FRESH
+    checkpoint, drain_with_timers stops as soon as the last
+    file-consuming batch commits instead of waiting out two ~2 s empty
+    timer-check batches — the progress log must show at most ONE no-file
+    entry, and the emitted pairs must equal the conservative drain's."""
+    from flink_mm_spark.streaming.documents import (
+        STREAM_HOT_CAP,
+        documents_stream,
+        drain_with_timers,
+        minhash_band_rows,
+        minhash_band_store,
+    )
+
+    pdfs = _synthetic_arrival_corpus()
+    src = str(tmp_path / "arrivals")
+    _write_arrival_files(pdfs, src)
+
+    def run(ckpt, expected):
+        got = []
+        q = (
+            minhash_band_store(
+                minhash_band_rows(
+                    documents_stream(spark, src, max_files_per_trigger=1)
+                ),
+                cap=STREAM_HOT_CAP,
+                ttl_minutes=60,
+            )
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_with_timers(q, expected_batches=expected)
+        progress = q.recentProgress
+        return got, progress
+
+    def no_file(p):
+        srcs = p.get("sources", [])
+        return bool(srcs) and all(
+            s["startOffset"] == s["endOffset"] for s in srcs
+        )
+
+    fast, fast_prog = run(str(tmp_path / "ckpt_fast"), expected=len(pdfs))
+    slow, _ = run(str(tmp_path / "ckpt_slow"), expected=None)
+    n_consuming = sum(1 for p in fast_prog if p.get("sources") and not no_file(p))
+    assert n_consuming == len(pdfs), [p.get("sources") for p in fast_prog]
+    assert sum(1 for p in fast_prog if no_file(p)) <= 1, len(fast_prog)
+    key = lambda rows: sorted((r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in rows)  # noqa: E731
+    assert key(fast) == key(slow)
