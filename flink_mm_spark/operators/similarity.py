@@ -1097,17 +1097,68 @@ def _write_wave_files_onepass(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _merge_waves(waves: list[DataFrame], groups: list[list[int]]) -> list[DataFrame]:
+    """Union consecutive waves into per-micro-batch files. Legal whenever
+    the in-batch kind ordering (deletes → adds → queries, the documented
+    ``probe_or_add`` rule) reproduces the declared arrival order and no
+    consumer depends on intra-kind arrival order — true for the UNCAPPED
+    tiers (cell membership is a set; scoring/rank tie-breaks are value-
+    based), NOT for the capped tier (its admission prefix is per-batch,
+    so it keeps the one-wave-per-file split)."""
+    import functools
+
+    return [
+        functools.reduce(DataFrame.unionByName, [waves[i] for i in g])
+        for g in groups
+    ]
+
+
 def _onl_arrival_split(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the interleaved corpus/query arrival as 6 mtime-ordered
-    files. Content-determined like the other arrival splits; cached per
-    (process, sf_dir)."""
+    """Stage the interleaved corpus/query arrival for the UNCAPPED exact
+    tier as TWO mtime-ordered files — the minimal micro-batch sequence
+    that preserves the declared arrival semantics (r14, VERDICT r13 #6):
+    batch 1 = corpus 0 ∪ corpus 1 ∪ query wave A, batch 2 = corpus 2 ∪
+    corpus 3 ∪ query wave B. Within a micro-batch the store applies adds
+    BEFORE queries (the documented ``probe_or_add`` rule), so wave A
+    still scores exactly the first two corpus batches and wave B the
+    full index — the oracle's candidate predicate (vec_id % 4 ≤ wave
+    bound) is unchanged, and the drained output hash-matches the 6-file
+    staging (each per-cell emission is a pure function of the member SET
+    at probe time). What changes is cost: 2 availableNow batches instead
+    of 6 — 4 fewer micro-batch plan/commit rounds and 4 fewer
+    state-store load/commit sweeps across ONL_STATE_PARTS partitions.
+    Cross-batch state persistence is still exercised (wave B scores
+    batch-1 members). The CAPPED tier stages its own 6-file split
+    (``_onl_arrival_split_sequential``) — its admission prefix depends on
+    per-batch arrival order by contract."""
     from flink_mm_spark.session import scratch_dir
 
     src = _ONL_SPLIT_CACHE.get(sf_dir)
     if src is None:
         src = scratch_dir("onl_src_")
-        _write_wave_files_onepass(spark, _onl_wave_dfs(embeddings64(spark, sf_dir)), src)
+        waves = _onl_wave_dfs(embeddings64(spark, sf_dir))
+        _write_wave_files_onepass(
+            spark, _merge_waves(waves, [[0, 1, 2], [3, 4, 5]]), src
+        )
         _ONL_SPLIT_CACHE[sf_dir] = src
+    return src
+
+
+_ONL_SEQ_SPLIT_CACHE: dict[str, str] = {}  # sf_dir -> 6-file sequential dir
+
+
+def _onl_arrival_split_sequential(spark: SparkSession, sf_dir: str) -> str:
+    """The one-wave-per-file split (6 files) for the CAPPED tier, whose
+    per-cell admission prefix is defined over this exact batch sequence
+    (first cap members by (vec_id % ONL_CBATCHES, vec_id) per cell —
+    pinned by the replay test)."""
+    from flink_mm_spark.session import scratch_dir
+
+    src = _ONL_SEQ_SPLIT_CACHE.get(sf_dir)
+    if src is None:
+        src = scratch_dir("onls_src_")
+        _write_wave_files_onepass(spark, _onl_wave_dfs(embeddings64(spark, sf_dir)), src)
+        _ONL_SEQ_SPLIT_CACHE[sf_dir] = src
     return src
 
 
@@ -1227,9 +1278,11 @@ def onl_candidate_stream(
             m_codes = np.empty((0, PQ_S), dtype=np.int64)
         batch = pd.concat(list(pdfs), ignore_index=True)
         # within a micro-batch: deletes apply first, then adds, then
-        # queries (the staged waves never mix kinds; the fixed rule makes
-        # mixed batches deterministic anyway). A delete for an id not in
-        # the cell is a no-op — the production upsert-log semantics.
+        # queries — the fixed rule that makes mixed batches deterministic
+        # (and since r14 the staged splits rely on it: waves share a
+        # micro-batch whenever the rule reproduces their declared order).
+        # A delete for an id not in the cell is a no-op — the production
+        # upsert-log semantics.
         dels = batch[batch["is_query"] == 2]
         if len(dels) and len(m_ids):
             keep = ~np.isin(m_ids, dels["id"].to_numpy(np.int64))
@@ -1317,8 +1370,10 @@ def ivf_pq_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cell, and emission is query×cells×k-bounded. Nothing
     corpus-sized leaves the state store; the pre-state encode is the
     shared `_pq_encode_block` Arrow stage. Within a micro-batch corpus
-    rows join state BEFORE queries probe (arrivals never mix in the
-    staged order; the rule makes mixed batches deterministic anyway)."""
+    rows join state BEFORE queries probe — the rule that makes mixed
+    batches deterministic, and (r14) lets the staged waves ride in TWO
+    micro-batches (see `_onl_arrival_split`) with the declared arrival
+    semantics, the oracle, and the output hash all unchanged."""
     _, name = _onl_run(spark, sf_dir)
     return _onl_rank(spark, name)
 
@@ -1410,7 +1465,15 @@ def ivf_pq_topk_streamed_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical; what changes at 100 TB is that the skewed cell can no
     longer grow a multi-GB state partition. Cell count remains the
     first-line balance knob (SCALE.md)."""
-    _, name = _onl_run(spark, sf_dir, cell_cap=ONL_CELL_CAP)
+    # the capped tier keeps the one-wave-per-file split: its admission
+    # prefix is defined over this exact batch sequence (r14 note in
+    # _onl_arrival_split)
+    _, name = _onl_run(
+        spark,
+        sf_dir,
+        cell_cap=ONL_CELL_CAP,
+        src=_onl_arrival_split_sequential(spark, sf_dir),
+    )
     return _onl_rank(spark, name)
 
 
@@ -1437,14 +1500,22 @@ def _onl_del_wave_dfs(e: DataFrame) -> list[DataFrame]:
 
 
 def _onl_del_arrival_split(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the 7-wave delete-tier arrival; cached per (process, sf_dir)."""
+    """Stage the 7-wave delete-tier arrival as TWO mtime-ordered files
+    (r14, VERDICT r13 #6 — same argument as ``_onl_arrival_split``):
+    batch 1 = corpus 0 ∪ corpus 1 ∪ query wave A; batch 2 = DELETE wave ∪
+    corpus 2 ∪ corpus 3 ∪ query wave B. The in-batch rule applies deletes
+    FIRST, then adds, then queries, so wave A still precedes the delete,
+    the delete still lands before corpus 2/3 and wave B still sees the
+    post-delete full index — the oracle's candidate predicate is
+    unchanged, 2 micro-batches instead of 7."""
     from flink_mm_spark.session import scratch_dir
 
     src = _ONL_DEL_SPLIT_CACHE.get(sf_dir)
     if src is None:
         src = scratch_dir("onld_src_")
+        waves = _onl_del_wave_dfs(embeddings64(spark, sf_dir))
         _write_wave_files_onepass(
-            spark, _onl_del_wave_dfs(embeddings64(spark, sf_dir)), src
+            spark, _merge_waves(waves, [[0, 1, 2], [3, 4, 5, 6]]), src
         )
         _ONL_DEL_SPLIT_CACHE[sf_dir] = src
     return src

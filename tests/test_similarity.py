@@ -763,3 +763,27 @@ def test_ivf_pq_deletes_semantics_and_state(spark):
     deleted = {v for v in all_ids if v % ONL_DEL_MOD == ONL_DEL_RES}
     assert deleted  # the rule selects a nonempty set on this corpus
     assert state_ids == all_ids - deleted
+
+
+def test_onl_staged_splits_have_minimal_batch_counts(spark):
+    """r14 (VERDICT r13 #6): the uncapped online-ANN tiers stage their
+    waves as TWO mtime-ordered files (= two availableNow micro-batches
+    under maxFilesPerTrigger=1, down from 6/7), while the capped tier
+    keeps the one-wave-per-file split its admission prefix is defined
+    over. The in-batch deletes→adds→queries rule makes the merged
+    batches reproduce the declared arrival order (hash-pinned by the
+    oracle entries; this test pins the staging shape itself)."""
+    import glob
+
+    from flink_mm_spark.operators.similarity import (
+        _onl_arrival_split,
+        _onl_arrival_split_sequential,
+        _onl_del_arrival_split,
+    )
+
+    assert len(glob.glob(f"{_onl_arrival_split(spark, SF_DIR)}/*.parquet")) == 2
+    assert len(glob.glob(f"{_onl_del_arrival_split(spark, SF_DIR)}/*.parquet")) == 2
+    assert (
+        len(glob.glob(f"{_onl_arrival_split_sequential(spark, SF_DIR)}/*.parquet"))
+        == 6
+    )
