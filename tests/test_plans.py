@@ -829,20 +829,21 @@ def test_lang_id_ngram_broadcasts_profiles_and_stays_jvm(spark):
     assert "Window" in plan  # the ROW_NUMBER argmin
 
 
-def test_embedding_covariance_one_keyed_aggregate_no_python(spark):
-    """embedding_covariance (r10): the exactness tier must be ONE
-    (i, j)-keyed map-side-combined aggregate over JVM-generated product
-    terms plus broadcast mean/count re-attach — no Python stage, no
-    sort-merge join, nothing row-count-keyed shuffling (the exchange
-    carries d² keys regardless of corpus size)."""
+def test_embedding_covariance_one_keyed_aggregate(spark):
+    """embedding_covariance (r14): on in-bound data the exactness tier is
+    ONE Arrow partial-sum kernel stage (≤ d(d+1)/2 + d tiny rows per
+    partition) into ONE (i, j)-keyed aggregate plus broadcast mean/count
+    re-attach — no per-term explode (the r13 shape generated 4.16M
+    decimal rows at sf0.1), no sort-merge join, nothing row-count-keyed
+    shuffling. The posexplode generators must be GONE from this plan —
+    they are the fallback for out-of-bound magnitudes/NULL cells only
+    (pinned in tests/test_similarity.py::test_cov_guard_routes_paths)."""
     plan = _plan(spark, "embedding_covariance")
     assert "HashAggregate" in plan, plan[:3000]
-    # r13: the term generator is two codegen'd posexplode Generates over
-    # the upper triangle (was one interpreted nested-transform explode)
-    assert "Generate posexplode" in plan, plan[:3000]
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "Generate posexplode" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
-    assert "Python" not in plan and "MapInPandas" not in plan
 
 
 def test_pca_fixed_project_one_arrow_stage_no_shuffle(spark):

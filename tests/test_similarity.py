@@ -787,3 +787,102 @@ def test_onl_staged_splits_have_minimal_batch_counts(spark):
         len(glob.glob(f"{_onl_arrival_split_sequential(spark, SF_DIR)}/*.parquet"))
         == 6
     )
+
+
+def test_cov_cast_replica_matches_spark_cast(spark):
+    """r14: the covariance kernel's scaled-int quantizer must reproduce
+    Spark's CAST(double AS DECIMAL(28,14)) bit-for-bit on magnitudes
+    inside the guard bound (the JVM cast goes through Double.toString
+    then HALF_UP; the kernel replicates it with a repr-based slow path
+    near the .5 boundary). Random sample across the in-bound range."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.similarity import (
+        _COV_KERNEL_MAX_ABS_PRODUCT,
+        _dec14_scaled_int,
+    )
+
+    rng = np.random.default_rng(137)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(60_000),  # the realistic magnitude band
+            rng.uniform(-_COV_KERNEL_MAX_ABS_PRODUCT, _COV_KERNEL_MAX_ABS_PRODUCT, 60_000),
+            rng.standard_normal(10_000) * 1e-8,  # tiny values
+            np.array([0.0, -0.0, 0.5e-14, -0.5e-14, 1.5e-14]),
+        ]
+    )
+    sdf = spark.createDataFrame(pd.DataFrame({"p": vals}))
+    pdf = sdf.select(
+        "p",
+        (F.col("p").cast("decimal(28,14)") * F.lit(10) ** 14)
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sref"),
+    ).toPandas()
+    ref = np.array([int(Decimal(s)) for s in pdf["sref"]], dtype=object)
+    got = _dec14_scaled_int(pdf["p"].to_numpy())
+    bad = [i for i in range(len(ref)) if int(ref[i]) != int(got[i])]
+    assert not bad, [(pdf["p"][i], int(ref[i]), int(got[i])) for i in bad[:5]]
+
+
+def test_cov_kernel_equals_jvm_fallback(spark):
+    """r14: the Arrow kernel path and the JVM posexplode fallback must
+    produce bit-identical decimal term sums on the real corpus (the
+    repr-hash trap: compare on repr, not ==)."""
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.similarity import (
+        _cov_prods_sums_jvm,
+        _cov_prods_sums_kernel,
+    )
+    from flink_mm_spark.sources.tables import table
+
+    e = (
+        table(spark, SF_DIR, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+        .persist()
+    )
+    try:
+        kp, ks = _cov_prods_sums_kernel(e)
+        jp, js = _cov_prods_sums_jvm(e)
+        key = lambda rows: sorted((r[0], r[1], repr(r[2])) for r in rows)  # noqa: E731
+        assert key(kp.collect()) == key(jp.collect())
+        assert key([(r[0], -1, r[1]) for r in ks.collect()]) == key(
+            [(r[0], -1, r[1]) for r in js.collect()]
+        )
+    finally:
+        e.unpersist()
+
+
+def test_cov_guard_routes_paths(spark):
+    """r14: the kernel guard must reject corpora the cast replica is not
+    proven on — any |x|² at or beyond the repr-divergence bound, and any
+    NULL cell (the JVM SUM skips null cells; np.vstack cannot) — and
+    accept the real corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_mm_spark.operators.similarity import _cov_kernel_safe
+    from flink_mm_spark.sources.tables import table
+
+    real = (
+        table(spark, SF_DIR, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    assert _cov_kernel_safe(real)
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"emb": [[0.1] * 63 + [10.0]]}), "emb array<double>"
+    )
+    assert not _cov_kernel_safe(big)
+
+    nulled = spark.createDataFrame(
+        [([0.1] * 63 + [None],)], "emb array<double>"
+    )
+    assert not _cov_kernel_safe(nulled)
