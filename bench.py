@@ -465,8 +465,11 @@ def main() -> None:
     # future entries ever push past the cap anyway, degrade to 1 dp
     # across the board rather than ship a truncated head.
     def emit(dp_small: int) -> str:
-        def fmt(v: float) -> float:
-            return round(v, dp_small if v < 10 else (1 if v < 100 else 0))
+        def fmt(v: float):
+            r = round(v, dp_small if v < 10 else (1 if v < 100 else 0))
+            # whole values emit as ints ("3" not "3.0") — same JSON number,
+            # ~2 chars back per entry toward the capture cap
+            return int(r) if r == int(r) else r
 
         return json.dumps(
             {
@@ -482,18 +485,21 @@ def main() -> None:
             separators=(",", ":"),
         )
 
-    # degrade precision stepwise until the line fits with MARGIN under the
-    # driver's 2000-char tail capture (VERDICT r13 #7: r13 shipped at
-    # 1953/2000 — one more rotation could have truncated the head again
-    # like BENCH_r12's). 1900 leaves ~5 entries of headroom; below that
-    # precision loss (1 dp everywhere, then 0 dp for <10 s values) is
-    # strictly better than an unparseable artifact.
+    # degrade precision stepwise until the line fits under the driver's
+    # 2000-char tail capture (VERDICT r13 #7: BENCH_r12's head truncated;
+    # r13 shipped at 1953/2000). ENTRY KEYS dominate the length (~1850
+    # chars of the 1953 are names+syntax), so precision only buys ~100
+    # chars — degrade exactly when needed (1990 bound, not earlier: an
+    # r14 1900-margin attempt degraded a fitting 2-dp line all the way to
+    # integers), and assert loudly rather than ever printing a
+    # truncatable line. If the assert ever fires, trim HEADLINE entries
+    # or shorten keys — precision has no more room to give.
     line = emit(2)
     for dp in (1, 0):
-        if len(line) <= 1900:
+        if len(line) <= 1990:
             break
         line = emit(dp)
-    assert len(line) < 1990, (
+    assert len(line) <= 1995, (
         f"bench emit line is {len(line)} chars even at minimum precision; "
         "the driver tail-captures 2000 — trim entries or shorten keys"
     )
