@@ -269,7 +269,6 @@ def minhash_band_store(
     member arrays (+ ``bkts``, + ``touch`` under TTL); output mode
     append (pairs are immutable facts).
     """
-    import os
     import time as _time
 
     import pandas as pd
